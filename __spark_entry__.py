@@ -31,15 +31,18 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    return flagship(spark, SF0001)
 
-    customer ⋈ orders ⋈ lineitem with a filter, grouped revenue —
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with a filter, grouped revenue —
     exercises scan (O1), binding (O4), projection (O6), filter (O7),
     equi-join incl. duplicate keys (O10/Q5), aggregation (O14-O17) in
     one plan. Joins on the star-schema keys: Catalyst broadcasts the
     small sides; the lineitem scan is pruned to 4 columns.
     """
-    t = register_views(spark, SF0001)
+    t = register_views(spark, sf_dir)
     lineitem, orders, customer = t["lineitem"], t["orders"], t["customer"]
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,4)"
@@ -322,39 +325,473 @@ def q_agg_filtered(spark, sf_dir):
 
 @_register(
     "filter_comparators",
-    "SELECT count(*) AS n_lt, "
-    " (SELECT count(*) FROM orders WHERE o_totalprice > 100000) AS n_gt,"
-    " (SELECT count(*) FROM orders WHERE o_custkey != 7) AS n_ne,"
-    " (SELECT count(*) FROM orders WHERE o_custkey <= 10) AS n_le,"
-    " (SELECT count(*) FROM orders WHERE o_custkey >= 140) AS n_ge"
-    " FROM orders WHERE o_totalprice < 5000",
+    "SELECT count(*) FILTER (o_totalprice < 5000) AS n_lt,"
+    " count(*) FILTER (o_totalprice > 100000) AS n_gt,"
+    " count(*) FILTER (o_custkey != 7) AS n_ne,"
+    " count(*) FILTER (o_custkey <= 10) AS n_le,"
+    " count(*) FILTER (o_custkey >= 140) AS n_ge"
+    " FROM orders",
 )
 def q_filter_comparators(spark, sf_dir):
     """All grammar comparators < > != <= >= executed faithfully (Q1 —
     the reference parsed 12 spellings but ran them all as '=',
-    sqlengine.py:35, 257-258)."""
-    orders = _t(spark, sf_dir, "orders").cache()
-    counts = [
-        orders.filter(R.comparison("o_totalprice", "lt", 5000)).agg(
-            F.count("*").alias("n_lt")
+    sqlengine.py:35, 257-258).
+
+    Single-pass conditional aggregation: one scan of orders, five
+    comparator predicates evaluated inside one HashAggregate — at
+    100 TB this is 1 scan instead of 5 (and zero joins).
+    """
+    orders = _t(spark, sf_dir, "orders")
+
+    def n(pred, alias):
+        return F.count(F.when(pred, 1)).alias(alias)
+
+    return orders.agg(
+        n(R.comparison("o_totalprice", "lt", 5000), "n_lt"),
+        n(R.comparison("o_totalprice", "gt", 100000), "n_gt"),
+        n(R.comparison("o_custkey", "ne", 7), "n_ne"),
+        n(R.comparison("o_custkey", "le", 10), "n_le"),
+        n(R.comparison("o_custkey", "ge", 140), "n_ge"),
+    )
+
+
+# ===========================================================================
+# SURVEY §2.2 completions — capabilities the reference lacks entirely; each
+# maps to the Spark primitive named in SURVEY §2.2's table. These complete
+# the engine into a usable analytics surface at scale.
+# ===========================================================================
+
+
+# --- GROUP BY aggregation (TPC-H Q1 shape) ---------------------------------
+
+
+@_register(
+    "group_by_agg",
+    "SELECT l_returnflag, l_linestatus,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2)) * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS sum_disc_price,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,"
+    " count(*) AS count_order"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def q_group_by(spark, sf_dir):
+    """GROUP BY + multi-aggregate (absent in reference — SURVEY §2.2
+    row 1). HashAggregate with map-side partial agg: one shuffle on
+    the (low-cardinality) group keys regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(25,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        R.exact_avg("l_quantity", "avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- ORDER BY + LIMIT (global top-k) ---------------------------------------
+
+
+@_register(
+    "order_by_limit",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q_order_limit(spark, sf_dir):
+    """ORDER BY + LIMIT (SURVEY §2.2 row 2). Spark plans
+    TakeOrderedAndProject: per-partition top-k then a k-row merge at
+    the driver — no global sort even at 100 TB. Tiebreak on the key
+    makes the top-10 deterministic across engines."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Window functions: rank / lag over partitions --------------------------
+
+
+@_register(
+    "window_rank",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "  SELECT o_custkey, o_orderkey, o_totalprice,"
+    "   row_number() OVER (PARTITION BY o_custkey"
+    "     ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+    "  FROM orders) WHERE rn <= 3",
+)
+def q_window_rank(spark, sf_dir):
+    """Ranking window + top-k per group (SURVEY §2.2 row 3, §2.4
+    top-k). One shuffle on o_custkey; AQE splits skewed customers."""
+    return R.top_k_per_group(
+        _t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
         ),
-        orders.filter(R.comparison("o_totalprice", "gt", 100000)).agg(
-            F.count("*").alias("n_gt")
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+@_register(
+    "window_lag_frame",
+    "SELECT o_custkey, o_orderkey,"
+    " lag(o_orderkey) OVER w AS prev_orderkey,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))"
+    "   OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
+    "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    "   AS running_spend"
+    " FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)",
+)
+def q_window_lag(spark, sf_dir):
+    """Analytic window (lag) + running frame aggregate (SURVEY §2.2
+    row 3): running sums use the exact-decimal path so the frame
+    prefix sums are bit-stable."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# --- Set operations --------------------------------------------------------
+
+
+@_register(
+    "set_ops",
+    "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),"
+    " lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 5000)"
+    " SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM lo)"
+    " UNION ALL SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)"
+    " UNION ALL SELECT 'except', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)",
+)
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT (SURVEY §2.2 row 4)."""
+    orders = _t(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    lo = orders.filter(F.col("o_totalprice") < 5000).select("o_custkey")
+    rows = [
+        hi.union(lo).distinct().agg(
+            F.lit("union").alias("op"), F.count("*").alias("n")
         ),
-        orders.filter(R.comparison("o_custkey", "ne", 7)).agg(
-            F.count("*").alias("n_ne")
+        hi.intersect(lo).agg(
+            F.lit("intersect").alias("op"), F.count("*").alias("n")
         ),
-        orders.filter(R.comparison("o_custkey", "le", 10)).agg(
-            F.count("*").alias("n_le")
-        ),
-        orders.filter(R.comparison("o_custkey", "ge", 140)).agg(
-            F.count("*").alias("n_ge")
+        hi.distinct().exceptAll(lo.distinct()).agg(
+            F.lit("except").alias("op"), F.count("*").alias("n")
         ),
     ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
     return out
+
+
+# --- Outer / semi / anti joins ---------------------------------------------
+
+
+@_register(
+    "join_left_outer",
+    "SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,"
+    " CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(25,2))), 0) AS DOUBLE) AS spend"
+    " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    " GROUP BY c_custkey, c_name",
+)
+def q_join_left(spark, sf_dir):
+    """LEFT OUTER join + group (SURVEY §2.2 row 5): customers with no
+    orders kept at n_orders=0 — NULL-skipping count over the outer
+    side."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        R.equi_join(
+            customer, orders, on=F.col("c_custkey") == F.col("o_custkey"),
+            how="left",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(25,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+
+
+@_register(
+    "join_semi_anti",
+    "SELECT 'with_orders' AS bucket, count(*) AS n FROM customer"
+    " WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+    " UNION ALL"
+    " SELECT 'without_orders', count(*) FROM customer"
+    " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q_join_semi_anti(spark, sf_dir):
+    """LEFT SEMI / LEFT ANTI joins (SURVEY §2.2 row 5) — the
+    distributed realization of IN / NOT IN subqueries."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).agg(F.lit("with_orders").alias("bucket"), F.count("*").alias("n"))
+    anti = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).agg(F.lit("without_orders").alias("bucket"), F.count("*").alias("n"))
+    return semi.unionAll(anti)
+
+
+# --- COUNT / COUNT(DISTINCT) ----------------------------------------------
+
+
+@_register(
+    "count_distinct",
+    "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,"
+    " count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+)
+def q_count_distinct(spark, sf_dir):
+    """COUNT + COUNT DISTINCT (SURVEY §2.2 row 6). Spark expands
+    multi-distinct into a single expand+two-phase aggregate — no
+    driver involvement."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_register("approx_distinct", None)  # approximate → rows-only check
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct / percentile_approx sketches (SURVEY §2.2
+    row 6, §2.4 sketches). HLL++ partial sketches merge associatively
+    across 1000 executors — the scale path for distinct counting.
+    No oracle: sketch results are engine-specific by design."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
+# --- Scalar functions: string / date / math --------------------------------
+
+
+@_register(
+    "scalar_string_funcs",
+    "SELECT c_custkey, upper(c_mktsegment) AS seg_upper,"
+    " length(c_name) AS name_len, substr(c_name, 1, 8) AS name_prefix,"
+    " c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_tag"
+    " FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
+def q_scalar_string(spark, sf_dir):
+    """String scalar functions (SURVEY §2.2 row 7) — all JVM-side
+    whole-stage-codegen expressions, zero Python."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(
+            "#", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_tag"),
+    )
+
+
+@_register(
+    "scalar_date_funcs",
+    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,"
+    " CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,"
+    " count(*) AS n_orders,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue"
+    " FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
+    " GROUP BY 1, 2",
+)
+def q_scalar_date(spark, sf_dir):
+    """Date/time functions + timestamp predicate (SURVEY §2.2 row 7):
+    year/month buckets — the scan is pruned by the pushed timestamp
+    filter."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            R.exact_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@_register(
+    "scalar_math_funcs",
+    "SELECT l_orderkey, l_linenumber,"
+    " abs(l_extendedprice - l_tax) AS diff,"
+    " CAST(floor(l_quantity) AS BIGINT) AS qty_floor,"
+    " CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,"
+    " l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged"
+    " FROM lineitem WHERE l_quantity < 3",
+)
+def q_scalar_math(spark, sf_dir):
+    """Math scalars + row-level arithmetic expressions with aliases —
+    the expression support the reference's grammar admitted but never
+    implemented (`sqlengine.py:43` \"need to add support for alg
+    expressions\"). Identical IEEE op sequences in both engines keep
+    doubles bit-comparable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") < 3).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_tax")).alias("diff"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+        ).alias("charged"),
+    )
+
+
+# --- CASE WHEN + HAVING ----------------------------------------------------
+
+
+@_register(
+    "case_when_having",
+    "SELECT CASE WHEN o_totalprice >= 150000 THEN 'high'"
+    "  WHEN o_totalprice >= 50000 THEN 'mid' ELSE 'low' END AS band,"
+    " count(*) AS n"
+    " FROM orders GROUP BY 1 HAVING count(*) > 10",
+)
+def q_case_having(spark, sf_dir):
+    """CASE WHEN expression + HAVING post-aggregate filter (SURVEY
+    §2.2 row 8 expressions)."""
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("band")
+    )
+    return (
+        o.groupBy(band).agg(F.count("*").alias("n")).filter(F.col("n") > 10)
+    )
+
+
+# --- Subqueries: IN (subselect) — parsed but unexecutable in reference -----
+
+
+@_register(
+    "subquery_in",
+    "SELECT o_orderkey, o_custkey FROM orders"
+    " WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)",
+)
+def q_subquery_in(spark, sf_dir):
+    """IN (subselect) — the reference grammar parses it
+    (`sqlengine.py:48-49`) but execution errors (SURVEY §2.2 row 9);
+    here it plans as a broadcast left-semi join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return o.join(
+        F.broadcast(rich), o["o_custkey"] == rich["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+@_register(
+    "subquery_correlated",
+    "SELECT c_custkey, c_acctbal FROM customer c"
+    " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+    "                    WHERE c_nationkey = c.c_nationkey)",
+)
+def q_subquery_correlated(spark, sf_dir):
+    """Correlated scalar subquery via the SQL front door (SURVEY §2.2
+    row 9) — Catalyst decorrelates it into an aggregate + join; no
+    per-row re-execution."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM customer c"
+        " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+        "                    WHERE c_nationkey = c.c_nationkey)"
+    )
+
+
+# --- NULL three-valued logic ----------------------------------------------
+
+
+@_register(
+    "null_semantics",
+    "WITH t AS (SELECT nullif(o_orderstatus, 'O') AS st, o_totalprice FROM orders)"
+    " SELECT count(*) AS n_rows, count(st) AS n_nonnull,"
+    " count(*) - count(st) AS n_null,"
+    " CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null2"
+    " FROM t",
+)
+def q_null_semantics(spark, sf_dir):
+    """Native NULL semantics (fixes Q9 — the reference stored a
+    string sentinel that crashed aggregates, sqlengine.py:145-147,
+    569-575): NULL-skipping count, IS NULL predicate."""
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        "o_totalprice",
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        (F.count("*") - F.count("st")).alias("n_null"),
+        F.sum(F.when(F.col("st").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null2"),
+    )
+
+
+# --- Multi-table join chain (reference capped at 2 tables) -----------------
+
+
+@_register(
+    "join_three_tables",
+    "SELECT r_name, n_name, count(c_custkey) AS n_customers,"
+    " CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_acctbal"
+    " FROM region JOIN nation ON r_regionkey = n_regionkey"
+    " JOIN customer ON n_nationkey = c_nationkey"
+    " GROUP BY r_name, n_name",
+)
+def q_join_three(spark, sf_dir):
+    """3-table join chain — the reference hard-capped FROM at 2 tables
+    (`sqlengine.py:242-244`; BASELINE.md). Both dims broadcast: the
+    customer scan never shuffles."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            R.exact_sum("c_acctbal", "total_acctbal"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

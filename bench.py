@@ -1,0 +1,94 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Results are forced with the noop sink (full distributed execution,
+no driver-side materialization cost) except tiny aggregates, which
+are collected. Timings are end-to-end per query including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per operator family, weighted toward the plans
+# whose scale behavior matters (joins, aggregation, distinct, dedup).
+HEADLINE = (
+    "scan_star",
+    "project_cols",
+    "agg_avg",
+    "agg_filtered",
+    "distinct_col",
+    "filter_and",
+    "join_inner_dedup",
+    "join_dup_keys",
+    "cross_join",
+    "filter_comparators",
+)
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count cheaply.
+
+    ``write.format("noop")`` executes every partition without
+    collecting to the driver — the honest way to time a distributed
+    plan locally.
+    """
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import importlib
+
+    from minisql_engine_spark import get_spark
+
+    em = importlib.import_module("__spark_entry__")
+    spark = get_spark("minisql-bench", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = em.queries()
+    # Warm the JVM + parquet footers once with the cheapest query.
+    _force(qs["project_cols"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # entry flagship on the bench SF as well
+    t0 = time.perf_counter()
+    _force(em.flagship(spark, SF_DIR))
+    timings["flagship"] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries-total-sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
