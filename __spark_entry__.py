@@ -794,6 +794,414 @@ def q_join_three(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# §2.4 extension operators — LLM-training-data pipeline (BASELINE.json
+# north star): text analysis, dedup families, similarity search.
+# Hashes are md5-derived so even LSH banding is oracle-verified bit-exact.
+# ===========================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# --- Text analysis ---------------------------------------------------------
+
+
+@_register(
+    "text_token_count",
+    "SELECT doc_id,"
+    " CAST(CASE WHEN trim(text) = '' THEN 0"
+    "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+    "  AS n_ws_tokens,"
+    " CAST(len(regexp_extract_all(text,"
+    "  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
+    " FROM documents",
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (§2.4 text
+    analysis). Pure map-side codegen, no shuffle."""
+    from minisql_engine_spark.operators.text import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+@_register(
+    "text_quality",
+    "WITH m AS (SELECT doc_id,"
+    " CAST(length(text) AS BIGINT) AS n_chars_m,"
+    " CAST(CASE WHEN trim(text)='' THEN 0"
+    "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,"
+    " CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,"
+    " CAST(len(regexp_extract_all(lower(text),"
+    "   '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_stop"
+    " FROM documents)"
+    " SELECT doc_id, n_tokens,"
+    "  CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,"
+    "  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,"
+    "  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1) AS mean_word_len,"
+    "  0.5 + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 0.3)"
+    "      - least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 0.3)"
+    "      + (CASE WHEN CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens,1)"
+    "              BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END) AS quality_score"
+    " FROM m",
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword ratios (§2.4).
+    Ratio arithmetic mirrors the oracle op-for-op → bit-equal."""
+    from minisql_engine_spark.operators.text import with_quality_score
+
+    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        "quality_score",
+    )
+
+
+@_register(
+    "text_lang_id",
+    "WITH c AS (SELECT doc_id, lang,"
+    " CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) AS BIGINT) AS n_de,"
+    " CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_en,"
+    " CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|del|para|con|por)\\b')) AS BIGINT) AS n_es,"
+    " CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS BIGINT) AS n_fr,"
+    " CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|wo|ni|ta|men|zai|you)\\b')) AS BIGINT) AS n_zh"
+    " FROM documents)"
+    " SELECT doc_id, lang, n_de, n_en, n_es, n_fr, n_zh,"
+    " CASE WHEN greatest(n_de,n_en,n_es,n_fr,n_zh) = 0 THEN 'und'"
+    "  WHEN n_de = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'de'"
+    "  WHEN n_en = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'en'"
+    "  WHEN n_es = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'es'"
+    "  WHEN n_fr = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'fr'"
+    "  ELSE 'zh' END AS lang_pred"
+    " FROM c",
+)
+def q_text_lang(spark, sf_dir):
+    """Language-ID stopword-marker heuristic (§2.4): per-language
+    counts + deterministic argmax."""
+    from minisql_engine_spark.operators.text import with_lang_id
+
+    return with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_de", "n_en", "n_es", "n_fr", "n_zh", "lang_pred"
+    )
+
+
+@_register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,"
+    f" substr(md5({_NORM_SQL}), 1, 1) AS fp_shard"
+    " FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Content fingerprinting + uniform shard key (§2.4)."""
+    from minisql_engine_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", "fp_shard"
+    )
+
+
+# --- Dedup family ----------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    f"WITH d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents)"
+    " SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,"
+    " md5(content) AS content_hash FROM d GROUP BY content",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content, deterministic
+    min-id canonicalization (dedup family #1)."""
+    from minisql_engine_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_CTE = (
+    f"WITH d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents),"
+    " tk AS (SELECT doc_id, string_split(content, ' ') AS t FROM d),"
+    " sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    "   for i in range(1, len(t)-1)]) AS shs FROM tk WHERE len(t) >= 3),"
+    " ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),"
+    " sigs AS (SELECT doc_id,"
+    + ",".join(f" min(md5('{i}:' || s)) AS sig_{i}" for i in range(8))
+    + " FROM ex GROUP BY doc_id),"
+    " bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(sig_{2*b} || '|' || sig_{2*b+1}) AS band_key FROM sigs"
+        for b in range(4)
+    )
+    + "),"
+    " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    "   FROM bands a JOIN bands b ON a.band = b.band"
+    "   AND a.band_key = b.band_key AND a.doc_id < b.doc_id),"
+    " sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),"
+    " inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c"
+    "   JOIN ex ea ON ea.doc_id = c.id_a"
+    "   JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s"
+    "   GROUP BY c.id_a, c.id_b)"
+)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _MINHASH_CTE
+    + " SELECT id_a, id_b, jaccard FROM ("
+    "   SELECT i.id_a, i.id_b,"
+    "    round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+    "   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a"
+    "   JOIN sizes sb ON sb.doc_id = i.id_b)"
+    " WHERE jaccard >= 0.5",
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(8)+LSH(4 bands×2) near-dup pairs with exact-Jaccard
+    verification (dedup family #2). The md5-string-min hash family
+    makes the ENTIRE pipeline — signatures, banding, candidates —
+    bit-reproducible in the oracle, not just the final verify."""
+    from minisql_engine_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_SIMHASH_CTE = (
+    f"WITH d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents),"
+    " tok AS (SELECT doc_id, unnest(string_split(content, ' ')) AS token FROM d),"
+    " tf AS (SELECT doc_id, token, count(*) AS tf, md5(token) AS h"
+    "   FROM tok GROUP BY doc_id, token),"
+    " pos AS (SELECT doc_id, tf, h, unnest(range(0, 64)) AS j FROM tf),"
+    # NB: (j // 4), not CAST(j/4 AS INT) — DuckDB CAST rounds-half-even
+    # while Spark's cast truncates; floor-div matches Spark for j >= 0.
+    " contrib AS (SELECT doc_id, j, tf * (2 * (CAST(floor("
+    "   (strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)"
+    "   / power(2, 3 - j % 4)) AS INT) % 2) - 1) AS contrib FROM pos),"
+    " sums AS (SELECT doc_id, j, sum(contrib) AS s FROM contrib GROUP BY doc_id, j),"
+    " fps AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,"
+    "   '' ORDER BY j) AS simhash FROM sums GROUP BY doc_id),"
+    " chunks AS (SELECT doc_id, c, substr(simhash, c * 16 + 1, 16) AS ck"
+    "   FROM fps, (SELECT unnest(range(0, 4)) AS c) t),"
+    " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+    "   FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck"
+    "   AND a.doc_id < b.doc_id)"
+)
+
+
+@_register(
+    "dedup_simhash",
+    _SIMHASH_CTE
+    + " SELECT id_a, id_b, hamming FROM ("
+    "   SELECT c.id_a, c.id_b, CAST(list_sum(["
+    "     CASE WHEN substr(fa.simhash, x, 1) != substr(fb.simhash, x, 1)"
+    "     THEN 1 ELSE 0 END for x in range(1, 65)]) AS BIGINT) AS hamming"
+    "   FROM cand c JOIN fps fa ON fa.doc_id = c.id_a"
+    "   JOIN fps fb ON fb.doc_id = c.id_b)"
+    " WHERE hamming <= 8",
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs: tf-weighted sign fingerprint,
+    16-bit-chunk banding, exact Hamming verify (dedup family #3)."""
+    from minisql_engine_spark.operators.dedup import simhash_near_dups
+
+    out = simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"WITH d AS (SELECT doc_id, source, {_NORM_SQL} AS c FROM documents),"
+    " g AS (SELECT doc_id, source, list_distinct([substr(c, i, 3)"
+    "   for i in range(1, len(c)-1)]) AS gs FROM d WHERE len(c) >= 3),"
+    " ex AS (SELECT doc_id, source, unnest(gs) AS g FROM g),"
+    " sz AS (SELECT doc_id, len(gs) AS n FROM g),"
+    " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+    "   FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g"
+    "   AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT id_a, id_b, jaccard FROM ("
+    "   SELECT i.id_a, i.id_b, round(CAST(n_inter AS DOUBLE)"
+    "    / (sa.n + sb.n - n_inter), 6) AS jaccard"
+    "   FROM inter i JOIN sz sa ON sa.doc_id = i.id_a"
+    "   JOIN sz sb ON sb.doc_id = i.id_b)"
+    " WHERE jaccard >= 0.7",
+)
+def q_dedup_ngram(spark, sf_dir):
+    """Blocked character-3-gram Jaccard near-dup pairs (dedup family
+    #4): all-pairs bounded per source block."""
+    from minisql_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", threshold=0.7
+    )
+
+
+# --- Similarity search -----------------------------------------------------
+
+_EMB_CTE = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    " q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),"
+    " scored AS (SELECT query_id, vec_id AS neighbor_id,"
+    "  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))"
+    "   * sqrt(list_dot_product(v, v))), 6) AS score"
+    "  FROM e CROSS JOIN q WHERE vec_id != query_id)"
+)
+
+
+@_register(
+    "emb_cosine_topk",
+    _EMB_CTE
+    + " SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM ("
+    "   SELECT *, row_number() OVER (PARTITION BY query_id"
+    "    ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
+    " WHERE rank <= 10",
+)
+def q_emb_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (§2.4 baseline):
+    broadcast queries × corpus, fixed-fold double dot products,
+    round(6) + id tiebreak → deterministic ranking."""
+    from minisql_engine_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@_register(
+    "emb_near_dups",
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v"
+    "  FROM embeddings)"
+    " SELECT id_a, id_b, cos_sim FROM ("
+    "  SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    "   round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    "    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim"
+    "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)"
+    " WHERE cos_sim >= 0.4",
+)
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (dedup
+    family #5). Threshold 0.4 fits this corpus's cosine distribution
+    (same-label max ≈ 0.47)."""
+    from minisql_engine_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.4
+    )
+
+
+@_register("emb_lsh_ann", None)  # approximate → rows-only + recall test
+def q_emb_ann(spark, sf_dir):
+    """LSH-bucketed ANN top-k (§2.4 scale path): deterministic
+    sign-random-projection buckets (md5-derived hyperplanes), exact
+    re-rank within bucket. Rows-only here; recall vs the brute-force
+    baseline is asserted in tests/test_extensions.py."""
+    from minisql_engine_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# --- Multimodal columns ----------------------------------------------------
+
+
+@_register(
+    "multimodal_features",
+    "WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+    " b AS (SELECT doc_id, [ (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16"
+    "   + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)"
+    "   for i in range(1, 17)] AS bytes FROM p)"
+    " SELECT doc_id,"
+    " CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,"
+    " 64 + (doc_id % 8) * 32 AS width,"
+    " 64 + (doc_id % 5) * 48 AS height,"
+    " CAST(len(bytes) AS BIGINT) AS n_bytes,"
+    " CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte"
+    " FROM b",
+)
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing (§2.4): BinaryType payloads + typed
+    metadata + Arrow-batched mapInPandas feature extraction. The
+    payload bytes are md5-derived so the oracle reproduces the
+    Python-side byte statistics arithmetically — proving the real
+    binary path (JVM→Arrow→pandas→bytes) end-to-end."""
+    from minisql_engine_spark.operators.multimodal import (
+        extract_features,
+        synthesize_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_features(synthesize_payloads(docs))
+
+
+# --- Streaming windows (batch-parity plans; true streaming in tests) -------
+
+
+@_register(
+    "events_tumbling_window",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,"
+    " count(*) AS n_events,"
+    " CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value"
+    " FROM events GROUP BY 1, 2",
+)
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling-window agg (SURVEY §2.2 streaming row): the same
+    function runs unchanged under readStream+watermark —
+    tests/test_streaming.py asserts the streaming result is
+    identical (unified batch/stream engine)."""
+    from minisql_engine_spark.streaming import tumbling_event_agg
+
+    return tumbling_event_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@_register(
+    "events_sliding_window",
+    "WITH s AS (SELECT event_type,"
+    "  unnest([time_bucket(INTERVAL '30 minutes', ts),"
+    "          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])"
+    "   AS window_start FROM events)"
+    " SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,"
+    "  event_type, count(*) AS n_events"
+    " FROM s GROUP BY 1, 2, 3",
+)
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (1h width, 30m slide): each event lands in two
+    overlapping windows; oracle materializes both starts."""
+    from minisql_engine_spark.streaming import sliding_event_agg
+
+    return sliding_event_agg(
+        _t(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@_register(
+    "events_session_window",
+    "WITH o AS (SELECT user_id, ts,"
+    "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "   > INTERVAL '5 minutes' OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "   IS NULL THEN 1 ELSE 0 END AS new_s FROM events),"
+    " g AS (SELECT user_id, ts,"
+    "  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)"
+    " SELECT user_id, min(ts) AS session_start,"
+    "  max(ts) + INTERVAL '5 minutes' AS session_end,"
+    "  count(*) AS n_events"
+    " FROM g GROUP BY user_id, sid",
+)
+def q_events_session(spark, sf_dir):
+    """Gap-based session windows (F.session_window): session end =
+    last event + gap; the oracle rebuilds sessions with
+    gaps-and-islands over the same data."""
+    from minisql_engine_spark.streaming import session_event_agg
+
+    return session_event_agg(_t(spark, sf_dir, "events"), "5 minutes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

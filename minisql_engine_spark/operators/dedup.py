@@ -1,0 +1,416 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables:
+
+* exact          — hash-groupBy on normalized content
+* MinHash + LSH  — word-shingles → minhash signature → banded LSH
+                   bucket join → exact-Jaccard verification
+* SimHash        — 64-bit sign-of-weighted-bits fingerprint + banded
+                   candidate generation + Hamming verification
+* n-gram Jaccard — character-3-gram exact Jaccard within a blocking
+                   key
+* embedding cosine near-dup — see ``similarity.py``
+
+Portability design (the whole point): every hash is derived from
+``md5`` hex strings, and MinHash takes the **lexicographic MIN of the
+md5 hex digests** — a perfectly valid uniform hash family that both
+Spark and DuckDB compute identically, so even LSH banding is verified
+bit-for-bit by the SQL oracle (no engine-specific hash builtins).
+
+Scale design (100 TB):
+* shingling/fingerprinting is map-side only;
+* signatures are one groupBy per doc (map-side partial MIN — tiny);
+* the LSH bucket join shuffles on band keys which are md5-uniform →
+  no skew; candidate pairs ≪ n² by construction;
+* verification joins explode only candidate docs' shingles, never
+  the full corpus pairwise.
+
+The reference engine has nothing remotely similar (pure SQL subset);
+these implement BASELINE.json's north-star extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: 8 hashes in 4 bands of 2 rows. Small on purpose:
+# the signature is 8 aggregate columns (no explode), and bands of 2
+# give a ~sqrt collision profile good for jaccard ≥ 0.5 at this corpus
+# size. Parameterizable per call.
+NUM_HASHES = 8
+BAND_SIZE = 2
+
+
+# ---------------------------------------------------------------------------
+# Shared shingling
+# ---------------------------------------------------------------------------
+
+
+def _norm(text: Column) -> Column:
+    """Whitespace-normalized lowercase content."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of ``text`` as array<string>.
+
+    0 shingles for docs with < k tokens (consistent with the SQL
+    oracle's list comprehension over the same token array).
+    """
+    toks = F.split(_norm(text), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of normalized text."""
+    norm = _norm(text)
+    ln = F.length(norm)
+    return F.array_distinct(
+        F.when(
+            ln >= n,
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1),
+                lambda i: norm.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized content: one row per distinct text,
+    canonical id = min(id), with the duplicate count.
+
+    A single hash-aggregate (map-side partial) on the content key —
+    the canonical 100 TB exact-dedup plan. Deterministic (min-id
+    canonicalization), unlike ``dropDuplicates`` which keeps an
+    arbitrary row.
+    """
+    return (
+        df.select(F.col(id_col), _norm(F.col(text_col)).alias("content"))
+        .groupBy("content")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            "canonical_id", "n_copies", F.md5("content").alias("content_hash")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = MIN(md5(i || ':' || shingle)).
+
+    Lexicographic min over md5 hex digests — engine-portable hash
+    family. One explode + one groupBy; each sig_i is a map-side
+    partial MIN, so the shuffle carries num_hashes small strings per
+    doc, not the shingle sets.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("sh")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(doc, band, band_key) — band_key = md5 of the band's sig slice."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
+
+    Self-join on (band, band_key): shuffles on md5-uniform keys → no
+    skew; output is bounded by bucket sizes, never n².
+    """
+    a = band_keys.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_fn=word_shingles,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for candidate pairs.
+
+    Joins the candidate list back to per-doc shingle sets (semi-joined
+    first so only candidate docs are exploded), computes
+    |A∩B| / (|A|+|B|-|A∩B|); single integer division → bit-identical
+    in the oracle. Returns pairs with jaccard ≥ threshold.
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("cid"))
+        .unionAll(pairs.select(F.col("id_b")))
+        .distinct()
+    )
+    docs = df.join(
+        cand_ids, df[id_col] == cand_ids["cid"], "left_semi"
+    ).select(F.col(id_col), word_shingles(F.col(text_col)).alias("shs"))
+
+    sizes = docs.select(F.col(id_col), F.size("shs").alias("n_sh"))
+    exploded = docs.select(F.col(id_col), F.explode("shs").alias("sh"))
+
+    ea = exploded.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    eb = exploded.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline (near-dup pairs)."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(lsh_band_keys(sigs, id_col), id_col)
+    return jaccard_verify(df, pairs, id_col, text_col, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash as a '0'/'1' bitstring per document.
+
+    Token tf-weighted: bit_j = sign( Σ_tokens tf · (2·b_j(token)−1) )
+    where b_j(token) is bit j of md5(token) (hex-digit arithmetic —
+    portable). Plan: tokens → tf groupBy → explode 64 positions →
+    per-(doc,bit) sum → ordered assembly. Three shuffles on uniform
+    keys, all with map-side partial aggregation.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), " ")).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", F.md5("token"))
+    pos = tf.select(
+        F.col(id_col),
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    )
+    # hex digit d = j div 4 (1-indexed substr), bit-in-digit k = 3 - j%4
+    hexval = F.expr(
+        "instr('0123456789abcdef', substring(h, cast(j / 4 as int) + 1, 1)) - 1"
+    )
+    bit = F.floor(hexval / F.pow(F.lit(2), F.lit(3) - (F.col("j") % 4))).cast(
+        "int"
+    ) % 2
+    contrib = pos.select(
+        F.col(id_col),
+        "j",
+        (F.col("tf") * (bit * 2 - 1)).alias("contrib"),
+    )
+    sums = contrib.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    bits_df = sums.select(
+        F.col(id_col),
+        "j",
+        F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("b"),
+    )
+    return bits_df.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "b"))),
+                lambda x: x["b"],
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates (any equal 16-bit
+    chunk) verified by exact Hamming distance ≤ max_hamming."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunk_len = 64 // n_chunks
+    chunks = None
+    for c in range(n_chunks):
+        part = fps.select(
+            F.col(id_col),
+            F.lit(c).alias("chunk"),
+            F.substring("simhash", c * chunk_len + 1, chunk_len).alias("ck"),
+        )
+        chunks = part if chunks is None else chunks.unionAll(part)
+    a = chunks.select(F.col(id_col).alias("id_a"), "chunk", "ck")
+    b = chunks.select(F.col(id_col).alias("id_b"), "chunk", "ck")
+    cand = (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("fp_a"), ""),
+            F.split(F.col("fp_b"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Character-n-gram Jaccard between all doc pairs sharing a
+    blocking key (e.g. source) — the classic blocked near-dup join.
+
+    The pairwise work is bounded per block; blocks shuffle
+    independently. Output: (id_a, id_b, jaccard) above threshold.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        char_ngrams(F.col(text_col), n).alias("gs"),
+    )
+    sizes = grams.select(F.col(id_col), "blk", F.size("gs").alias("n_g"))
+    ex = grams.select(F.col(id_col), "blk", F.explode("gs").alias("g"))
+    ea = ex.select(F.col(id_col).alias("id_a"), F.col("blk"), F.col("g"))
+    eb = ex.select(F.col(id_col).alias("id_b"), F.col("blk"), F.col("g"))
+    inter = (
+        ea.join(eb, ["blk", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

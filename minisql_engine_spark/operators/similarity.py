@@ -1,0 +1,263 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths over the ``embeddings`` table (vec_id, embedding[64], label):
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  (small) query set against the full corpus, JVM-side
+  ``zip_with``/``aggregate`` dot products, window top-k;
+* LSH-bucketed ANN — the scale path: deterministic sign-random-
+  projection (hyperplanes derived from md5 hex digits, so the SQL
+  oracle can rebuild the exact same planes), candidates = same
+  bucket, then exact cosine re-rank.
+
+Embedding cosine **near-dup** (pairs above a threshold, blocked by
+label) also lives here — it is dedup family #5 (BASELINE.json).
+
+Determinism: all float math is double-precision with a fixed
+left-to-right fold (``F.aggregate``), and final scores are rounded to
+6 decimals before ranking, which absorbs any residual
+engine-summation difference while keeping rankings stable.
+
+Scale: the corpus side never collects; the query side broadcasts.
+At 100 TB the ANN path's bucket join replaces the n·q brute force;
+recall is testable against the brute-force baseline (see
+tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_TABLES = 8  # independent LSH tables (OR-amplification)
+N_PLANES = 4  # hyperplanes per table (AND-amplification) → 16 buckets each
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as an explicit left-to-right double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank).
+
+    The query rows are broadcast (tiny); each corpus partition scores
+    its rows independently — embarrassingly parallel, one shuffle for
+    the per-query top-k window. Self-matches excluded. Rank ties are
+    broken by neighbor id (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(table: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    hexval(md5('t:p:d')[0]) - 7.5. Reproducible in SQL (md5 + strpos)."""
+    import hashlib
+
+    h = hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()
+    return int(h[0], 16) - 7.5
+
+
+def lsh_bucket_expr(
+    vec_col: Column, dims: int, table: int, n_planes: int = N_PLANES
+) -> Column:
+    """One table's bucket signature: concat of sign(v·plane_p) bits.
+
+    Planes are constant arrays folded into the plan (no join, no
+    shuffle): bucket computation is pure map-side. The dot product is
+    a ``zip_with``+``aggregate`` fold over a constant array rather
+    than dims×planes inlined multiply-adds — keeps the generated code
+    under the JVM's 64 KB method limit at any dims."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(_plane_component(table, p, d)) for d in range(dims)]
+        )
+        s = F.aggregate(
+            F.zip_with(vec_col, plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_table(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(id, tbl, bucket) over all LSH tables — the ANN index.
+
+    Multi-table sign-random-projection: AND over n_planes bits within
+    a table (selectivity), OR across n_tables tables (recall). One
+    map-side projection + posexplode; no vector payload is carried,
+    so shuffle rows are (id, short string)."""
+    buckets = F.array(
+        *[
+            lsh_bucket_expr(F.col(vec_col), dims, t, n_planes)
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(buckets).alias("tbl", "bucket")
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN top-k: candidates share ANY LSH table bucket with the
+    query; exact cosine re-rank over the deduplicated candidates.
+
+    At scale the bucket equi-join replaces the n·q cross join; the
+    candidate set is bounded by bucket occupancy. Recall < 1 by
+    design, measured against ``brute_force_topk`` in tests — on
+    clustered real-world embeddings selectivity is far better than on
+    near-uniform synthetic vectors.
+    """
+    from pyspark.sql.window import Window
+
+    index = lsh_bucket_table(
+        embeddings, id_col, vec_col, dims, n_tables, n_planes
+    )
+    q_index = index.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        index.join(F.broadcast(q_index), ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    qv = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("v", "qv")
+    )
+    cv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+        "v", "cv"
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (dedup family #5)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vector pairs: exact cosine ≥ threshold within a
+    blocking key (label) — blocked all-pairs, the embedding analog of
+    ``dedup.ngram_jaccard_pairs``. Returns (id_a, id_b, cos_sim)."""
+    e = embeddings.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword-n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+each over the ``documents`` table (doc_id, text, lang, source,
+n_chars). The reference engine has no string functions at all
+(SURVEY §2.2 row 7); these are the §2.4 extension surface.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` column
+expressions — whole-stage codegen, zero Python in the hot path — and
+each transformation is deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify it bit-for-bit (integer counts; doubles only
+as single divisions of integers, which are IEEE-identical across
+engines).
+
+Scale: all operators are per-row map transformations (no shuffle at
+all) except fingerprint-grouping, which shuffles on an md5 key —
+uniformly distributed by construction, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small + hardcoded: the heuristic must be reproducible in
+# plain SQL in both engines (regexp word-boundary counts).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|it|that|was|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\b",
+    "fr": r"\b(le|la|les|et|est|une|des|dans|pour|que)\b",
+    "es": r"\b(el|la|los|las|es|una|del|para|con|por)\b",
+    "zh": r"\b(de|shi|bu|le|wo|ni|ta|men|zai|you)\b",
+}
+
+#: BPE-ish tokenizer regex: letter runs, single digits, single
+#: non-alnum marks — approximates byte-pair pre-tokenization.
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens.
+
+    Pure map-side; both counts are portable regex semantics (same in
+    Java regex and RE2 for these patterns).
+    """
+    text = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(_ws_tokens(text)).cast("bigint"),
+            "n_bpe_tokens": F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0)).cast(
+                "bigint"
+            ),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length → [0,1]-ish score.
+
+    The score recipe (ratios + clamps) uses only integer counts and
+    single divisions, so it is bit-reproducible in the SQL oracle.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(_ws_tokens(text)).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(LANG_MARKERS["en"]), 0)
+    ).cast("bigint")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    punct_ratio = n_punct.cast("double") / safe_chars
+    stop_ratio = n_stop.cast("double") / safe_tokens
+    mean_word_len = (n_chars - (n_tokens - 1)).cast("double") / safe_tokens
+    # quality: reward stopword presence & sane word length, punish punct
+    score = (
+        F.lit(0.5)
+        + F.least(stop_ratio, F.lit(0.3))
+        - F.least(punct_ratio, F.lit(0.3))
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.2).otherwise(
+            0.0
+        )
+    )
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "mean_word_len": mean_word_len,
+            "quality_score": score,
+        }
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: per-language word-boundary regex
+    counts, argmax with deterministic tie-break (marker-count desc,
+    then language code asc), 'und' when nothing matches.
+    """
+    text = F.lower(F.col(text_col))
+    counts = {
+        lang: F.size(F.regexp_extract_all(text, F.lit(rx), 0)).cast("bigint")
+        for lang, rx in LANG_MARKERS.items()
+    }
+    # argmax via greatest + chained CASE in code-order (deterministic)
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS):  # asc code order; first max wins
+        pred = F.when(
+            (counts[lang] == best) & (best > 0) & (pred == "und"), F.lit(lang)
+        ).otherwise(pred)
+    out = df
+    for lang in sorted(LANG_MARKERS):
+        out = out.withColumn(f"n_{lang}", counts[lang])
+    return out.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 content hash over
+    whitespace-normalized lowercase text + a 16-way shard key from the
+    hash prefix (uniform → skew-free downstream grouping).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.withColumns(
+        {
+            "fingerprint": fp,
+            "fp_shard": F.substring(fp, 1, 1),
+        }
+    )

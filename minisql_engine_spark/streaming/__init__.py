@@ -1,0 +1,13 @@
+from minisql_engine_spark.streaming.windows import (
+    tumbling_event_agg,
+    sliding_event_agg,
+    session_event_agg,
+    read_events_stream,
+)
+
+__all__ = [
+    "tumbling_event_agg",
+    "sliding_event_agg",
+    "session_event_agg",
+    "read_events_stream",
+]

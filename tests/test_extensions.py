@@ -1,0 +1,116 @@
+"""Extension-operator tests beyond the oracle harness: planted
+near-duplicates must be found, and the ANN path must achieve useful
+recall against the brute-force baseline."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from minisql_engine_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from minisql_engine_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some tasty food for the night"
+    )
+    near = base.replace("tasty food", "fresh food")  # 1-token change
+    rows = [
+        (1, base, "en", "srcA"),
+        (2, base, "en", "srcB"),            # exact dup of 1
+        (3, near, "en", "srcA"),            # near dup of 1
+        (4, "completely different text about spark query engines", "en", "srcA"),
+        (5, "unrelated short doc", "en", "srcB"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_exact_dedup_finds_planted(planted_docs):
+    out = exact_dedup(planted_docs).collect()
+    by_id = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert by_id[1] == 2          # docs 1+2 collapse
+    assert len(out) == 4          # 5 docs -> 4 distinct contents
+
+
+def test_minhash_lsh_finds_planted_near_dup(planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup(planted_docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7    # near dup
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_finds_planted_near_dup(planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(planted_docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0                          # identical -> 0 bits
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8      # near dup close
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard_blocked(planted_docs):
+    # blocking by source: (1,3) share srcA; (1,2) are in different
+    # blocks so the blocked variant must NOT report them.
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            planted_docs, block_col="source", threshold=0.6
+        ).collect()
+    }
+    assert (1, 3) in pairs
+    assert (1, 2) not in pairs
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """LSH ANN must recover a reasonable share of true top-10
+    neighbors for bucketed queries (and every hit it reports must be
+    a true cosine score)."""
+    from minisql_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = lsh_ann_topk(emb, qids, k=10).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # sanity: ANN scores agree with brute force where they overlap
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+    recall = len(truth & got) / len(truth)
+    # 12 hyperplanes on weakly-clustered data: recall is modest by
+    # design; assert it's far above random (10/2000 ≈ 0.005).
+    assert recall >= 0.1, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dups_symmetric_threshold(spark, sf_dir):
+    from minisql_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, threshold=0.4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in out)
+    assert all(r["cos_sim"] >= 0.4 for r in out)
