@@ -1202,6 +1202,62 @@ def q_events_session(spark, sf_dir):
     return session_event_agg(_t(spark, sf_dir, "events"), "5 minutes")
 
 
+# --- As-of join (temporal operator Spark lacks natively) -------------------
+
+
+@_register(
+    "asof_join_events",
+    "WITH err AS (SELECT event_id, user_id, ts FROM events"
+    "   WHERE event_type = 'error'),"
+    " pur AS (SELECT user_id, ts, max(value) AS value FROM events"
+    "   WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_ts,"
+    "  p.value AS asof_value"
+    " FROM err e ASOF LEFT JOIN pur p"
+    "  ON e.user_id = p.user_id AND e.ts >= p.ts",
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): for each 'error'
+    event, the latest 'purchase' by the same user at-or-before it —
+    one shuffle + windowed carry-forward, verified against DuckDB's
+    native ASOF JOIN."""
+    from minisql_engine_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join_backward(
+        err, pur, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["value"],
+    )
+
+
+# --- Grouped applyInPandas (UDF surface) -----------------------------------
+
+
+@_register(
+    "pandas_group_features",
+    "SELECT o_custkey AS c_custkey, count(*) AS n_orders,"
+    " CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+    "  AS total_cents,"
+    " min(o_orderdate) AS first_order, max(o_orderdate) AS last_order"
+    " FROM orders GROUP BY o_custkey",
+)
+def q_pandas_features(spark, sf_dir):
+    """Grouped applyInPandas (SURVEY §2.2 UDF row): per-customer
+    features computed in pandas with integer-cents accumulation —
+    exact, so the Arrow path is oracle-verified bit-for-bit."""
+    from minisql_engine_spark.functions import customer_order_features
+
+    return customer_order_features(_t(spark, sf_dir, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

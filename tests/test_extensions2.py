@@ -1,0 +1,117 @@
+"""Tests for skew-salted join, as-of join, writers, Pandas-UDF
+surfaces, and streaming dedup."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from minisql_engine_spark.operators.skew import salted_join  # noqa: E402
+from minisql_engine_spark.operators.asof import asof_join_backward  # noqa: E402
+from minisql_engine_spark.sources import load_table  # noqa: E402
+from minisql_engine_spark.sources.writers import (  # noqa: E402
+    read_back,
+    write_parquet,
+)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must preserve exact join multiplicity on skewed keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = Counter(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in orders.join(customer, "o_custkey").collect()
+    )
+    salted = Counter(
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in salted_join(orders, customer, on="o_custkey", n_salts=8).collect()
+    )
+    assert plain == salted and len(plain) > 0
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 205, "l2"), (2, 50, "l3")],
+        ["k", "t", "tag"],
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 300, 30.0), (3, 10, 99.0)],
+        ["k", "t", "v"],
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "v")
+    out = {
+        r["tag"]: (r["asof_v"])
+        for r in asof_join_backward(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_values=["v"],
+        ).collect()
+    }
+    assert out["l1"] == 10.0   # equal-ts matches
+    assert out["l2"] == 20.0   # latest at-or-before 205
+    assert out["l3"] is None   # no right rows for key 2
+
+
+def test_partitioned_write_and_partition_pruning(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_by_year")
+        write_parquet(orders, path, partition_by=["o_year"])
+        assert any(d.startswith("o_year=") for d in os.listdir(path))
+        back = read_back(spark, path)
+        assert back.count() == orders.count()
+        pruned = back.filter(F.col("o_year") == 1995)
+        plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+            pruned._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters: [isnotnull(o_year" in plan  # pruning
+        assert pruned.count() == orders.filter(F.col("o_year") == 1995).count()
+
+
+def test_pandas_udf_matches_native_quality(spark, sf_dir):
+    from minisql_engine_spark.functions import quality_score_pandas_udf
+    from minisql_engine_spark.operators.text import with_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    native = {
+        r["doc_id"]: r["quality_score"]
+        for r in with_quality_score(docs).select("doc_id", "quality_score").collect()
+    }
+    vectorized = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score_pandas_udf("text").alias("q")
+        ).collect()
+    }
+    assert native.keys() == vectorized.keys()
+    for k in native:
+        assert abs(native[k] - vectorized[k]) < 1e-12, k
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on a real stream: duplicated
+    input events collapse back to the original count."""
+    from minisql_engine_spark.streaming import read_events_stream
+
+    batch_n = load_table(spark, sf_dir, "events").count()
+    s = read_events_stream(spark, sf_dir, with_watermark="1 hour")
+    doubled = s.unionByName(s)  # plant exact duplicates
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_stream").count() == batch_n
