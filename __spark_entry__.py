@@ -1093,6 +1093,52 @@ def q_emb_near_dups(spark, sf_dir):
     )
 
 
+_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_IVF_ORACLE = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    " cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),"
+    " assign AS (SELECT e.vec_id, c.cell, "
+    + _COS.format(a="e.v", b="c.cv")
+    + " AS sim FROM e CROSS JOIN cents c),"
+    " corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM ("
+    "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+    "    ORDER BY sim DESC, cell) AS r FROM assign) WHERE r <= 1),"
+    " query_cells AS (SELECT vec_id AS query_id, cell FROM ("
+    "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+    "    ORDER BY sim DESC, cell) AS r FROM assign"
+    "   WHERE vec_id IN (0,1,2,3,4)) WHERE r <= 2),"
+    " cand AS (SELECT DISTINCT query_id, neighbor_id"
+    "   FROM corpus_cells JOIN query_cells USING (cell)"
+    "   WHERE neighbor_id != query_id),"
+    " scored AS (SELECT query_id, neighbor_id, "
+    + _COS.format(a="q.v", b="n.v")
+    + " AS score FROM cand JOIN e q ON q.vec_id = query_id"
+    "   JOIN e n ON n.vec_id = neighbor_id)"
+    " SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id"
+    "   ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
+    " WHERE rank <= 10"
+)
+
+
+@_register("emb_ivf_topk", _IVF_ORACLE)
+def q_emb_ivf(spark, sf_dir):
+    """IVF-Flat ANN top-k (§2.4 scale path #2): inverted-file cells
+    with deterministic centroids, n_probe=2, exact re-rank — the
+    whole index is SQL-expressible, so unlike most ANN systems this
+    one is oracle-verified end-to-end (cells, probing, ranking)."""
+    from minisql_engine_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 @_register("emb_lsh_ann", None)  # approximate → rows-only + recall test
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed ANN top-k (§2.4 scale path): deterministic
@@ -1256,6 +1302,99 @@ def q_pandas_features(spark, sf_dir):
     from minisql_engine_spark.functions import customer_order_features
 
     return customer_order_features(_t(spark, sf_dir, "orders"))
+
+
+# --- ROLLUP / CUBE grouping sets -------------------------------------------
+
+
+@_register(
+    "rollup_agg",
+    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag,"
+    " coalesce(l_linestatus, 'ALL') AS linestatus,"
+    " count(*) AS n,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty"
+    " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (SURVEY §2.2 row 1 grouping sets):
+    one Expand + single aggregate pass, no extra scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --- Theta / range join ----------------------------------------------------
+
+
+@_register(
+    "range_join_bands",
+    "WITH bands(band, lo, hi) AS (VALUES"
+    "  ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),"
+    "  ('high', 150000.0, 100000000.0))"
+    " SELECT band, count(*) AS n_orders,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue"
+    " FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi"
+    " GROUP BY band",
+)
+def q_range_join(spark, sf_dir):
+    """Non-equi (range) join — impossible in the reference, whose
+    comparator token was discarded (Q1). Tiny band table broadcasts →
+    BroadcastNestedLoopJoin, the right plan at any fact size; for
+    big-to-big range joins, bucketize the range key first."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("high", 150000.0, 1e8)],
+        ["band", "lo", "hi"],
+    )
+    cond = (F.col("o_totalprice") >= F.col("lo")) & (
+        F.col("o_totalprice") < F.col("hi")
+    )
+    return (
+        orders.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            R.exact_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+# --- JSON scalar functions -------------------------------------------------
+
+
+@_register(
+    "json_extract_props",
+    "SELECT event_type,"
+    " count(*) AS n,"
+    " CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,"
+    " CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k"
+    " FROM events GROUP BY event_type",
+)
+def q_json_props(spark, sf_dir):
+    """JSON scalar functions (SURVEY §2.2 row 7) over the events
+    ``props`` column: get_json_object is a JVM expression — no Python,
+    pushdown-friendly."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -261,3 +261,127 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (inverted-file index with deterministic centroids)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 16   # IVF cells (centroids)
+N_PROBE = 2    # cells probed per query
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """(cell, cv) centroid table: the vectors with the ``n_cells``
+    smallest ids — deterministic, reproducible in SQL, a legitimate
+    IVF seeding (at cluster scale you'd refresh centroids with
+    k-means||; the index structure and query path stay identical)."""
+    return embeddings.orderBy(F.col(id_col)).limit(n_cells).select(
+        F.col(id_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+
+
+def ivf_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, cell, cell_rank) — each vector assigned to its ``n_probe``
+    nearest centroids by cosine. Broadcast join against the (tiny)
+    centroid table — map-side only; the SAME centroid table must be
+    used for corpus and queries."""
+    from pyspark.sql.window import Window
+
+    scored = (
+        vectors.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(id_col, "cell", "cell_rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: corpus vectors live in their single nearest
+    cell; each query probes its ``n_probe`` nearest cells; exact
+    cosine re-rank over the probed cells' members.
+
+    Scale shape: the inverted file is an equi-join key (cell id), so
+    the query fan-out is bounded by cell occupancy (~n/n_cells per
+    cell), replacing the n·q brute force. Recall grows with n_probe.
+    """
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    corpus_cells = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    query_cells = (
+        ivf_assignments(
+            embeddings.filter(F.col(id_col).isin(query_ids)),
+            cents,
+            id_col,
+            vec_col,
+            n_probe=n_probe,
+        )
+        .select(F.col(id_col).alias("query_id"), "cell")
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    qv = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("v", "qv")
+    )
+    cv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+        "v", "cv"
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

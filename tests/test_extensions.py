@@ -114,3 +114,24 @@ def test_embedding_near_dups_symmetric_threshold(spark, sf_dir):
     out = embedding_near_dups(emb, threshold=0.4).collect()
     assert all(r["id_a"] < r["id_b"] for r in out)
     assert all(r["cos_sim"] >= 0.4 for r in out)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with n_probe=2 should beat LSH recall on this corpus and
+    report only true cosine scores."""
+    from minisql_engine_spark.sources import load_table
+    from minisql_engine_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = ivf_topk(emb, qids, k=10, n_probe=2).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.05, f"IVF recall too low: {recall}"
