@@ -1248,6 +1248,57 @@ def q_events_session(spark, sf_dir):
     return session_event_agg(_t(spark, sf_dir, "events"), "5 minutes")
 
 
+# --- PIVOT -----------------------------------------------------------------
+
+
+@_register(
+    "pivot_status_by_segment",
+    "SELECT c_mktsegment,"
+    " count(*) FILTER (o_orderstatus = 'O') AS O,"
+    " count(*) FILTER (o_orderstatus = 'F') AS F,"
+    " count(*) FILTER (o_orderstatus = 'P') AS P"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " GROUP BY c_mktsegment",
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT (wide conditional aggregation): order-status counts per
+    market segment; explicit value list keeps the schema static (the
+    scalable form — value discovery would need an extra pass)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("O", "F", "P")],
+    )
+
+
+# --- EXISTS subquery -------------------------------------------------------
+
+
+@_register(
+    "subquery_exists",
+    "SELECT c_custkey, c_name FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o"
+    "   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
+)
+def q_exists(spark, sf_dir):
+    """Correlated EXISTS via the SQL front door — decorrelated by
+    Catalyst into a semi-join (SURVEY §2.2 subqueries row)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM customer c"
+        " WHERE EXISTS (SELECT 1 FROM orders o"
+        "   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"
+    )
+
+
 # --- As-of join (temporal operator Spark lacks natively) -------------------
 
 

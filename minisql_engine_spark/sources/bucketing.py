@@ -1,0 +1,47 @@
+"""Bucketed tables: co-located, shuffle-free joins.
+
+The single biggest repeated-join lever at 100 TB (SURVEY §7 /
+BASELINE.json scale mandate): hash-bucketing fact tables on their
+join key at write time makes every subsequent equi-join on that key
+shuffle-FREE — both sides are already partitioned identically, so
+Catalyst plans a SortMergeJoin with no Exchange on either side
+(verified by plan assertion in tests/test_bucketing.py).
+
+Spark bucketing requires the table catalog (``saveAsTable``); data
+lands in the session's warehouse dir (``spark.sql.warehouse.dir``).
+Use for dimensions/facts that are joined repeatedly on a stable key —
+the write-side shuffle is paid once instead of per query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str] | str,
+    n_buckets: int = 16,
+    sort_by: Sequence[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-ordered)
+    catalog table. Sorting within buckets additionally removes the
+    sort from future sort-merge joins."""
+    keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket key —
+    plans with zero Exchange when bucket counts match."""
+    return spark.table(left_table).join(spark.table(right_table), on=list(on))

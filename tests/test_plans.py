@@ -83,3 +83,18 @@ def test_exact_dedup_shuffles_hashes_not_bodies(spark, sf_dir):
     plan = plan_of(exact_dedup(load_table(spark, sf_dir, "documents")))
     # the exchange key is the md5 hash; text must be pruned before it
     assert "hashpartitioning(content_hash" in plan
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    """The flagship 3-table star join must broadcast both dims (fact
+    side never shuffles before aggregation) and prune the fact scan."""
+    df = entrymod.flagship(spark, sf_dir)
+    plan = plan_of(df)
+    # formatted mode prints each join twice (tree + detail header)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # lineitem scan pruned to exactly the 4 referenced columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,"
+        "l_extendedprice:double,l_discount:double>" in plan
+    )
