@@ -1299,6 +1299,74 @@ def q_exists(spark, sf_dir):
     )
 
 
+# --- UDTF: document chunking (LLM training-data transform) -----------------
+
+
+@_register(
+    "udtf_chunk_documents",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)),"
+    "  '\\s+') AS tk FROM documents WHERE trim(text) != ''),"
+    " x AS (SELECT doc_id, tk, len(tk) AS n,"
+    "  unnest(range(0, (len(tk) + 49) // 50)) AS chunk_idx FROM t)"
+    " SELECT doc_id, chunk_idx,"
+    "  least(50, n - chunk_idx * 50) AS n_tokens,"
+    "  array_to_string(tk[chunk_idx * 50 + 1 : (chunk_idx + 1) * 50], ' ')"
+    "   AS chunk"
+    " FROM x",
+)
+def q_udtf_chunks(spark, sf_dir):
+    """Python UDTF (SURVEY §2.2 UDTF row): LATERAL-applied fixed-size
+    token chunker — the canonical LLM pre-training transform; chunk
+    boundaries are arithmetic, so the oracle slices the same chunks."""
+    from minisql_engine_spark.functions import chunk_documents
+
+    return chunk_documents(spark, _t(spark, sf_dir, "documents"))
+
+
+# --- UDAF: grouped-agg pandas_udf ------------------------------------------
+
+
+@_register(
+    "udaf_weighted_avg",
+    "SELECT l_returnflag,"
+    " CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    "   * CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)"
+    " / CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)"
+    "  AS wavg_price"
+    " FROM lineitem GROUP BY l_returnflag",
+)
+def q_udaf_wavg(spark, sf_dir):
+    """Grouped-aggregate Pandas UDF (UDAF surface): exact integer-cents
+    accumulation through Arrow; verified bit-for-bit by the oracle."""
+    from minisql_engine_spark.functions import weighted_avg_price_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg_price_udaf("l_extendedprice", "l_quantity").alias(
+            "wavg_price"
+        )
+    )
+
+
+# --- SQL front door (O3 dialect shim as a driver-checked query) ------------
+
+
+@_register(
+    "sql_front_door_dialect",
+    "SELECT DISTINCT l_linenumber FROM lineitem",
+)
+def q_sql_front_door(spark, sf_dir):
+    """The reference-dialect SQL path (O3, sqlengine.py:12-74) as a
+    driver-checked query: a reference-style string — distinct(col),
+    '--' comment, trailing ';' — through plans.run_sql."""
+    from minisql_engine_spark.plans import run_sql
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return run_sql(
+        spark, "select distinct(l_linenumber) from lineitem -- dialect\n;"
+    )
+
+
 # --- As-of join (temporal operator Spark lacks natively) -------------------
 
 

@@ -93,3 +93,18 @@ def customer_order_features(orders: DataFrame) -> DataFrame:
     return orders.groupBy("o_custkey").applyInPandas(
         per_customer, schema=FEATURES_SCHEMA
     )
+
+
+@F.pandas_udf("double")
+def weighted_avg_price_udaf(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-aggregate Pandas UDF (UDAF surface): quantity-weighted
+    mean price, accumulated in exact integer cents so the result is a
+    single IEEE division of two exact integers — deterministic and
+    oracle-reproducible. (Int64 cents×cents products fit comfortably
+    at bench scale; at extreme scale switch the accumulator to
+    Python ints / decimal.)"""
+    cents_p = (price * 100).round().astype("int64")
+    cents_q = (qty * 100).round().astype("int64")
+    num = int((cents_p * cents_q).sum())
+    den = int(cents_q.sum())
+    return float(num) / float(den) if den else None
