@@ -1153,6 +1153,102 @@ def q_emb_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# --- CUBE + set ops with duplicates ----------------------------------------
+
+
+@_register(
+    "cube_agg",
+    "SELECT coalesce(o_orderstatus, 'ALL') AS status,"
+    " coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n"
+    " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def q_cube(spark, sf_dir):
+    """CUBE over two dimensions (SURVEY §2.2 grouping sets): all four
+    grouping combinations in one Expand + aggregate pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "set_ops_all",
+    "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),"
+    " lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)"
+    " SELECT 'intersect_all' AS op, count(*) AS n FROM"
+    "  (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)"
+    " UNION ALL SELECT 'except_all', count(*) FROM"
+    "  (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)"
+    " UNION ALL SELECT 'union_all', count(*) FROM"
+    "  (SELECT * FROM hi UNION ALL SELECT * FROM lo)",
+)
+def q_set_ops_all(spark, sf_dir):
+    """Multiset INTERSECT ALL / EXCEPT ALL / UNION ALL (duplicate-
+    preserving set algebra — SURVEY §2.2 row 4 completion)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    lo = o.filter(F.col("o_totalprice") < 20000).select("o_custkey")
+    parts = [
+        hi.intersectAll(lo).agg(
+            F.lit("intersect_all").alias("op"), F.count("*").alias("n")
+        ),
+        hi.exceptAll(lo).agg(
+            F.lit("except_all").alias("op"), F.count("*").alias("n")
+        ),
+        hi.unionAll(lo).agg(
+            F.lit("union_all").alias("op"), F.count("*").alias("n")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- Date/interval arithmetic ----------------------------------------------
+
+
+@_register(
+    "date_arithmetic",
+    "SELECT l_orderkey, l_linenumber,"
+    " CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)"
+    "  AS ship_delay_days,"
+    " o_orderdate + INTERVAL 30 DAY AS due_date,"
+    " CAST(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY"
+    "  THEN 1 ELSE 0 END AS BIGINT) AS late"
+    " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    " WHERE l_linenumber = 1 AND l_orderkey <= 2000",
+)
+def q_date_arithmetic(spark, sf_dir):
+    """Date/interval arithmetic (SURVEY §2.2 scalar-function row):
+    day differences, interval shifts, lateness flags."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    due = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 2000))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("ship_delay_days"),
+            due.alias("due_date"),
+            F.when(F.col("l_shipdate") > due, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("late"),
+        )
+    )
+
+
 # --- Multimodal columns ----------------------------------------------------
 
 

@@ -69,3 +69,35 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def scale_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int | None = None,
+    df=None,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int | None = None,
+    max_partitions: int = 100_000,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` to the workload.
+
+    The 100 TB sizing rule: partitions ≈ shuffled-bytes / 128 MB so
+    each task's state fits executor memory without spilling, bounded
+    below by the cluster's parallelism and above by scheduler sanity.
+    Pass either ``input_bytes`` or a DataFrame (its optimizer size
+    estimate is used). AQE still coalesces downward at runtime — this
+    sets the pre-AQE upper bound high enough that no single partition
+    explodes.
+
+    Returns the partition count that was set.
+    """
+    if input_bytes is None:
+        if df is None:
+            raise ValueError("pass input_bytes or df")
+        input_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    floor_parts = min_partitions or spark.sparkContext.defaultParallelism
+    n = max(floor_parts, min(max_partitions, -(-input_bytes // target_partition_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

@@ -115,3 +115,20 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     q.awaitTermination(120)
     assert spark.table("dedup_stream").count() == batch_n
+
+
+def test_scale_shuffle_partitions(spark, sf_dir):
+    from minisql_engine_spark.session import scale_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # explicit bytes: 10 GiB / 128 MiB = 80 partitions (>= parallelism)
+        n = scale_shuffle_partitions(spark, input_bytes=10 * 1024**3)
+        assert n == max(80, spark.sparkContext.defaultParallelism)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+        # from a DataFrame's optimizer estimate: small table → floor
+        df = load_table(spark, sf_dir, "nation")
+        n2 = scale_shuffle_partitions(spark, df=df)
+        assert n2 == spark.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
