@@ -1612,6 +1612,39 @@ def q_json_props(spark, sf_dir):
     )
 
 
+@_register(
+    "streaming_stateful_user_stats",
+    "SELECT user_id, count(*) AS n_events,"
+    " CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS DOUBLE) / 1000.0"
+    "  AS sum_value"
+    " FROM events GROUP BY user_id",
+)
+def q_stateful_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    this callable runs a REAL streaming query (availableNow trigger,
+    state store, memory sink) and returns the final per-user state —
+    which must equal the batch aggregate the oracle computes. The one
+    queries() entry that executes through the streaming engine."""
+    import uuid as _uuid
+
+    from minisql_engine_spark.streaming import (
+        read_events_stream,
+        stateful_user_stats,
+    )
+
+    name = f"_stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_stats(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -41,9 +41,19 @@ HEADLINE = (
     "count_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "events_tumbling_window",
+    "asof_join_events",
+    "udtf_chunk_documents",
+    # NOT pandas_group_features: applyInPandas over 15k tiny groups
+    # costs ~1ms/group of Python overhead (14.6s at sf0.1) — it stays
+    # as the correctness-gated UDAF-surface demo, but SQL-expressible
+    # aggregations belong on the native path (see its docstring).
+    "rollup_agg",
+    "json_extract_props",
 )
 
 

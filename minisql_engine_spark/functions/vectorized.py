@@ -75,6 +75,14 @@ def customer_order_features(orders: DataFrame) -> DataFrame:
     Spend is accumulated in integer cents (exact, order-independent)
     so the result is bit-comparable to the SQL oracle. One shuffle on
     the group key; each group is a bounded pandas frame.
+
+    Perf note (measured): ~1 ms/group of Python overhead — 14.6 s for
+    15k customers at sf0.1 vs ~0.3 s native. This function exists to
+    exercise the grouped-UDF surface; an aggregation expressible in
+    SQL (like this one) should run on the native path, and
+    ``applyInPandas`` should be reserved for per-group programs Spark
+    can't express (model scoring, per-entity time-series fitting, …)
+    where groups are large enough to amortize the overhead.
     """
 
     def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:

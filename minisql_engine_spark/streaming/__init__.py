@@ -11,3 +11,6 @@ __all__ = [
     "session_event_agg",
     "read_events_stream",
 ]
+from minisql_engine_spark.streaming.windows import stateful_user_stats  # noqa: E402,F401
+
+__all__.append("stateful_user_stats")

@@ -122,3 +122,59 @@ def session_event_agg(
             "n_events",
         )
     )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the task's custom-operator escape hatch for semantics windowed
+    aggs can't express): per-user running totals that persist across
+    micro-batches in the state store.
+
+    State = (n_events, sum_value_milli) per user, accumulated in
+    integer milli-units so totals are exact and batch-comparable.
+    Emits one updated row per user per micro-batch. Works only on
+    streaming DataFrames; state is partitioned by user across the
+    cluster and bounded by the user-id domain.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("milli", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, milli = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            milli += int((pdf["value"] * 1000).round().sum())
+        state.update((n, milli))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [milli / 1000.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -54,3 +54,40 @@ def test_session_stream_equals_batch(spark, sf_dir):
 def test_stream_is_streaming(spark, sf_dir):
     s = read_events_stream(spark, sf_dir)
     assert s.isStreaming
+
+
+def test_stateful_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState through a real stream: final per-user
+    state must equal the batch groupBy (exact integer-milli sums)."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.streaming import stateful_user_stats
+
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 1000, 0).cast("bigint")) / 1000.0
+            ).alias("s"),
+        )
+        .collect()
+    }
+    stream = stateful_user_stats(read_events_stream(spark, sf_dir))
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user is the final state
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table(name).collect()
+    }
+    assert got == batch
