@@ -1139,6 +1139,102 @@ def q_emb_ivf(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@_register(
+    "array_explode_dim_stats",
+    "WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,"
+    "  unnest(CAST(embedding AS DOUBLE[])) AS val FROM embeddings)"
+    " SELECT dim, count(*) AS n,"
+    " CAST(sum(CAST(val AS DECIMAL(25,8))) AS DOUBLE) / count(val) AS dim_mean,"
+    " max(val) AS dim_max"
+    " FROM u GROUP BY dim",
+)
+def q_array_explode(spark, sf_dir):
+    """LATERAL/posexplode array analytics (SURVEY §2.2 array-function
+    row): per-dimension statistics across all embedding vectors — the
+    array column unnested with ordinality, decimal-exact means."""
+    e = _t(spark, sf_dir, "embeddings")
+    u = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim0", "valf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),  # 1-indexed like SQL
+        F.col("valf").cast("double").alias("val"),
+    )
+    return u.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("val").cast("decimal(25,8)")).cast("double")
+            / F.count("val")
+        ).alias("dim_mean"),
+        F.max("val").alias("dim_max"),
+    )
+
+
+@_register(
+    "pipeline_curation",
+    "WITH scored AS (SELECT doc_id, text, lang,"
+    "   CAST(CASE WHEN trim(text)='' THEN 0 ELSE"
+    "    len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,"
+    "   CAST(len(regexp_extract_all(lower(text),"
+    "    '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_stop"
+    "  FROM documents),"
+    " kept AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    "    AS content_hash FROM scored"
+    "  WHERE n_tokens >= 20 AND n_stop >= 2 AND lang = 'en'),"
+    " deduped AS (SELECT content_hash, min(doc_id) AS keep_id,"
+    "    count(*) AS n_copies, min(n_tokens) AS n_tokens"
+    "  FROM kept GROUP BY content_hash)"
+    " SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+    "  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed"
+    " FROM deduped",
+)
+def q_pipeline_curation(spark, sf_dir):
+    """End-to-end curation composite — the engine's reason to exist:
+    quality gate (length + stopword) → language filter → exact dedup →
+    corpus stats, all in ONE lazy plan (single scan of documents, one
+    hash-aggregate on the content hash; filters run before hashing so
+    rejected docs are never hashed)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"),
+            F.lit(r"\b(the|and|of|to|in|is|it|that|was|for)\b"),
+            0,
+        )
+    ).cast("bigint")
+    kept = (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+            F.md5(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+            ).alias("content_hash"),
+        )
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop") >= 2)
+            & (F.col("lang") == "en")
+        )
+    )
+    deduped = kept.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_copies") - F.count("*")).cast("bigint").alias(
+            "n_dups_removed"
+        ),
+    )
+
+
 @_register("emb_lsh_ann", None)  # approximate → rows-only + recall test
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed ANN top-k (§2.4 scale path): deterministic
