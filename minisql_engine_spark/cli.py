@@ -37,7 +37,15 @@ def _execute(spark, query: str) -> int:
     from minisql_engine_spark.plans.dialect import DialectError
 
     try:
-        run_sql(spark, query).show(n=100, truncate=False)
+        df = run_sql(spark, query)
+        # print the full result like the reference's one-shot mode
+        # (O19/O21); cap at 100k rows to keep the driver safe and say
+        # so explicitly when truncating
+        cap = 100_000
+        rows = df.limit(cap + 1).count()
+        df.show(n=cap, truncate=False)
+        if rows > cap:
+            print(f"... output truncated at {cap} rows", file=sys.stderr)
         return 0
     except (AnalysisException, ParseException, DialectError) as exc:
         # friendly error surface (reference O22); keep Catalyst's

@@ -40,22 +40,25 @@ def quality_score_pandas_udf(text: pd.Series) -> pd.Series:
     """Vectorized quality score — same recipe as
     ``operators.text.with_quality_score`` (kept in lockstep by
     tests/test_extensions2.py)."""
-    stripped = text.str.strip()
-    n_chars = text.str.len().astype("int64")
+    null_mask = text.isna()
+    filled = text.fillna("")  # compute on '', mask back to NULL at the end
+    stripped = filled.str.strip()
+    n_chars = filled.str.len().astype("int64")
     n_tokens = stripped.str.split(r"\s+").map(len).where(stripped != "", 0)
-    n_punct = text.str.count(_PUNCT)
-    n_stop = text.str.lower().str.count(_STOP)
+    n_punct = filled.str.count(_PUNCT)
+    n_stop = filled.str.lower().str.count(_STOP)
     safe_tokens = n_tokens.clip(lower=1)
     safe_chars = n_chars.clip(lower=1)
     punct_ratio = n_punct / safe_chars
     stop_ratio = n_stop / safe_tokens
     mean_word_len = (n_chars - (n_tokens - 1)) / safe_tokens
-    return (
+    score = (
         0.5
         + stop_ratio.clip(upper=0.3)
         - punct_ratio.clip(upper=0.3)
         + ((mean_word_len >= 3) & (mean_word_len <= 10)) * 0.2
     )
+    return score.mask(null_mask)  # NULL in → NULL out, like the native op
 
 
 FEATURES_SCHEMA = StructType(

@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 NUM_HASHES = 8
 BAND_SIZE = 2
 
+# most recent simhash fingerprint index kept pinned (see simhash_near_dups)
+_LAST_FPS = None
+
 
 # ---------------------------------------------------------------------------
 # Shared shingling
@@ -132,15 +135,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = MIN(md5(i || ':' || shingle)).
 
     Lexicographic min over md5 hex digests — engine-portable hash
     family. One explode + one groupBy; each sig_i is a map-side
     partial MIN, so the shuffle carries num_hashes small strings per
-    doc, not the shingle sets.
+    doc, not the shingle sets. Pass a pre-built ``shingle_table`` via
+    ``shingles`` to share the subtree with other pipeline stages.
     """
-    sh = shingle_table(df, id_col, text_col)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col)
     return sh.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
@@ -277,12 +282,7 @@ def minhash_lsh_dedup(
     this cut wall time ~6× versus the naive branching pipeline.
     """
     ex = shingle_table(df, id_col, text_col)
-    sigs = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
-            for i in range(NUM_HASHES)
-        ]
-    )
+    sigs = minhash_signatures(df, id_col, text_col, shingles=ex)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, id_col), id_col)
     return jaccard_verify(ex, pairs, id_col, threshold=threshold)
 
@@ -359,13 +359,22 @@ def simhash_near_dups(
     can't kick in and each branch would otherwise re-run the whole
     fingerprint aggregation (measured 4× recompute). At cluster scale
     the same index would be checkpointed to parquet; (id, 64-bit fp)
-    is tiny relative to the corpus either way.
+    is tiny relative to the corpus either way. Only the most recent
+    call's index stays pinned — the previous one is unpersisted so
+    repeated calls in a long-lived session don't accumulate cache.
     """
     from pyspark.storagelevel import StorageLevel
 
+    global _LAST_FPS
     fps = simhash_fingerprints(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if _LAST_FPS is not None:
+        try:
+            _LAST_FPS.unpersist()
+        except Exception:
+            pass
+    _LAST_FPS = fps
     chunk_len = 64 // n_chunks
     chunks = None
     for c in range(n_chunks):

@@ -51,8 +51,11 @@ _COMPARATORS = {
 def comparison(lhs: Column | str, op: str, rhs: Column | str | int | float) -> Column:
     """Build ``lhs <op> rhs`` honoring every grammar comparator (fixes Q1).
 
-    ``lhs``/``rhs`` may be column names, Columns, or literals — either
-    side may be the literal (fixes Q3, ``sqlengine.py:498-500``).
+    ``lhs`` may be a column name or Column; ``rhs`` is a literal unless
+    passed as a Column (``F.col(...)``) — a *string* rhs is always a
+    string literal, never a column reference. Either side may be the
+    literal by passing the Column explicitly (fixes Q3,
+    ``sqlengine.py:498-500``).
     """
     if op not in _COMPARATORS:
         raise ValueError(f"unknown comparator {op!r}; expected one of {sorted(_COMPARATORS)}")
@@ -69,11 +72,14 @@ def filter_rows(df: DataFrame, *predicates: Column, conjunction: str = "and") ->
     (``:508`` — Q4); Spark's boolean algebra is unrestricted and
     cross-table correct.
     """
+    conj = conjunction.strip().lower()
+    if conj not in {"and", "or"}:
+        raise ValueError(f"conjunction must be 'and' or 'or', got {conjunction!r}")
     if not predicates:
         return df
     combined = predicates[0]
     for p in predicates[1:]:
-        combined = (combined & p) if conjunction.lower() == "and" else (combined | p)
+        combined = (combined & p) if conj == "and" else (combined | p)
     return df.filter(combined)
 
 
@@ -173,27 +179,23 @@ def aggregate(
     map-side partial aggregation (one shuffle on the group keys).
     """
     funcs = {
-        "max": F.max,          # O14 sqlengine.py:548-577
-        "min": F.min,          # O15 sqlengine.py:579-607 (empty -> NULL, Q6)
-        "sum": F.sum,          # O16 sqlengine.py:609-629
-        "avg": F.avg,          # O17 sqlengine.py:631-660 (alias 'average')
-        "average": F.avg,
-        "sum_exact": lambda c: None,  # handled below
-        "avg_exact": lambda c: None,  # handled below
-        "count": F.count,      # absent in reference (SURVEY §2.2) — completion
-        "count_distinct": F.count_distinct,
+        "max": lambda c, a: F.max(c).alias(a),   # O14 sqlengine.py:548-577
+        "min": lambda c, a: F.min(c).alias(a),   # O15 :579-607 (empty->NULL, Q6)
+        "sum": lambda c, a: F.sum(c).alias(a),   # O16 :609-629
+        "avg": lambda c, a: F.avg(c).alias(a),   # O17 :631-660 (alias 'average')
+        "average": lambda c, a: F.avg(c).alias(a),
+        "sum_exact": exact_sum,
+        "avg_exact": exact_avg,
+        # absent in reference (SURVEY §2.2) — natural completions:
+        "count": lambda c, a: F.count(c).alias(a),
+        "count_distinct": lambda c, a: F.count_distinct(c).alias(a),
     }
     exprs: list[Column] = []
     for func, col, alias in aggs:
         key = func.lower()
         if key not in funcs:
             raise ValueError(f"unknown aggregate {func!r}")
-        if key == "sum_exact":
-            exprs.append(exact_sum(col, alias))
-        elif key == "avg_exact":
-            exprs.append(exact_avg(col, alias))
-        else:
-            exprs.append(funcs[key](col).alias(alias))
+        exprs.append(funcs[key](col, alias))
     if group_by:
         return df.groupBy(*group_by).agg(*exprs)
     return df.agg(*exprs)

@@ -36,6 +36,14 @@ def salted_join(
     sense when ``small`` is orders of magnitude smaller than ``big``'s
     skewed partitions.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        # replicating the small side breaks right/full-outer
+        # multiplicity (each unmatched small row would appear once per
+        # salt) — refuse rather than return silently wrong results
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}; "
+            "swap the sides for a right join"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     # per-ROW salt (never key-derived — a key-derived salt would send a
     # hot key to one salt bucket and spread nothing)

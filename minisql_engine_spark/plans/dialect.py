@@ -28,19 +28,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 _DISTINCT_CALL = re.compile(r"\bdistinct\s*\(\s*([A-Za-z_][\w.]*)\s*\)", re.I)
 _AVERAGE_CALL = re.compile(r"\baverage\s*\(", re.I)
-_COMMENT = re.compile(r"--[^\n]*")
 
 
 class DialectError(ValueError):
     """Raised for reference-dialect forms with no relational meaning."""
 
 
+def _strip_comments(query: str) -> str:
+    """Remove ``--`` line comments, respecting single-quoted string
+    literals (a ``--`` inside '...' is data, not a comment)."""
+    out: list[str] = []
+    in_str = False
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and query[i + 1] == "'":  # escaped ''
+                    out.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "-" and i + 1 < n and query[i + 1] == "-":
+            while i < n and query[i] != "\n":
+                i += 1
+            out.append(" ")
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _dialect_distinct_calls(q: str) -> list[re.Match]:
+    """``distinct(col)`` occurrences in reference-dialect position —
+    i.e. as a SELECT-list item (preceded by ``select`` or a comma),
+    NOT nested inside another call like ``count(distinct(x))``, which
+    is valid ANSI and must pass through untouched."""
+    hits = []
+    for m in _DISTINCT_CALL.finditer(q):
+        before = q[: m.start()].rstrip()
+        if before.lower().endswith("select") or before.endswith(","):
+            hits.append(m)
+    return hits
+
+
 def rewrite_query(query: str) -> str:
     """Rewrite a reference-dialect query into ANSI Spark SQL."""
-    q = _COMMENT.sub(" ", query).strip().rstrip(";").strip()
+    q = _strip_comments(query).strip().rstrip(";").strip()
     q = _AVERAGE_CALL.sub("avg(", q)  # sqlengine.py:631 alias
 
-    matches = _DISTINCT_CALL.findall(q)
+    matches = _dialect_distinct_calls(q)
     if len(matches) > 1:
         # select distinct(a), distinct(b) — the reference zips
         # per-column distinct lists (sqlengine.py:662-678), which is
@@ -50,7 +92,8 @@ def rewrite_query(query: str) -> str:
             "meaning; issue one DISTINCT query per column instead"
         )
     if matches:
-        q = _DISTINCT_CALL.sub(rf"DISTINCT \1", q, count=1)
+        m = matches[0]
+        q = q[: m.start()] + f"DISTINCT {m.group(1)}" + q[m.end():]
     return q
 
 

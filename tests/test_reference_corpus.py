@@ -130,3 +130,47 @@ def test_all_comparators_execute(spark):
     assert len(rows(spark, "select A from table1 where A < 0")) == 5
     assert len(rows(spark, "select A from table1 where A >= 900")) == 1
     assert len(rows(spark, "select A from table1 where A != -900")) == 9
+
+
+def test_ansi_count_distinct_passes_through():
+    # count(distinct(a)), count(distinct(b)) is valid ANSI — must NOT
+    # trip the multi-column dialect error
+    q = rewrite_query(
+        "select count(distinct(a)), count(distinct(b)) from t"
+    )
+    assert "count(distinct(a))" in q
+
+
+def test_comment_inside_string_literal_preserved():
+    q = rewrite_query("select * from t where x = 'a--b' -- real comment")
+    assert "'a--b'" in q and "real comment" not in q
+
+
+def test_unknown_conjunction_rejected(spark):
+    import pytest as _pytest
+
+    from minisql_engine_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        R.filter_rows(df, F.col("id") > 0, F.col("id") < 2, conjunction="nad")
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest as _pytest
+
+    from minisql_engine_spark.operators.skew import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="right")
+
+
+def test_pandas_quality_udf_null_text(spark):
+    from minisql_engine_spark.functions import quality_score_pandas_udf
+
+    df = spark.createDataFrame([(1, "the cat and dog"), (2, None)], ["i", "text"])
+    rows = {r["i"]: r["q"] for r in df.select(
+        "i", quality_score_pandas_udf("text").alias("q")).collect()}
+    assert rows[2] is None and rows[1] is not None
