@@ -794,6 +794,138 @@ def q_join_three(spark, sf_dir):
     )
 
 
+# --- TPC-H classic shapes (adapted to the driver star schema) --------------
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    "SELECT l_orderkey,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))"
+    "  * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue,"
+    " o_orderdate, o_orderpriority"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " WHERE c_mktsegment = 'BUILDING'"
+    "  AND o_orderdate < TIMESTAMP '1995-03-15'"
+    "  AND l_shipdate > TIMESTAMP '1995-03-15'"
+    " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+    " ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10",
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to the driver schema:
+    selective dim filter → broadcast join → grouped revenue → top-10.
+    Catalyst pushes both date predicates into the scans; only
+    surviving rows join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            o.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    "SELECT n_name,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))"
+    "  * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey"
+    " GROUP BY n_name",
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) adapted: 6-table star join
+    with the customer-nation = supplier-nation locality predicate; all
+    dims broadcast, lineitem never shuffles before aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    "SELECT c_custkey, c_name,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))"
+    "  * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS revenue,"
+    " c_acctbal, n_name"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON l_orderkey = o_orderkey"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " WHERE l_returnflag = 'R'"
+    " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+    " ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) adapted: returnflag filter
+    pushed to the lineitem scan, top-20 customers by lost revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # §2.4 extension operators — LLM-training-data pipeline (BASELINE.json
 # north star): text analysis, dedup families, similarity search.

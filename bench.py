@@ -54,6 +54,9 @@ HEADLINE = (
     # aggregations belong on the native path (see its docstring).
     "rollup_agg",
     "json_extract_props",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 )
 
 

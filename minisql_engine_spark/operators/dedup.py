@@ -41,8 +41,17 @@ from pyspark.sql import functions as F
 NUM_HASHES = 8
 BAND_SIZE = 2
 
-# most recent simhash fingerprint index kept pinned (see simhash_near_dups)
-_LAST_FPS = None
+# persisted simhash fingerprint indexes (see simhash_near_dups docstring)
+_FPS_CACHE: list = []
+
+
+def clear_simhash_cache() -> None:
+    """Release all persisted simhash fingerprint indexes."""
+    while _FPS_CACHE:
+        try:
+            _FPS_CACHE.pop().unpersist()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -359,22 +368,22 @@ def simhash_near_dups(
     can't kick in and each branch would otherwise re-run the whole
     fingerprint aggregation (measured 4× recompute). At cluster scale
     the same index would be checkpointed to parquet; (id, 64-bit fp)
-    is tiny relative to the corpus either way. Only the most recent
-    call's index stays pinned — the previous one is unpersisted so
-    repeated calls in a long-lived session don't accumulate cache.
+    is tiny relative to the corpus either way.
+
+    Cache lifecycle: Spark's CacheManager dedupes persists by
+    canonicalized plan (repeated calls over the same input share ONE
+    entry, and a later call even reuses a previous call's populated
+    cache) and MEMORY_AND_DISK entries are evictable under pressure —
+    so entries are tracked but NOT eagerly unpersisted (doing so was
+    measured to force a fingerprint recompute on back-to-back runs).
+    Call ``clear_simhash_cache()`` to release them explicitly.
     """
     from pyspark.storagelevel import StorageLevel
 
-    global _LAST_FPS
     fps = simhash_fingerprints(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if _LAST_FPS is not None:
-        try:
-            _LAST_FPS.unpersist()
-        except Exception:
-            pass
-    _LAST_FPS = fps
+    _FPS_CACHE.append(fps)
     chunk_len = 64 // n_chunks
     chunks = None
     for c in range(n_chunks):

@@ -63,3 +63,12 @@ def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
         customer, orders["o_custkey"] == customer["c_custkey"]
     ).count()
     assert got == want and got > 0
+
+
+def test_analyze_table_statistics(spark, bucketed_tables):
+    """ANALYZE TABLE populates catalog statistics (the CBO input)."""
+    lt, _ = bucketed_tables
+    spark.sql(f"ANALYZE TABLE {lt} COMPUTE STATISTICS")
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {lt}").collect()
+    stats = {r["col_name"]: r["data_type"] for r in detail}
+    assert "Statistics" in stats and "rows" in stats["Statistics"]
