@@ -1036,6 +1036,30 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+@_register(
+    "text_repetition",
+    "WITH t AS (SELECT doc_id,"
+    "  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+    "   ' ') AS tk FROM documents),"
+    " g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN"
+    "   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]"
+    "   ELSE [] END AS gs FROM t)"
+    " SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_trigrams,"
+    "  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_trigrams,"
+    "  CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)"
+    "   / len(gs) ELSE 0.0 END AS repetition_ratio"
+    " FROM g",
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition detection (§2.4 text analysis): word-trigram
+    duplication ratio — the boilerplate/looping-text quality gate."""
+    from minisql_engine_spark.operators.text import with_repetition_ratio
+
+    return with_repetition_ratio(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_trigrams", "n_distinct_trigrams", "repetition_ratio"
+    )
+
+
 # --- Dedup family ----------------------------------------------------------
 
 
@@ -1364,6 +1388,30 @@ def q_pipeline_curation(spark, sf_dir):
         (F.sum("n_copies") - F.count("*")).cast("bigint").alias(
             "n_dups_removed"
         ),
+    )
+
+
+@_register("ml_minhash_near_dups", None)  # seeded ml hashing → rows-only
+def q_ml_minhash(spark, sf_dir):
+    """spark.ml MinHashLSH approxSimilarityJoin (library path beside
+    the md5-portable MinHash): rows-only — engine-seeded hashing —
+    with an agreement test vs the portable pipeline in
+    tests/test_ml_lsh.py (≥90% of exact-Jaccard≥0.9 pairs found,
+    distances matching)."""
+    from minisql_engine_spark.operators.ml_lsh import ml_minhash_near_dups
+
+    return ml_minhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+@_register("ml_brp_ann", None)  # seeded ml hashing → rows-only
+def q_ml_brp(spark, sf_dir):
+    """spark.ml BucketedRandomProjectionLSH approxNearestNeighbors
+    (library ANN path); ordering/row-count behavior tested in
+    tests/test_ml_lsh.py."""
+    from minisql_engine_spark.operators.ml_lsh import ml_brp_nearest_neighbors
+
+    return ml_brp_nearest_neighbors(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10
     )
 
 

@@ -142,3 +142,49 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_shard": F.substring(fp, 1, 1),
         }
     )
+
+
+def with_repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition detection: 1 − distinct_word_trigrams / total_word_trigrams.
+
+    High values flag boilerplate/looping text — a standard LLM
+    training-data quality gate alongside [[quality_score]]. Docs with
+    < 3 tokens get ratio 0 (nothing to repeat). Integer counts + one
+    division → oracle bit-reproducible; tokens are materialized before
+    the shingle lambda (see operators/dedup.py inlining note).
+    """
+    toked = df.withColumn(
+        "_rr_toks",
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            " ",
+        ),
+    )
+    t = F.col("_rr_toks")
+    n = F.size(t)
+    all_g = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(all_g).cast("bigint")
+    distinct = F.size(F.array_distinct(all_g)).cast("bigint")
+    return (
+        toked.withColumns(
+            {
+                "n_trigrams": total,
+                "n_distinct_trigrams": distinct,
+                "repetition_ratio": F.when(total > 0,
+                    F.lit(1.0) - distinct.cast("double") / total
+                ).otherwise(F.lit(0.0)),
+            }
+        )
+        .drop("_rr_toks")
+    )
