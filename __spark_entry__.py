@@ -14,7 +14,13 @@ across a 1000-executor shuffle) and bit-comparable — see
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives beside this file; make the import robust to
+# the driver loading this module by path from a different cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
