@@ -932,6 +932,39 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+@_register(
+    "tpch_q14_promo_effect",
+    "SELECT CAST(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN"
+    "   CAST(l_extendedprice AS DECIMAL(25,2))"
+    "    * (1 - CAST(l_discount AS DECIMAL(25,2))) ELSE 0 END) AS DOUBLE)"
+    " / CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))"
+    "    * (1 - CAST(l_discount AS DECIMAL(25,2)))) AS DOUBLE) AS promo_revenue_pct,"
+    " count(*) AS n_items"
+    " FROM lineitem JOIN part ON l_partkey = p_partkey",
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) adapted: conditional decimal sums
+    with a LIKE predicate over the part dimension (broadcast); one
+    ratio of two exact sums -> bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(25,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 # ===========================================================================
 # §2.4 extension operators — LLM-training-data pipeline (BASELINE.json
 # north star): text analysis, dedup families, similarity search.
