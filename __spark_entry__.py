@@ -586,13 +586,15 @@ def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct / percentile_approx sketches (SURVEY §2.2
     row 6, §2.4 sketches). HLL++ partial sketches merge associatively
     across 1000 executors — the scale path for distinct counting.
-    No oracle: sketch results are engine-specific by design."""
+    No oracle: sketch results are engine-specific by design.
+    Percentiles are emitted as three scalar columns (not one ARRAY)
+    so every result cell is hashable by the driver canonicalizer."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
     )
 
 
@@ -834,7 +836,9 @@ def q_tpch_q3(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            # customer scales with SF — no broadcast hint; AQE picks the
+            # strategy from the measured post-filter size
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -866,8 +870,13 @@ def q_tpch_q3(spark, sf_dir):
 )
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local supplier volume) adapted: 6-table star join
-    with the customer-nation = supplier-nation locality predicate; all
-    dims broadcast, lineitem never shuffles before aggregation."""
+    with the customer-nation = supplier-nation locality predicate.
+
+    Broadcast policy (100 TB rule): explicit ``F.broadcast`` ONLY on
+    the fixed-cardinality dims (nation=25, region=5). customer and
+    supplier grow linearly with SF, so their join strategy is left to
+    Catalyst/AQE's size-based choice — broadcast at small SF,
+    shuffle-hash/sort-merge once they outgrow the threshold."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -877,8 +886,8 @@ def q_tpch_q5(spark, sf_dir):
     dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
@@ -909,7 +918,9 @@ def q_tpch_q5(spark, sf_dir):
 )
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting) adapted: returnflag filter
-    pushed to the lineitem scan, top-20 customers by lost revenue."""
+    pushed to the lineitem scan, top-20 customers by lost revenue.
+    customer is NOT hint-broadcast (it scales with SF — AQE decides);
+    only the fixed 25-row nation dim keeps an explicit hint."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -918,7 +929,7 @@ def q_tpch_q10(spark, sf_dir):
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -954,7 +965,8 @@ def q_tpch_q14(spark, sf_dir):
         F.lit(0).cast("decimal(25,2)")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF — no broadcast hint (AQE decides)
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 (F.lit(100.0) * F.sum(promo).cast("double"))
@@ -1638,9 +1650,12 @@ def q_events_sliding(spark, sf_dir):
 
 @_register(
     "events_session_window",
+    # NB: >= not > — Spark session windows are half-open [ts, ts+gap),
+    # so an event landing exactly gap after the previous one opens a
+    # NEW session; the oracle must agree at exact-gap spacing.
     "WITH o AS (SELECT user_id, ts,"
     "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
-    "   > INTERVAL '5 minutes' OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "   >= INTERVAL '5 minutes' OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
     "   IS NULL THEN 1 ELSE 0 END AS new_s FROM events),"
     " g AS (SELECT user_id, ts,"
     "  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
@@ -1957,7 +1972,19 @@ def q_stateful_stream(spark, sf_dir):
         .start()
     )
     q.awaitTermination(120)
-    return spark.table(name)
+    # In update mode the sink holds one row per user per micro-batch;
+    # if availableNow ever splits the input (>1 file, maxFilesPerTrigger)
+    # the table contains stale intermediate rows. Reduce to the FINAL
+    # state: n_events strictly increases per emitted row, so max_by is
+    # exact (not dependent on single-batch layout).
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

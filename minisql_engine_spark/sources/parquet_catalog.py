@@ -36,25 +36,67 @@ TABLES: tuple[str, ...] = (
 )
 
 
+def _nanos_timestamp_fields(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns in a parquet file/dir footer.
+
+    Footer-only inspection via pyarrow — no data read. Directories are
+    probed through their first part-file (layouts are homogeneous).
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+    except ImportError:  # pragma: no cover — pyarrow is baked in
+        return []
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return []
+        probe = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily open one parquet table under ``sf_dir``.
 
-    Handles TIMESTAMP(NANOS) parquet columns (the ``events`` table),
-    which Spark's vectorized reader rejects by default: we read nanos
-    as LongType (``spark.sql.legacy.parquet.nanosAsLong``) and restore
-    a proper microsecond TimestampType column — semantics preserved,
-    still fully pushdown/prune-friendly.
+    Handles TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``),
+    which Spark's vectorized reader rejects by default: ONLY when the
+    footer actually declares a nanos field we read nanos as LongType
+    (``spark.sql.legacy.parquet.nanosAsLong``) and restore a proper
+    microsecond TimestampType column for every such field — generic
+    over table/column names, semantics preserved, still fully
+    pushdown/prune-friendly. Tables without nanos columns never touch
+    the legacy conf, so other reads in the session are unaffected.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_cols = _nanos_timestamp_fields(path)
+    if nanos_cols:
+        # Session-level by necessity (the lazy plan reads the conf at
+        # execution); repair below is generic so any nanos table read
+        # through this loader comes back as proper timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if name == "events":
-        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
-        if ts_field is not None and isinstance(ts_field.dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    by_name = {f.name: f for f in df.schema.fields}
+    for col in nanos_cols:
+        fld = by_name.get(col)
+        if fld is not None and isinstance(fld.dataType, LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
     return df
 
 
