@@ -91,182 +91,128 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# --- O1/O4/O6: full scan with * expansion (test.txt:1) ---------------------
+# --- O1/O4/O11: full scan, * expansion, Cartesian product ------------------
+# (test.txt:1 + test.txt:7 merged — one row proves scan + * + cross join)
 
 
-@_register("scan_star", "SELECT * FROM nation")
-def q_scan_star(spark, sf_dir):
-    """Full scan, SELECT * (O1 sqlengine.py:99-154; O4 :177-181)."""
-    return R.project(_t(spark, sf_dir, "nation"))
-
-
-# --- O6: single/multi projection (test.txt:6) ------------------------------
-
-
-@_register("project_cols", "SELECT n_nationkey, n_name FROM nation")
-def q_project(spark, sf_dir):
-    """Projection (O6 sqlengine.py:679-695); scan pruned to 2 cols."""
-    return R.project(_t(spark, sf_dir, "nation"), ["n_nationkey", "n_name"])
-
-
-# --- O14: MAX (test.txt:2) -------------------------------------------------
-
-
-@_register("agg_max", "SELECT max(o_orderkey) AS max_orderkey FROM orders")
-def q_agg_max(spark, sf_dir):
-    """Whole-column MAX (O14 sqlengine.py:548-577)."""
-    return R.aggregate(
-        _t(spark, sf_dir, "orders"), [("max", "o_orderkey", "max_orderkey")]
-    )
-
-
-# --- O15: MIN (test.txt:3) -------------------------------------------------
-
-
-@_register("agg_min", "SELECT min(o_custkey) AS min_custkey FROM orders")
-def q_agg_min(spark, sf_dir):
-    """Whole-column MIN (O15 sqlengine.py:579-607; empty→NULL fixes Q6)."""
-    return R.aggregate(
-        _t(spark, sf_dir, "orders"), [("min", "o_custkey", "min_custkey")]
-    )
-
-
-# --- O16: SUM (test.txt:5) -------------------------------------------------
-
-
-@_register(
-    "agg_sum",
-    "SELECT CAST(sum(c_nationkey) AS BIGINT) AS sum_nationkey FROM customer",
-)
-def q_agg_sum(spark, sf_dir):
-    """Whole-column SUM (O16 sqlengine.py:609-629); BIGINT both sides."""
-    return _t(spark, sf_dir, "customer").agg(
-        F.sum("c_nationkey").cast("bigint").alias("sum_nationkey")
-    )
-
-
-# --- O17: AVG (test.txt:4) -------------------------------------------------
-
-
-@_register(
-    "agg_avg",
-    "SELECT CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)"
-    " / count(l_quantity) AS avg_qty FROM lineitem",
-)
-def q_agg_avg(spark, sf_dir):
-    """Whole-column AVG (O17 sqlengine.py:631-660), exact-decimal path."""
-    return _t(spark, sf_dir, "lineitem").agg(R.exact_avg("l_quantity", "avg_qty"))
-
-
-# --- O18: DISTINCT (test.txt:8) --------------------------------------------
-
-
-@_register("distinct_col", "SELECT DISTINCT l_quantity AS quantity FROM lineitem")
-def q_distinct(spark, sf_dir):
-    """Single-column DISTINCT (O18 sqlengine.py:662-678, ANSI per Q7/Q8)."""
-    return R.distinct_values(
-        _t(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("quantity"))
-    )
-
-
-# --- O7: equality filter on literal (test.txt:9) ---------------------------
-
-
-@_register(
-    "filter_eq",
-    "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_custkey = 7",
-)
-def q_filter_eq(spark, sf_dir):
-    """col = literal filter (O7 sqlengine.py:467-474)."""
-    orders = _t(spark, sf_dir, "orders")
+@_register("scan_star_cross", "SELECT * FROM nation CROSS JOIN region")
+def q_scan_star_cross(spark, sf_dir):
+    """Full scan + SELECT * expansion over a Cartesian product
+    (O1 sqlengine.py:99-154; O4 :177-181; O11 :292-307): every column
+    of both tables, 25×5 rows. Spark plans a broadcast nested-loop —
+    correct shape for a tiny×tiny product; big×big Cartesians are a
+    design error at any scale and left to error loudly."""
     return R.project(
-        R.filter_rows(orders, R.comparison("o_custkey", "=", 7)),
-        ["o_orderkey", "o_custkey", "o_orderstatus"],
+        R.cross_join(_t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"))
     )
 
 
-# --- O9: OR of two predicates (test.txt:10/11) -----------------------------
+# --- O14-O17 + COUNT/COUNT DISTINCT + filtered aggregates ------------------
+# (test.txt:2-5; merged shape — one driver row proves the whole global-
+#  aggregate family so all 50 registry slots fit the CORRECTNESS window)
 
 
 @_register(
-    "filter_or",
-    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
-    " WHERE o_custkey = 7 OR o_totalprice < 2000",
+    "agg_all",
+    "SELECT max(o_orderkey) AS max_orderkey,"
+    " min(o_custkey) AS min_custkey,"
+    " CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)"
+    "   / count(o_totalprice) AS avg_price,"
+    " count(*) AS n_rows,"
+    " count(DISTINCT o_custkey) AS n_custs,"
+    " count(DISTINCT o_orderstatus) AS n_statuses,"
+    " max(o_totalprice) FILTER (o_orderstatus = 'F') AS max_price_f,"
+    " min(o_totalprice) FILTER (o_orderstatus = 'F') AS min_price_f,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))"
+    "   FILTER (o_orderstatus = 'F') AS DOUBLE)"
+    "   / count(o_totalprice) FILTER (o_orderstatus = 'F') AS avg_price_f"
+    " FROM orders",
 )
-def q_filter_or(spark, sf_dir):
-    """OR combination (O9 sqlengine.py:505-538), ANSI cross-type."""
-    orders = _t(spark, sf_dir, "orders")
-    return R.project(
-        R.filter_rows(
-            orders,
-            R.comparison("o_custkey", "=", 7),
-            R.comparison("o_totalprice", "<", 2000),
-            conjunction="or",
-        ),
-        ["o_orderkey", "o_custkey", "o_totalprice"],
+def q_agg_all(spark, sf_dir):
+    """Whole-column MAX/MIN/SUM/AVG (O14-O17 sqlengine.py:548-660,
+    exact-decimal AVG path), COUNT + multi-column COUNT DISTINCT
+    (SURVEY §2.2 row 6 — Spark expands multi-distinct into one
+    Expand + two-phase aggregate), and conditionally-FILTERed
+    aggregates (the reference crashed on filtered AVG and
+    mis-sentineled filtered MIN — Q6, sqlengine.py:647, :590).
+
+    One scan, one HashAggregate: at 100 TB this is 1 pass instead of
+    the 10 passes the split queries would cost."""
+    o = _t(spark, sf_dir, "orders")
+    f_mask = F.col("o_orderstatus") == "F"
+    dec_price = F.col("o_totalprice").cast("decimal(25,2)")
+    return o.agg(
+        F.max("o_orderkey").alias("max_orderkey"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        R.exact_avg("o_totalprice", "avg_price"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.max(F.when(f_mask, F.col("o_totalprice"))).alias("max_price_f"),
+        F.min(F.when(f_mask, F.col("o_totalprice"))).alias("min_price_f"),
+        (
+            F.sum(F.when(f_mask, dec_price)).cast("double")
+            / F.count(F.when(f_mask, F.col("o_totalprice")))
+        ).alias("avg_price_f"),
     )
 
 
-# --- O9: AND of two predicates (README.md:23) ------------------------------
+# --- O18 DISTINCT + ORDER BY/LIMIT (test.txt:8; merged) --------------------
 
 
 @_register(
-    "filter_and",
-    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
-    " WHERE l_quantity >= 30 AND l_discount <= 0.02",
+    "distinct_order_limit",
+    "SELECT DISTINCT l_quantity AS quantity FROM lineitem"
+    " ORDER BY quantity DESC LIMIT 10",
 )
-def q_filter_and(spark, sf_dir):
-    """AND combination (O9) with >=/<= comparators (fixes Q1)."""
+def q_distinct_order_limit(spark, sf_dir):
+    """Single-column DISTINCT (O18 sqlengine.py:662-678, ANSI per
+    Q7/Q8) + global ORDER BY/LIMIT (SURVEY §2.2 row 2): distinct is a
+    hash-aggregate on the value, then TakeOrderedAndProject does a
+    per-partition top-k + k-row driver merge — no global sort at any
+    scale."""
+    return (
+        R.distinct_values(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_quantity").alias("quantity")
+            )
+        )
+        .orderBy(F.col("quantity").desc())
+        .limit(10)
+    )
+
+
+# --- O5/O7/O8/O9: the WHERE-clause family in one predicate tree ------------
+
+
+@_register(
+    "filter_predicates",
+    "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem"
+    " WHERE (l_partkey = l_suppkey AND l_quantity >= 30) OR l_orderkey = 42",
+)
+def q_filter_predicates(spark, sf_dir):
+    """One nested predicate tree covering the reference's whole WHERE
+    surface: col = literal (O7 sqlengine.py:467-474), colA = colB
+    same-table (O8 :456-465), AND + OR combination (O9 :505-538 —
+    the reference capped WHERE at 2 conditions + 1 connective,
+    :242-244), a non-'=' comparator executed faithfully (Q1 fix),
+    and projection (O6 :679-695). Built from the engine's
+    ``comparison``/``project`` combinators; Catalyst pushes the whole
+    disjunction into the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
+    pred = (
+        R.comparison("l_partkey", "=", F.col("l_suppkey"))
+        & R.comparison("l_quantity", ">=", 30)
+    ) | R.comparison("l_orderkey", "eq", 42)
     return R.project(
-        R.filter_rows(
-            li,
-            R.comparison("l_quantity", ">=", 30),
-            R.comparison("l_discount", "<=", 0.02),
-        ),
-        ["l_orderkey", "l_partkey", "l_quantity"],
+        li.filter(pred),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"],
     )
 
 
-# --- O8: same-table column-to-column filter --------------------------------
-
-
-@_register(
-    "filter_col_eq_col",
-    "SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem"
-    " WHERE l_partkey = l_suppkey",
-)
-def q_filter_col_col(spark, sf_dir):
-    """t.colA = t.colB same-table filter (O8 sqlengine.py:456-465)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return R.project(
-        R.filter_rows(li, R.comparison("l_partkey", "=", F.col("l_suppkey"))),
-        ["l_orderkey", "l_partkey", "l_suppkey"],
-    )
-
-
-# --- O10+O13: inner equi-join with join-key dedup (test.txt:12) ------------
-
-
-@_register(
-    "join_inner_dedup",
-    "SELECT n_nationkey, n_name, n_regionkey, r_name"
-    " FROM nation JOIN region ON n_regionkey = r_regionkey",
-)
-def q_join_dedup(spark, sf_dir):
-    """Inner equi-join, join column emitted once (O10 sqlengine.py:476-489;
-    O13 :374-436). Region is broadcast — no shuffle on the big side."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return R.equi_join(
-        nation,
-        region,
-        on=F.col("n_regionkey") == F.col("r_regionkey"),
-        broadcast_right=True,
-    ).select("n_nationkey", "n_name", "n_regionkey", "r_name")
-
-
-# --- O10: duplicate-key (1:N) join — the shape the reference broke (Q5) ----
+# --- O10+O13: duplicate-key (1:N) join — the shape the reference broke -----
 
 
 @_register(
@@ -275,8 +221,10 @@ def q_join_dedup(spark, sf_dir):
     " FROM customer JOIN orders ON c_custkey = o_custkey",
 )
 def q_join_dup_keys(spark, sf_dir):
-    """1:N join with correct many-to-many multiplication (fixes Q5,
-    sqlengine.py:314-372) and no 1000-row cap (``:315``)."""
+    """Inner equi-join (O10 sqlengine.py:476-489, test.txt:12) with
+    correct many-to-many multiplication (fixes Q5, :314-372), no
+    1000-row cap (:315), and the join key emitted exactly once in the
+    output — the reference's join-column dedup O13 (:374-436)."""
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return R.equi_join(
@@ -285,69 +233,37 @@ def q_join_dup_keys(spark, sf_dir):
     ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
 
 
-# --- O11: Cartesian product (test.txt:7) -----------------------------------
+# --- O5/Q1 comparators + NULL three-valued logic (one scan) ----------------
 
 
 @_register(
-    "cross_join",
-    "SELECT n_nationkey, r_regionkey FROM nation CROSS JOIN region",
-)
-def q_cross_join(spark, sf_dir):
-    """Cartesian product (O11 sqlengine.py:292-307)."""
-    return R.project(
-        R.cross_join(_t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")),
-        ["n_nationkey", "r_regionkey"],
-    )
-
-
-# --- O14-O17 with WHERE: filtered aggregates (fixes Q6) --------------------
-
-
-@_register(
-    "agg_filtered",
-    "SELECT max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price,"
-    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,"
-    " CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)"
-    "   / count(l_extendedprice) AS avg_price,"
-    " count(l_extendedprice) AS n"
-    " FROM lineitem WHERE l_quantity > 45",
-)
-def q_agg_filtered(spark, sf_dir):
-    """All four reference aggregates + COUNT under a filter — the
-    reference crashed on filtered AVG and mis-sentineled filtered MIN
-    (Q6, sqlengine.py:647, :590)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return li.agg(
-        F.max("l_extendedprice").alias("max_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        R.exact_sum("l_extendedprice", "sum_price"),
-        R.exact_avg("l_extendedprice", "avg_price"),
-        F.count("l_extendedprice").alias("n"),
-    )
-
-
-# --- O5/Q1: every comparator the grammar admits ----------------------------
-
-
-@_register(
-    "filter_comparators",
+    "filter_comparators_nulls",
     "SELECT count(*) FILTER (o_totalprice < 5000) AS n_lt,"
     " count(*) FILTER (o_totalprice > 100000) AS n_gt,"
     " count(*) FILTER (o_custkey != 7) AS n_ne,"
     " count(*) FILTER (o_custkey <= 10) AS n_le,"
-    " count(*) FILTER (o_custkey >= 140) AS n_ge"
+    " count(*) FILTER (o_custkey >= 140) AS n_ge,"
+    " count(*) AS n_rows,"
+    " count(nullif(o_orderstatus, 'O')) AS n_nonnull,"
+    " count(*) - count(nullif(o_orderstatus, 'O')) AS n_null,"
+    " CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL"
+    "   THEN 1 ELSE 0 END) AS BIGINT) AS n_null2"
     " FROM orders",
 )
-def q_filter_comparators(spark, sf_dir):
+def q_filter_comparators_nulls(spark, sf_dir):
     """All grammar comparators < > != <= >= executed faithfully (Q1 —
     the reference parsed 12 spellings but ran them all as '=',
-    sqlengine.py:35, 257-258).
+    sqlengine.py:35, 257-258) PLUS native NULL three-valued logic
+    (fixes Q9 — the reference stored a string sentinel that crashed
+    aggregates, sqlengine.py:145-147, 569-575): NULL-skipping count,
+    IS NULL predicate.
 
-    Single-pass conditional aggregation: one scan of orders, five
-    comparator predicates evaluated inside one HashAggregate — at
-    100 TB this is 1 scan instead of 5 (and zero joins).
+    Single-pass conditional aggregation: one scan of orders, nine
+    aggregate expressions inside one HashAggregate — at 100 TB this
+    is 1 scan instead of 9 (and zero joins).
     """
     orders = _t(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
 
     def n(pred, alias):
         return F.count(F.when(pred, 1)).alias(alias)
@@ -358,6 +274,12 @@ def q_filter_comparators(spark, sf_dir):
         n(R.comparison("o_custkey", "ne", 7), "n_ne"),
         n(R.comparison("o_custkey", "le", 10), "n_le"),
         n(R.comparison("o_custkey", "ge", 140), "n_ge"),
+        F.count("*").alias("n_rows"),
+        F.count(st).alias("n_nonnull"),
+        (F.count("*") - F.count(st)).alias("n_null"),
+        F.sum(F.when(st.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null2"),
     )
 
 
@@ -398,78 +320,52 @@ def q_group_by(spark, sf_dir):
     )
 
 
-# --- ORDER BY + LIMIT (global top-k) ---------------------------------------
+# --- Window functions: rank + lag + running frame in one pass --------------
 
 
 @_register(
-    "order_by_limit",
-    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
-    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
-)
-def q_order_limit(spark, sf_dir):
-    """ORDER BY + LIMIT (SURVEY §2.2 row 2). Spark plans
-    TakeOrderedAndProject: per-partition top-k then a k-row merge at
-    the driver — no global sort even at 100 TB. Tiebreak on the key
-    makes the top-10 deterministic across engines."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-# --- Window functions: rank / lag over partitions --------------------------
-
-
-@_register(
-    "window_rank",
-    "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+    "window_suite",
+    "SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_orderkey,"
+    " running_spend FROM ("
     "  SELECT o_custkey, o_orderkey, o_totalprice,"
     "   row_number() OVER (PARTITION BY o_custkey"
-    "     ORDER BY o_totalprice DESC, o_orderkey) AS rn"
-    "  FROM orders) WHERE rn <= 3",
+    "     ORDER BY o_totalprice DESC, o_orderkey) AS rn,"
+    "   lag(o_orderkey) OVER w AS prev_orderkey,"
+    "   CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))"
+    "     OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
+    "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    "     AS running_spend"
+    "  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"
+    " ) WHERE rn <= 3",
 )
-def q_window_rank(spark, sf_dir):
-    """Ranking window + top-k per group (SURVEY §2.2 row 3, §2.4
-    top-k). One shuffle on o_custkey; AQE splits skewed customers."""
-    return R.top_k_per_group(
-        _t(spark, sf_dir, "orders").select(
-            "o_custkey", "o_orderkey", "o_totalprice"
-        ),
-        partition_by=["o_custkey"],
-        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        k=3,
-    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-
-
-@_register(
-    "window_lag_frame",
-    "SELECT o_custkey, o_orderkey,"
-    " lag(o_orderkey) OVER w AS prev_orderkey,"
-    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2)))"
-    "   OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
-    "         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
-    "   AS running_spend"
-    " FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)",
-)
-def q_window_lag(spark, sf_dir):
-    """Analytic window (lag) + running frame aggregate (SURVEY §2.2
-    row 3): running sums use the exact-decimal path so the frame
-    prefix sums are bit-stable."""
+def q_window_suite(spark, sf_dir):
+    """Ranking window + top-k per group, analytic lag, and a running
+    frame aggregate (SURVEY §2.2 row 3, §2.4 top-k) — two window
+    specs over the SAME partition key, so Spark exchanges once on
+    o_custkey and only re-sorts between the Window operators; AQE
+    splits skewed customers. Running sums use the exact-decimal path
+    so frame prefix sums are bit-stable across engines."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders = _t(spark, sf_dir, "orders")
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
-        .over(frame)
-        .cast("double")
-        .alias("running_spend"),
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("rn"),
+            F.lag("o_orderkey").over(w_seq).alias("prev_orderkey"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .over(frame)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 3)
     )
 
 
@@ -479,26 +375,33 @@ def q_window_lag(spark, sf_dir):
 @_register(
     "set_ops",
     "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),"
-    " lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 5000)"
+    " lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)"
     " SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM hi UNION SELECT * FROM lo)"
     " UNION ALL SELECT 'intersect', count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)"
-    " UNION ALL SELECT 'except', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)",
+    " UNION ALL SELECT 'except', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)"
+    " UNION ALL SELECT 'union_all', count(*) FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)"
+    " UNION ALL SELECT 'intersect_all', count(*) FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)"
+    " UNION ALL SELECT 'except_all', count(*) FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)",
 )
 def q_set_ops(spark, sf_dir):
-    """UNION / INTERSECT / EXCEPT (SURVEY §2.2 row 4)."""
+    """The full set-algebra surface (SURVEY §2.2 row 4): ANSI
+    UNION / INTERSECT / EXCEPT plus the duplicate-preserving
+    multiset forms UNION ALL / INTERSECT ALL / EXCEPT ALL — six
+    tagged counts from the same two branch scans."""
     orders = _t(spark, sf_dir, "orders")
     hi = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    lo = orders.filter(F.col("o_totalprice") < 5000).select("o_custkey")
+    lo = orders.filter(F.col("o_totalprice") < 20000).select("o_custkey")
+
+    def tagged(df, tag):
+        return df.agg(F.lit(tag).alias("op"), F.count("*").alias("n"))
+
     rows = [
-        hi.union(lo).distinct().agg(
-            F.lit("union").alias("op"), F.count("*").alias("n")
-        ),
-        hi.intersect(lo).agg(
-            F.lit("intersect").alias("op"), F.count("*").alias("n")
-        ),
-        hi.distinct().exceptAll(lo.distinct()).agg(
-            F.lit("except").alias("op"), F.count("*").alias("n")
-        ),
+        tagged(hi.union(lo).distinct(), "union"),
+        tagged(hi.intersect(lo), "intersect"),
+        tagged(hi.distinct().exceptAll(lo.distinct()), "except"),
+        tagged(hi.unionAll(lo), "union_all"),
+        tagged(hi.intersectAll(lo), "intersect_all"),
+        tagged(hi.exceptAll(lo), "except_all"),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -561,24 +464,7 @@ def q_join_semi_anti(spark, sf_dir):
     return semi.unionAll(anti)
 
 
-# --- COUNT / COUNT(DISTINCT) ----------------------------------------------
-
-
-@_register(
-    "count_distinct",
-    "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,"
-    " count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
-)
-def q_count_distinct(spark, sf_dir):
-    """COUNT + COUNT DISTINCT (SURVEY §2.2 row 6). Spark expands
-    multi-distinct into a single expand+two-phase aggregate — no
-    driver involvement."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.count("*").alias("n_rows"),
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
-    )
+# --- approximate sketches (COUNT DISTINCT exact form lives in agg_all) -----
 
 
 @_register("approx_distinct", None)  # approximate → rows-only check
@@ -602,81 +488,45 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @_register(
-    "scalar_string_funcs",
-    "SELECT c_custkey, upper(c_mktsegment) AS seg_upper,"
-    " length(c_name) AS name_len, substr(c_name, 1, 8) AS name_prefix,"
-    " c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_tag"
-    " FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "scalar_string_math",
+    "SELECT o_orderkey,"
+    " lower(o_orderstatus) || '/' || o_orderpriority AS status_tag,"
+    " length(o_orderpriority) AS prio_len,"
+    " substr(o_orderpriority, 1, 3) AS prio_prefix,"
+    " upper(substr(o_orderpriority, 3)) AS prio_word,"
+    " abs(o_totalprice - 100000.0) AS diff,"
+    " CAST(floor(o_totalprice) AS BIGINT) AS price_floor,"
+    " CAST(ceil(o_totalprice / 100.0) AS BIGINT) AS price_hundreds,"
+    " o_totalprice * (1 - 0.04) * (1 + 0.02) AS adj_price"
+    " FROM orders WHERE o_custkey <= 25",
 )
-def q_scalar_string(spark, sf_dir):
-    """String scalar functions (SURVEY §2.2 row 7) — all JVM-side
-    whole-stage-codegen expressions, zero Python."""
-    c = _t(spark, sf_dir, "customer")
-    return c.filter(F.col("c_mktsegment") == "BUILDING").select(
-        "c_custkey",
-        F.upper("c_mktsegment").alias("seg_upper"),
-        F.length("c_name").cast("bigint").alias("name_len"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat_ws(
-            "#", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
-        ).alias("seg_tag"),
-    )
-
-
-@_register(
-    "scalar_date_funcs",
-    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,"
-    " CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,"
-    " count(*) AS n_orders,"
-    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue"
-    " FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'"
-    " GROUP BY 1, 2",
-)
-def q_scalar_date(spark, sf_dir):
-    """Date/time functions + timestamp predicate (SURVEY §2.2 row 7):
-    year/month buckets — the scan is pruned by the pushed timestamp
-    filter."""
+def q_scalar_string_math(spark, sf_dir):
+    """String scalars (upper/lower/length/substr/concat) + math
+    scalars (abs/floor/ceil) + row-level arithmetic with aliases, one
+    scan (SURVEY §2.2 row 7) — the expression support the reference's
+    grammar admitted but never implemented (`sqlengine.py:43` \"need
+    to add support for alg expressions\"). All JVM-side whole-stage-
+    codegen expressions, zero Python; identical IEEE op sequences in
+    both engines keep doubles bit-comparable."""
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        .groupBy(
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            F.month("o_orderdate").cast("bigint").alias("o_month"),
-        )
-        .agg(
-            F.count("*").alias("n_orders"),
-            R.exact_sum("o_totalprice", "revenue"),
-        )
-    )
-
-
-@_register(
-    "scalar_math_funcs",
-    "SELECT l_orderkey, l_linenumber,"
-    " abs(l_extendedprice - l_tax) AS diff,"
-    " CAST(floor(l_quantity) AS BIGINT) AS qty_floor,"
-    " CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,"
-    " l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged"
-    " FROM lineitem WHERE l_quantity < 3",
-)
-def q_scalar_math(spark, sf_dir):
-    """Math scalars + row-level arithmetic expressions with aliases —
-    the expression support the reference's grammar admitted but never
-    implemented (`sqlengine.py:43` \"need to add support for alg
-    expressions\"). Identical IEEE op sequences in both engines keep
-    doubles bit-comparable."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") < 3).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_extendedprice") - F.col("l_tax")).alias("diff"),
-        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+    return o.filter(F.col("o_custkey") <= 25).select(
+        "o_orderkey",
+        F.concat_ws(
+            "/", F.lower("o_orderstatus"), F.col("o_orderpriority")
+        ).alias("status_tag"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.upper(F.expr("substr(o_orderpriority, 3)")).alias("prio_word"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("diff"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil(F.col("o_totalprice") / 100.0).cast("bigint").alias(
+            "price_hundreds"
+        ),
         (
-            F.col("l_extendedprice")
-            * (F.lit(1) - F.col("l_discount"))
-            * (F.lit(1) + F.col("l_tax"))
-        ).alias("charged"),
+            F.col("o_totalprice")
+            * (F.lit(1) - F.lit(0.04))
+            * (F.lit(1) + F.lit(0.02))
+        ).alias("adj_price"),
     )
 
 
@@ -705,71 +555,47 @@ def q_case_having(spark, sf_dir):
     )
 
 
-# --- Subqueries: IN (subselect) — parsed but unexecutable in reference -----
+# --- Subqueries: IN + EXISTS + correlated scalar, via the SQL front door ---
 
 
 @_register(
-    "subquery_in",
-    "SELECT o_orderkey, o_custkey FROM orders"
-    " WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)",
-)
-def q_subquery_in(spark, sf_dir):
-    """IN (subselect) — the reference grammar parses it
-    (`sqlengine.py:48-49`) but execution errors (SURVEY §2.2 row 9);
-    here it plans as a broadcast left-semi join."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    return o.join(
-        F.broadcast(rich), o["o_custkey"] == rich["c_custkey"], "left_semi"
-    ).select("o_orderkey", "o_custkey")
-
-
-@_register(
-    "subquery_correlated",
+    "subquery_suite",
     "SELECT c_custkey, c_acctbal FROM customer c"
     " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
-    "                    WHERE c_nationkey = c.c_nationkey)",
+    "                    WHERE c_nationkey = c.c_nationkey)"
+    "  AND c_custkey IN (SELECT o_custkey FROM orders"
+    "                    WHERE o_totalprice > 100000)"
+    "  AND EXISTS (SELECT 1 FROM orders o"
+    "              WHERE o.o_custkey = c.c_custkey"
+    "               AND o.o_orderstatus = 'O')",
 )
-def q_subquery_correlated(spark, sf_dir):
-    """Correlated scalar subquery via the SQL front door (SURVEY §2.2
-    row 9) — Catalyst decorrelates it into an aggregate + join; no
-    per-row re-execution."""
+def q_subquery_suite(spark, sf_dir):
+    """All three subquery forms the reference grammar parsed but could
+    never execute (`sqlengine.py:48-49`, SURVEY §2.2 row 9) in one
+    statement: correlated scalar subquery (decorrelated by Catalyst
+    into aggregate + join — no per-row re-execution), IN (planned as
+    a left-semi join), and correlated EXISTS (also a semi-join).
+
+    Executed through the reference-dialect SQL front door
+    (``plans.run_sql``, O3 sqlengine.py:12-74): the query string uses
+    the reference's ``average(...)`` alias, a ``--`` comment and a
+    trailing ``;`` — the textual shim rewrites them and Catalyst does
+    the rest."""
+    from minisql_engine_spark.plans import run_sql
+
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return run_sql(
+        spark,
+        "-- reference dialect: average() alias, comment, trailing ;\n"
         "SELECT c_custkey, c_acctbal FROM customer c"
-        " WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer"
+        " WHERE c_acctbal > (SELECT average(c_acctbal) FROM customer"
         "                    WHERE c_nationkey = c.c_nationkey)"
-    )
-
-
-# --- NULL three-valued logic ----------------------------------------------
-
-
-@_register(
-    "null_semantics",
-    "WITH t AS (SELECT nullif(o_orderstatus, 'O') AS st, o_totalprice FROM orders)"
-    " SELECT count(*) AS n_rows, count(st) AS n_nonnull,"
-    " count(*) - count(st) AS n_null,"
-    " CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null2"
-    " FROM t",
-)
-def q_null_semantics(spark, sf_dir):
-    """Native NULL semantics (fixes Q9 — the reference stored a
-    string sentinel that crashed aggregates, sqlengine.py:145-147,
-    569-575): NULL-skipping count, IS NULL predicate."""
-    o = _t(spark, sf_dir, "orders")
-    t = o.select(
-        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
-        "o_totalprice",
-    )
-    return t.agg(
-        F.count("*").alias("n_rows"),
-        F.count("st").alias("n_nonnull"),
-        (F.count("*") - F.count("st")).alias("n_null"),
-        F.sum(F.when(F.col("st").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_null2"),
+        "  AND c_custkey IN (SELECT o_custkey FROM orders"
+        "                    WHERE o_totalprice > 100000)"
+        "  AND EXISTS (SELECT 1 FROM orders o"
+        "              WHERE o.o_custkey = c.c_custkey"
+        "               AND o.o_orderstatus = 'O');",
     )
 
 
@@ -990,36 +816,18 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 @_register(
-    "text_token_count",
-    "SELECT doc_id,"
-    " CAST(CASE WHEN trim(text) = '' THEN 0"
-    "  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
-    "  AS n_ws_tokens,"
-    " CAST(len(regexp_extract_all(text,"
-    "  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
-    " FROM documents",
-)
-def q_text_tokens(spark, sf_dir):
-    """Token counting: whitespace + BPE-ish regex (§2.4 text
-    analysis). Pure map-side codegen, no shuffle."""
-    from minisql_engine_spark.operators.text import with_token_counts
-
-    return with_token_counts(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens"
-    )
-
-
-@_register(
-    "text_quality",
+    "text_metrics",
     "WITH m AS (SELECT doc_id,"
     " CAST(length(text) AS BIGINT) AS n_chars_m,"
     " CAST(CASE WHEN trim(text)='' THEN 0"
     "   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,"
+    " CAST(len(regexp_extract_all(text,"
+    "   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,"
     " CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,"
     " CAST(len(regexp_extract_all(lower(text),"
     "   '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_stop"
     " FROM documents)"
-    " SELECT doc_id, n_tokens,"
+    " SELECT doc_id, n_tokens AS n_ws_tokens, n_bpe_tokens,"
     "  CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,"
     "  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,"
     "  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1) AS mean_word_len,"
@@ -1029,14 +837,22 @@ def q_text_tokens(spark, sf_dir):
     "              BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END) AS quality_score"
     " FROM m",
 )
-def q_text_quality(spark, sf_dir):
-    """Quality scoring: length / punctuation / stopword ratios (§2.4).
-    Ratio arithmetic mirrors the oracle op-for-op → bit-equal."""
-    from minisql_engine_spark.operators.text import with_quality_score
+def q_text_metrics(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) AND quality scoring
+    (length / punctuation / stopword ratios) in one map-side pass
+    (§2.4 text analysis) — pure codegen expressions, no shuffle, one
+    scan of documents; ratio arithmetic mirrors the oracle op-for-op
+    so doubles are bit-equal."""
+    from minisql_engine_spark.operators.text import (
+        with_quality_score,
+        with_token_counts,
+    )
 
-    return with_quality_score(_t(spark, sf_dir, "documents")).select(
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_score(with_token_counts(docs)).select(
         "doc_id",
-        "n_tokens",
+        F.col("n_ws_tokens"),
+        "n_bpe_tokens",
         "punct_ratio",
         "stop_ratio",
         "mean_word_len",
@@ -1045,69 +861,67 @@ def q_text_quality(spark, sf_dir):
 
 
 @_register(
-    "text_lang_id",
+    "text_lang_fingerprint",
     "WITH c AS (SELECT doc_id, lang,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) AS BIGINT) AS n_de,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_en,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|del|para|con|por)\\b')) AS BIGINT) AS n_es,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS BIGINT) AS n_fr,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|wo|ni|ta|men|zai|you)\\b')) AS BIGINT) AS n_zh"
-    " FROM documents)"
-    " SELECT doc_id, lang, n_de, n_en, n_es, n_fr, n_zh,"
+    " FROM documents),"
+    f" fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,"
+    f"  substr(md5({_NORM_SQL}), 1, 1) AS fp_shard FROM documents),"
+    " t AS (SELECT doc_id,"
+    "  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+    "   ' ') AS tk FROM documents),"
+    " g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN"
+    "   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]"
+    "   ELSE [] END AS gs FROM t),"
+    " r AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_trigrams,"
+    "  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_trigrams,"
+    "  CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)"
+    "   / len(gs) ELSE 0.0 END AS repetition_ratio FROM g)"
+    " SELECT c.doc_id, lang, n_de, n_en, n_es, n_fr, n_zh,"
     " CASE WHEN greatest(n_de,n_en,n_es,n_fr,n_zh) = 0 THEN 'und'"
     "  WHEN n_de = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'de'"
     "  WHEN n_en = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'en'"
     "  WHEN n_es = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'es'"
     "  WHEN n_fr = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'fr'"
-    "  ELSE 'zh' END AS lang_pred"
-    " FROM c",
+    "  ELSE 'zh' END AS lang_pred,"
+    " fingerprint, fp_shard, n_trigrams, n_distinct_trigrams,"
+    " repetition_ratio"
+    " FROM c JOIN fp ON fp.doc_id = c.doc_id JOIN r ON r.doc_id = c.doc_id",
 )
-def q_text_lang(spark, sf_dir):
-    """Language-ID stopword-marker heuristic (§2.4): per-language
-    counts + deterministic argmax."""
-    from minisql_engine_spark.operators.text import with_lang_id
-
-    return with_lang_id(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", "n_de", "n_en", "n_es", "n_fr", "n_zh", "lang_pred"
+def q_text_lang_fingerprint(spark, sf_dir):
+    """Language-ID stopword heuristic (per-language counts +
+    deterministic argmax), content fingerprinting (md5 + 16-way
+    shard key), and repetition detection (word-trigram duplication
+    ratio — the boilerplate gate), composed in ONE map-side pass over
+    documents (§2.4 text analysis): Spark evaluates all three
+    families in a single Project, the oracle joins its three CTEs on
+    doc_id."""
+    from minisql_engine_spark.operators.text import (
+        with_fingerprint,
+        with_lang_id,
+        with_repetition_ratio,
     )
 
-
-@_register(
-    "text_fingerprint",
-    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,"
-    f" substr(md5({_NORM_SQL}), 1, 1) AS fp_shard"
-    " FROM documents",
-)
-def q_text_fingerprint(spark, sf_dir):
-    """Content fingerprinting + uniform shard key (§2.4)."""
-    from minisql_engine_spark.operators.text import with_fingerprint
-
-    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint", "fp_shard"
-    )
-
-
-@_register(
-    "text_repetition",
-    "WITH t AS (SELECT doc_id,"
-    "  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
-    "   ' ') AS tk FROM documents),"
-    " g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN"
-    "   [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]"
-    "   ELSE [] END AS gs FROM t)"
-    " SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_trigrams,"
-    "  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_trigrams,"
-    "  CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)"
-    "   / len(gs) ELSE 0.0 END AS repetition_ratio"
-    " FROM g",
-)
-def q_text_repetition(spark, sf_dir):
-    """Repetition detection (§2.4 text analysis): word-trigram
-    duplication ratio — the boilerplate/looping-text quality gate."""
-    from minisql_engine_spark.operators.text import with_repetition_ratio
-
-    return with_repetition_ratio(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_trigrams", "n_distinct_trigrams", "repetition_ratio"
+    docs = _t(spark, sf_dir, "documents")
+    out = with_repetition_ratio(with_fingerprint(with_lang_id(docs)))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_de",
+        "n_en",
+        "n_es",
+        "n_fr",
+        "n_zh",
+        "lang_pred",
+        "fingerprint",
+        "fp_shard",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        "repetition_ratio",
     )
 
 
@@ -1442,28 +1256,35 @@ def q_pipeline_curation(spark, sf_dir):
     )
 
 
-@_register("ml_minhash_near_dups", None)  # seeded ml hashing → rows-only
-def q_ml_minhash(spark, sf_dir):
-    """spark.ml MinHashLSH approxSimilarityJoin (library path beside
-    the md5-portable MinHash): rows-only — engine-seeded hashing —
-    with an agreement test vs the portable pipeline in
-    tests/test_ml_lsh.py (≥90% of exact-Jaccard≥0.9 pairs found,
-    distances matching)."""
-    from minisql_engine_spark.operators.ml_lsh import ml_minhash_near_dups
-
-    return ml_minhash_near_dups(_t(spark, sf_dir, "documents"))
-
-
-@_register("ml_brp_ann", None)  # seeded ml hashing → rows-only
-def q_ml_brp(spark, sf_dir):
-    """spark.ml BucketedRandomProjectionLSH approxNearestNeighbors
-    (library ANN path); ordering/row-count behavior tested in
-    tests/test_ml_lsh.py."""
-    from minisql_engine_spark.operators.ml_lsh import ml_brp_nearest_neighbors
-
-    return ml_brp_nearest_neighbors(
-        _t(spark, sf_dir, "embeddings"), query_id=0, k=10
+@_register("ml_lsh_suite", None)  # seeded ml hashing → rows-only
+def q_ml_lsh_suite(spark, sf_dir):
+    """spark.ml library-path LSH, both estimators in one tagged
+    result: MinHashLSH approxSimilarityJoin near-dup pairs (beside
+    the md5-portable MinHash — agreement test in tests/test_ml_lsh.py
+    asserts ≥90% of exact-Jaccard≥0.9 pairs found, distances
+    matching) and BucketedRandomProjectionLSH approxNearestNeighbors
+    (library ANN). Rows-only: spark.ml hashing is engine-seeded, not
+    SQL-reproducible."""
+    from minisql_engine_spark.operators.ml_lsh import (
+        ml_brp_nearest_neighbors,
+        ml_minhash_near_dups,
     )
+
+    pairs = ml_minhash_near_dups(_t(spark, sf_dir, "documents")).select(
+        F.lit("minhash_lsh").alias("method"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("jaccard_distance").alias("dist"),
+    )
+    ann = ml_brp_nearest_neighbors(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10
+    ).select(
+        F.lit("brp_ann").alias("method"),
+        F.col("query_id").cast("bigint").alias("id_a"),
+        F.col("neighbor_id").cast("bigint").alias("id_b"),
+        F.col("euclidean_distance").alias("dist"),
+    )
+    return pairs.unionAll(ann)
 
 
 @_register("emb_lsh_ann", None)  # approximate → rows-only + recall test
@@ -1480,70 +1301,71 @@ def q_emb_ann(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-# --- CUBE + set ops with duplicates ----------------------------------------
+# --- Grouping sets: ROLLUP + CUBE ------------------------------------------
 
 
 @_register(
-    "cube_agg",
-    "SELECT coalesce(o_orderstatus, 'ALL') AS status,"
-    " coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n"
+    "grouping_sets",
+    "SELECT 'rollup' AS kind, coalesce(l_returnflag, 'ALL') AS k1,"
+    " coalesce(l_linestatus, 'ALL') AS k2, count(*) AS n,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS agg_val"
+    " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    " UNION ALL"
+    " SELECT 'cube', coalesce(o_orderstatus, 'ALL'),"
+    " coalesce(o_orderpriority, 'ALL'), count(*),"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)"
     " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
 )
-def q_cube(spark, sf_dir):
-    """CUBE over two dimensions (SURVEY §2.2 grouping sets): all four
-    grouping combinations in one Expand + aggregate pass."""
+def q_grouping_sets(spark, sf_dir):
+    """Grouping sets, both spellings (SURVEY §2.2 row 1): ROLLUP
+    hierarchy totals over lineitem and a full CUBE over orders, each
+    a single Expand + one aggregate pass (no extra scans per grouping
+    combination), union-tagged into one result."""
+    li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("agg_val"),
+        )
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.lit("rollup").alias("kind"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "n",
+            "agg_val",
         )
     )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("agg_val"),
+        )
+        .select(
+            F.lit("cube").alias("kind"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "agg_val",
+        )
+    )
+    return rollup.unionAll(cube)
+
+
+# --- Date/time functions + interval arithmetic -----------------------------
 
 
 @_register(
-    "set_ops_all",
-    "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),"
-    " lo AS (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)"
-    " SELECT 'intersect_all' AS op, count(*) AS n FROM"
-    "  (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)"
-    " UNION ALL SELECT 'except_all', count(*) FROM"
-    "  (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo)"
-    " UNION ALL SELECT 'union_all', count(*) FROM"
-    "  (SELECT * FROM hi UNION ALL SELECT * FROM lo)",
-)
-def q_set_ops_all(spark, sf_dir):
-    """Multiset INTERSECT ALL / EXCEPT ALL / UNION ALL (duplicate-
-    preserving set algebra — SURVEY §2.2 row 4 completion)."""
-    o = _t(spark, sf_dir, "orders")
-    hi = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    lo = o.filter(F.col("o_totalprice") < 20000).select("o_custkey")
-    parts = [
-        hi.intersectAll(lo).agg(
-            F.lit("intersect_all").alias("op"), F.count("*").alias("n")
-        ),
-        hi.exceptAll(lo).agg(
-            F.lit("except_all").alias("op"), F.count("*").alias("n")
-        ),
-        hi.unionAll(lo).agg(
-            F.lit("union_all").alias("op"), F.count("*").alias("n")
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-# --- Date/interval arithmetic ----------------------------------------------
-
-
-@_register(
-    "date_arithmetic",
+    "scalar_date_interval",
     "SELECT l_orderkey, l_linenumber,"
+    " CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,"
+    " CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,"
     " CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)"
     "  AS ship_delay_days,"
     " o_orderdate + INTERVAL 30 DAY AS due_date,"
@@ -1552,9 +1374,11 @@ def q_set_ops_all(spark, sf_dir):
     " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     " WHERE l_linenumber = 1 AND l_orderkey <= 2000",
 )
-def q_date_arithmetic(spark, sf_dir):
-    """Date/interval arithmetic (SURVEY §2.2 scalar-function row):
-    day differences, interval shifts, lateness flags."""
+def q_scalar_date_interval(spark, sf_dir):
+    """Date/time scalar functions + interval arithmetic (SURVEY §2.2
+    row 7): EXTRACT year/month buckets, day differences, interval
+    shifts, lateness flags — all JVM datetime expressions; the
+    l_orderkey range predicate is pushed into both parquet scans."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     due = F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
@@ -1564,6 +1388,8 @@ def q_date_arithmetic(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_linenumber",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
             F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
             .cast("bigint")
             .alias("ship_delay_days"),
@@ -1612,40 +1438,59 @@ def q_multimodal(spark, sf_dir):
 
 
 @_register(
-    "events_tumbling_window",
-    "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,"
-    " count(*) AS n_events,"
-    " CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value"
-    " FROM events GROUP BY 1, 2",
-)
-def q_events_tumbling(spark, sf_dir):
-    """Tumbling-window agg (SURVEY §2.2 streaming row): the same
-    function runs unchanged under readStream+watermark —
-    tests/test_streaming.py asserts the streaming result is
-    identical (unified batch/stream engine)."""
-    from minisql_engine_spark.streaming import tumbling_event_agg
-
-    return tumbling_event_agg(_t(spark, sf_dir, "events"), "1 hour")
-
-
-@_register(
-    "events_sliding_window",
-    "WITH s AS (SELECT event_type,"
+    "events_fixed_windows",
+    "WITH tumb AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,"
+    "  event_type, count(*) AS n_events,"
+    "  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value"
+    "  FROM events GROUP BY 1, 2),"
+    " s AS (SELECT event_type, value,"
     "  unnest([time_bucket(INTERVAL '30 minutes', ts),"
     "          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])"
-    "   AS window_start FROM events)"
-    " SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,"
-    "  event_type, count(*) AS n_events"
-    " FROM s GROUP BY 1, 2, 3",
+    "   AS window_start FROM events),"
+    " sl AS (SELECT window_start, event_type, count(*) AS n_events,"
+    "  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value"
+    "  FROM s GROUP BY 1, 2)"
+    " SELECT 'tumbling' AS kind, window_start,"
+    "  window_start + INTERVAL '1 hour' AS window_end,"
+    "  event_type, n_events, sum_value FROM tumb"
+    " UNION ALL"
+    " SELECT 'sliding', window_start,"
+    "  window_start + INTERVAL '1 hour',"
+    "  event_type, n_events, sum_value FROM sl",
 )
-def q_events_sliding(spark, sf_dir):
-    """Sliding windows (1h width, 30m slide): each event lands in two
-    overlapping windows; oracle materializes both starts."""
-    from minisql_engine_spark.streaming import sliding_event_agg
-
-    return sliding_event_agg(
-        _t(spark, sf_dir, "events"), "1 hour", "30 minutes"
+def q_events_fixed_windows(spark, sf_dir):
+    """Tumbling (1h) AND sliding (1h width / 30m slide) window
+    aggregation (SURVEY §2.2 streaming row), union-tagged. The same
+    functions run unchanged under readStream + watermark —
+    tests/test_streaming.py asserts the streaming results are
+    identical (Spark's unified batch/stream engine). The oracle
+    materializes each event into both overlapping sliding windows via
+    unnest."""
+    from minisql_engine_spark.streaming import (
+        sliding_event_agg,
+        tumbling_event_agg,
     )
+
+    ev = _t(spark, sf_dir, "events")
+    tumb = tumbling_event_agg(ev, "1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias(
+            "window_end"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    slid = sliding_event_agg(ev, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return tumb.unionAll(slid)
 
 
 @_register(
@@ -1704,27 +1549,6 @@ def q_pivot(spark, sf_dir):
     )
 
 
-# --- EXISTS subquery -------------------------------------------------------
-
-
-@_register(
-    "subquery_exists",
-    "SELECT c_custkey, c_name FROM customer c"
-    " WHERE EXISTS (SELECT 1 FROM orders o"
-    "   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)",
-)
-def q_exists(spark, sf_dir):
-    """Correlated EXISTS via the SQL front door — decorrelated by
-    Catalyst into a semi-join (SURVEY §2.2 subqueries row)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        "SELECT c_custkey, c_name FROM customer c"
-        " WHERE EXISTS (SELECT 1 FROM orders o"
-        "   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"
-    )
-
-
 # --- UDTF: document chunking (LLM training-data transform) -----------------
 
 
@@ -1771,25 +1595,6 @@ def q_udaf_wavg(spark, sf_dir):
         weighted_avg_price_udaf("l_extendedprice", "l_quantity").alias(
             "wavg_price"
         )
-    )
-
-
-# --- SQL front door (O3 dialect shim as a driver-checked query) ------------
-
-
-@_register(
-    "sql_front_door_dialect",
-    "SELECT DISTINCT l_linenumber FROM lineitem",
-)
-def q_sql_front_door(spark, sf_dir):
-    """The reference-dialect SQL path (O3, sqlengine.py:12-74) as a
-    driver-checked query: a reference-style string — distinct(col),
-    '--' comment, trailing ';' — through plans.run_sql."""
-    from minisql_engine_spark.plans import run_sql
-
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return run_sql(
-        spark, "select distinct(l_linenumber) from lineitem -- dialect\n;"
     )
 
 
@@ -1847,38 +1652,6 @@ def q_pandas_features(spark, sf_dir):
     from minisql_engine_spark.functions import customer_order_features
 
     return customer_order_features(_t(spark, sf_dir, "orders"))
-
-
-# --- ROLLUP / CUBE grouping sets -------------------------------------------
-
-
-@_register(
-    "rollup_agg",
-    "SELECT coalesce(l_returnflag, 'ALL') AS returnflag,"
-    " coalesce(l_linestatus, 'ALL') AS linestatus,"
-    " count(*) AS n,"
-    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty"
-    " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
-)
-def q_rollup(spark, sf_dir):
-    """ROLLUP hierarchy totals (SURVEY §2.2 row 1 grouping sets):
-    one Expand + single aggregate pass, no extra scans."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-        )
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_qty",
-        )
-    )
 
 
 # --- Theta / range join ----------------------------------------------------
@@ -1987,11 +1760,63 @@ def q_stateful_stream(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Registry ordering — the driver records CORRECTNESS rows for at most the
+# FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
+# row at all). Two defenses: (a) the registry is capped at 50 entries total
+# (near-duplicate shapes are merged, see VERDICT r1 "trim to fit"), and
+# (b) queries() emits the entries whose verification is newest-first, so
+# even a shrunken window checks the least-proven operators.
+# ---------------------------------------------------------------------------
+
+_DRIVER_WINDOW = 50
+
+#: Names listed here are emitted first (operators new or unverified as of
+#: round 2); everything else follows in file (registration) order.
+_VERIFY_FIRST: tuple[str, ...] = (
+    "pipeline_curation",
+    "ml_lsh_suite",
+    "emb_lsh_ann",
+    "grouping_sets",
+    "set_ops",
+    "scalar_date_interval",
+    "multimodal_features",
+    "events_fixed_windows",
+    "events_session_window",
+    "pivot_status_by_segment",
+    "subquery_suite",
+    "udtf_chunk_documents",
+    "udaf_weighted_avg",
+    "asof_join_events",
+    "pandas_group_features",
+    "range_join_bands",
+    "json_extract_props",
+    "streaming_stateful_user_stats",
+    "approx_distinct",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
+    "bucketed_join_zero_shuffle",
+)
+
+
+def _ordered_names() -> list[str]:
+    front = [n for n in _VERIFY_FIRST if n in _QUERIES]
+    back = [n for n in _QUERIES if n not in set(front)]
+    names = front + back
+    assert len(names) <= _DRIVER_WINDOW, (
+        f"{len(names)} queries registered but the driver checks only "
+        f"{_DRIVER_WINDOW} — merge near-duplicate shapes before adding more"
+    )
+    return names
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2,
+    least-proven first (see ordering note above)."""
+    return {n: _QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}

@@ -25,38 +25,35 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Headline set: one per operator family, weighted toward the plans
 # whose scale behavior matters (joins, aggregation, distinct, dedup).
 HEADLINE = (
-    "scan_star",
-    "project_cols",
-    "agg_avg",
-    "agg_filtered",
-    "distinct_col",
-    "filter_and",
-    "join_inner_dedup",
+    "scan_star_cross",
+    "agg_all",
+    "distinct_order_limit",
+    "filter_predicates",
     "join_dup_keys",
-    "cross_join",
-    "filter_comparators",
+    "filter_comparators_nulls",
     "group_by_agg",
-    "order_by_limit",
-    "window_rank",
-    "count_distinct",
+    "window_suite",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "text_quality",
+    "text_metrics",
     "emb_cosine_topk",
     "emb_ivf_topk",
-    "events_tumbling_window",
+    "events_fixed_windows",
     "asof_join_events",
     "udtf_chunk_documents",
     # NOT pandas_group_features: applyInPandas over 15k tiny groups
     # costs ~1ms/group of Python overhead (14.6s at sf0.1) — it stays
     # as the correctness-gated UDAF-surface demo, but SQL-expressible
     # aggregations belong on the native path (see its docstring).
-    "rollup_agg",
+    "grouping_sets",
     "json_extract_props",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q18_large_orders",
 )
 
 

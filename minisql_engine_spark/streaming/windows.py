@@ -89,15 +89,22 @@ def tumbling_event_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
 def sliding_event_agg(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:
-    """Sliding-window event counts (overlapping windows)."""
+    """Sliding-window event counts + exact value sums (overlapping
+    windows; same decimal-sum determinism as the tumbling form)."""
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
+            "sum_value",
         )
     )
 

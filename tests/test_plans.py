@@ -50,7 +50,7 @@ def test_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_order_limit_is_take_ordered(spark, sf_dir):
-    q = entrymod.queries()["order_by_limit"]
+    q = entrymod.queries()["distinct_order_limit"]
     plan = plan_of(q(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort
 
@@ -72,7 +72,7 @@ def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
 
 
 def test_semi_join_for_in_subquery(spark, sf_dir):
-    q = entrymod.queries()["subquery_in"]
+    q = entrymod.queries()["subquery_suite"]
     plan = plan_of(q(spark, sf_dir))
     assert "LeftSemi" in plan
 
