@@ -803,6 +803,259 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+@_register(
+    "tpch_q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year,"
+    " CAST(sum(volume) AS DOUBLE) AS revenue FROM ("
+    "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "   year(l_shipdate) AS l_year,"
+    "   CAST(l_extendedprice AS DECIMAL(25,2))"
+    "    * (1 - CAST(l_discount AS DECIMAL(25,2))) AS volume"
+    "  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    "  JOIN orders ON o_orderkey = l_orderkey"
+    "  JOIN customer ON c_custkey = o_custkey"
+    "  JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    "  JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    "   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'"
+    "    AND TIMESTAMP '1997-12-31')"
+    " GROUP BY supp_nation, cust_nation, l_year"
+    " ORDER BY supp_nation, cust_nation, l_year",
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) adapted: the two-nation join topology
+    no other query has — the SAME 25-row nation dim joined TWICE under
+    different roles (supplier side n1, customer side n2) with a
+    symmetric cross-pair predicate. Both nation joins broadcast
+    (fixed-cardinality); the shipdate range prunes the lineitem scan.
+    The fact-fact joins (lineitem⋈orders⋈customer⋈supplier) are left to
+    AQE — they shuffle on their keys at scale."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    pair = (
+        (F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2")
+    ) | (
+        (F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1")
+    )
+    return (
+        li.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(pair)
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    "SELECT o_year,"
+    " CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume"
+    "  ELSE CAST(0 AS DECIMAL(25,2)) END) AS DOUBLE)"
+    "  / CAST(sum(volume) AS DOUBLE) AS mkt_share FROM ("
+    "  SELECT year(o_orderdate) AS o_year,"
+    "   CAST(l_extendedprice AS DECIMAL(25,2))"
+    "    * (1 - CAST(l_discount AS DECIMAL(25,2))) AS volume,"
+    "   n2.n_name AS nation"
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey"
+    "  JOIN supplier ON s_suppkey = l_suppkey"
+    "  JOIN orders ON l_orderkey = o_orderkey"
+    "  JOIN customer ON o_custkey = c_custkey"
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey"
+    "  JOIN region ON n1.n_regionkey = r_regionkey"
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey"
+    "  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'"
+    "   AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'"
+    "    AND TIMESTAMP '1996-12-31')"
+    " GROUP BY o_year ORDER BY o_year",
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share) adapted: the widest join in the
+    registry — 8 table instances (part, lineitem, supplier, orders,
+    customer, nation×2, region) feeding a conditional-share ratio per
+    year. Fixed dims (nation, region) broadcast; part/supplier/customer
+    scale with SF so AQE picks their strategy. The p_type filter prunes
+    part before its join; the orderdate range prunes orders."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(25,2)")  # noqa: E731
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = (
+        li.join(
+            p.filter(F.col("p_type") == "ECONOMY"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp"),
+                    F.lit("1996-12-31").cast("timestamp"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    share = F.when(
+        F.col("nation") == "NATION_1", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(25,2)"))
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.sum(share).cast("double") / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS total_qty"
+    " FROM customer JOIN orders ON c_custkey = o_custkey"
+    " JOIN lineitem ON o_orderkey = l_orderkey"
+    " WHERE o_orderkey IN ("
+    "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey"
+    "  HAVING sum(CAST(l_quantity AS DECIMAL(25,2))) > 300)"
+    " GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) adapted: the semi-join-on-
+    aggregate topology — an IN-subquery whose inner side is itself a
+    grouped HAVING aggregate over the fact table. Spark plans the IN as
+    a left-semi join against the aggregated keys; at scale both sides
+    shuffle on l_orderkey/o_orderkey and the semi filter runs before
+    the customer join, so only qualifying orders reach it."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(25,2)")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            big_orders.withColumnRenamed("l_orderkey", "_big_orderkey"),
+            F.col("o_orderkey") == F.col("_big_orderkey"),
+            "left_semi",
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "bucketed_join_zero_shuffle",
+    "SELECT c.c_custkey AS custkey, c_mktsegment,"
+    " count(o_orderkey) AS n_orders,"
+    " CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE)"
+    "  AS total_spend"
+    " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+    " GROUP BY c.c_custkey, c_mktsegment",
+)
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (sources/bucketing.py): customer
+    and orders are written ONCE into the session warehouse hash-
+    bucketed on custkey, then joined AND aggregated on that same key —
+    the entire plan (scan → sort-merge join → group-by) runs with ZERO
+    Exchange, asserted here at plan level before the driver executes
+    it. This is the repeated-join lever at 100 TB: the write-side
+    shuffle is paid once, every later join/agg on the key is local.
+    Broadcast is disabled during planning so the assertion tests the
+    sort-merge path, not a trivially-broadcast small table."""
+    from minisql_engine_spark.sources.bucketing import (
+        drop_bucketed,
+        write_bucketed,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    drop_bucketed(spark, "drv_customer_b")
+    drop_bucketed(spark, "drv_orders_b")
+    write_bucketed(c, "drv_customer_b", "custkey", n_buckets=8,
+                   sort_by="custkey")
+    write_bucketed(o, "drv_orders_b", "custkey", n_buckets=8,
+                    sort_by="custkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("drv_customer_b").join(
+            spark.table("drv_orders_b"), on=["custkey"]
+        )
+        out = (
+            joined.groupBy("custkey", "c_mktsegment")
+            .agg(
+                F.count("o_orderkey").alias("n_orders"),
+                R.exact_sum("o_totalprice", "total_spend"),
+            )
+        )
+        # force planning NOW (while broadcast is off) and assert the
+        # zero-shuffle claim; QueryExecution caches the physical plan,
+        # so the driver's later collect() reuses exactly this plan
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, f"bucketed plan shuffled:\n{plan}"
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 # ===========================================================================
 # §2.4 extension operators — LLM-training-data pipeline (BASELINE.json
 # north star): text analysis, dedup families, similarity search.

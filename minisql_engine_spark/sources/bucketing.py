@@ -39,6 +39,22 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop a bucketed catalog table AND its warehouse location.
+
+    A managed-table location can survive as an orphan when a previous
+    session died between write and catalog commit; ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS even in overwrite mode. Cleanup
+    goes through the Hadoop FileSystem API so it works on any
+    Hadoop-compatible store (local, HDFS, S3A), not just local disk."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
 ) -> DataFrame:
