@@ -1256,10 +1256,19 @@ _SIMHASH_CTE = (
     " sums AS (SELECT doc_id, j, sum(contrib) AS s FROM contrib GROUP BY doc_id, j),"
     " fps AS (SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END,"
     "   '' ORDER BY j) AS simhash FROM sums GROUP BY doc_id),"
-    " chunks AS (SELECT doc_id, c, substr(simhash, c * 16 + 1, 16) AS ck"
-    "   FROM fps, (SELECT unnest(range(0, 4)) AS c) t),"
+    # Scale-safe banding (operators/dedup.py simhash_band_keys): 8
+    # bands of 8-bit chunk keys (full recall through hamming 7, 99.8%
+    # at 8) with an occupancy cap of 100 docs per bucket (linear
+    # candidate bound) — mirrored band-for-band so the oracle verifies
+    # the banding itself, cap included.
+    " chunks AS (SELECT doc_id, c AS band, substr(simhash, c * 8 + 1, 8)"
+    "   AS bk FROM fps, (SELECT unnest(range(0, 8)) AS c) t),"
+    " occ AS (SELECT band, bk FROM chunks GROUP BY band, bk"
+    "   HAVING count(*) <= 100),"
+    " okb AS (SELECT c.doc_id, c.band, c.bk FROM chunks c"
+    "   JOIN occ o ON c.band = o.band AND c.bk = o.bk),"
     " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
-    "   FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck"
+    "   FROM okb a JOIN okb b ON a.band = b.band AND a.bk = b.bk"
     "   AND a.doc_id < b.doc_id)"
 )
 
@@ -1276,11 +1285,19 @@ _SIMHASH_CTE = (
     " WHERE hamming <= 8",
 )
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs: tf-weighted sign fingerprint,
-    16-bit-chunk banding, exact Hamming verify (dedup family #3)."""
+    """SimHash-64 near-dup pairs: tf-weighted sign fingerprint, 8×8-bit
+    banding with a 100-doc bucket cap (full recall through hamming 7,
+    linear candidate bound — see simhash_near_dups for the occupancy
+    math and the wide-key combine≥2 variant), exact Hamming verify
+    (dedup family #3)."""
     from minisql_engine_spark.operators.dedup import simhash_near_dups
 
-    out = simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+    out = simhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        max_hamming=8,
+        n_chunks=8,
+        bucket_cap=100,
+    )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
     )

@@ -353,18 +353,92 @@ def simhash_fingerprints(
     )
 
 
+def simhash_band_keys(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    n_chunks: int = 4,
+    combine: int = 1,
+) -> DataFrame:
+    """(id, band, bk) banding table for a simhash fingerprint index.
+
+    Manku-style combinatorial banding (Manku/Jain/Sarma, WWW'07
+    "Detecting Near-Duplicates for Web Crawling"): split the 64-bit
+    fingerprint into ``n_chunks`` equal chunks, then key each band on
+    the CONCATENATION of ``combine`` distinct chunks — one band per
+    C(n_chunks, combine) combination.
+
+    Recall guarantee (pigeonhole): a pair at Hamming distance h has at
+    most h dirty chunks, so if h ≤ n_chunks − combine at least one
+    band's ``combine`` chunks are all clean and the pair collides.
+    Above the guarantee recall degrades gracefully (a miss needs the
+    dirty bits spread over > n_chunks − combine chunks).
+
+    Bucket-occupancy math (the 100 TB lever): band-key width is
+    combine·(64/n_chunks) bits → 2^width buckets per band, so expected
+    occupancy is n/2^width. The guarantee and the occupancy pull in
+    opposite directions — picking rule:
+
+    * generous hamming budget (h ≈ 8, modest corpus): many NARROW
+      bands, n_chunks=8, combine=1 → 8 bands, guarantee h ≤ 7; hot
+      8-bit buckets are handled by ``bucket_cap``, and the exact
+      Hamming verify is the second-level filter.
+    * web-scale corpus (10^9–10^10 docs): the key must out-grow the
+      corpus, width ≥ log2(n)+4. Tighten the budget to the classic
+      h ≤ 3–4 (Manku's crawl setting) and combine chunks:
+      n_chunks=8, combine=4 → C(8,4)=70 bands of 32-bit keys,
+      guarantee h ≤ 4, occupancy ≤ 1 at 4·10^9 docs. Bands cost only
+      fingerprint-table explosion (n·bands tiny rows), never n².
+
+    One ``posexplode`` over an array of band keys — the fingerprint
+    subtree appears exactly once in the plan.
+    """
+    from itertools import combinations
+
+    chunk_len = 64 // n_chunks
+    combos = list(combinations(range(n_chunks), combine))
+    keys = F.array(
+        *[
+            F.concat(
+                *[
+                    F.substring("simhash", c * chunk_len + 1, chunk_len)
+                    for c in combo
+                ]
+            )
+            for combo in combos
+        ]
+    )
+    return fps.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "bk")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
     n_chunks: int = 4,
+    combine: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: banded candidates (any equal 16-bit
-    chunk) verified by exact Hamming distance ≤ max_hamming.
+    """SimHash near-dup pairs: combinatorially-banded candidates
+    verified by exact Hamming distance ≤ max_hamming.
+
+    Banding is delegated to ``simhash_band_keys`` (see its docstring
+    for the C(n_chunks, combine) recall guarantee and the
+    bucket-occupancy math that makes combine ≥ 2 the 100 TB setting).
+
+    ``bucket_cap`` bounds the candidate fan-out: a band bucket holding
+    more than ``bucket_cap`` docs is dropped ENTIRELY before the
+    self-join (an overfull bucket means that band key is
+    non-discriminative for those docs — e.g. near-empty documents
+    hashing to all-zeros). With the cap, candidate pairs are bounded
+    by n_bands · n_docs · (cap−1)/2 — LINEAR in corpus size — instead
+    of Σ bucket² which is quadratic under skew. Dropped docs still
+    collide via their other n_bands−1 keys.
 
     The fingerprint table is persisted before use: it is consumed by
-    four join branches with DIFFERENT join keys, so exchange reuse
+    multiple join branches with DIFFERENT join keys, so exchange reuse
     can't kick in and each branch would otherwise re-run the whole
     fingerprint aggregation (measured 4× recompute). At cluster scale
     the same index would be checkpointed to parquet; (id, 64-bit fp)
@@ -384,19 +458,20 @@ def simhash_near_dups(
         StorageLevel.MEMORY_AND_DISK
     )
     _FPS_CACHE.append(fps)
-    chunk_len = 64 // n_chunks
-    chunks = None
-    for c in range(n_chunks):
-        part = fps.select(
-            F.col(id_col),
-            F.lit(c).alias("chunk"),
-            F.substring("simhash", c * chunk_len + 1, chunk_len).alias("ck"),
+    chunks = simhash_band_keys(fps, id_col, n_chunks, combine)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        occ = Window.partitionBy("band", "bk")
+        chunks = (
+            chunks.withColumn("_n", F.count("*").over(occ))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
         )
-        chunks = part if chunks is None else chunks.unionAll(part)
-    a = chunks.select(F.col(id_col).alias("id_a"), "chunk", "ck")
-    b = chunks.select(F.col(id_col).alias("id_b"), "chunk", "ck")
+    a = chunks.select(F.col(id_col).alias("id_a"), "band", "bk")
+    b = chunks.select(F.col(id_col).alias("id_b"), "band", "bk")
     cand = (
-        a.join(b, ["chunk", "ck"])
+        a.join(b, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -70,6 +70,79 @@ def test_simhash_finds_planted_near_dup(planted_docs):
     assert (1, 4) not in pairs
 
 
+def test_simhash_scale_banding_finds_planted(planted_docs):
+    # the driver configuration (8×8-bit bands + bucket cap: guarantee
+    # h <= 7) must still find the planted exact and near dups
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(
+            planted_docs, max_hamming=8, n_chunks=8, bucket_cap=100
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 8
+    assert (1, 4) not in pairs
+
+
+def test_simhash_combinatorial_bands_find_exact_dup(planted_docs):
+    # wide-key variant (C(4,2) 32-bit keys, guarantee h <= 2): exact
+    # dups always collide; the far pair stays absent
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(
+            planted_docs, max_hamming=2, combine=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """With bucket_cap=c the candidate set is bounded by
+    n_bands · n_docs · (c−1)/2 — linear in corpus size — even when
+    every document collides into one bucket (identical content)."""
+    from minisql_engine_spark.operators.dedup import (
+        simhash_band_keys,
+        simhash_fingerprints,
+    )
+
+    n, cap, n_chunks, combine = 40, 3, 4, 2
+    docs = spark.createDataFrame(
+        [(i, "identical text that lands every doc in one bucket")
+         for i in range(n)],
+        ["doc_id", "text"],
+    )
+    fps = simhash_fingerprints(docs)
+    n_bands = 6  # C(4,2)
+
+    def n_cand(bucket_cap):
+        from pyspark.sql import Window
+
+        chunks = simhash_band_keys(fps, "doc_id", n_chunks, combine)
+        if bucket_cap is not None:
+            occ = Window.partitionBy("band", "bk")
+            chunks = (
+                chunks.withColumn("_n", F.count("*").over(occ))
+                .filter(F.col("_n") <= bucket_cap)
+                .drop("_n")
+            )
+        a = chunks.select(F.col("doc_id").alias("id_a"), "band", "bk")
+        b = chunks.select(F.col("doc_id").alias("id_b"), "band", "bk")
+        return (
+            a.join(b, ["band", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+
+    uncapped = n_cand(None)
+    capped = n_cand(cap)
+    assert uncapped == n * (n - 1) // 2        # quadratic: all-pairs
+    assert capped <= n_bands * n * (cap - 1) // 2   # linear bound
+    assert capped == 0                         # every bucket over cap -> dropped
+
+
 def test_ngram_jaccard_blocked(planted_docs):
     # blocking by source: (1,3) share srcA; (1,2) are in different
     # blocks so the blocked variant must NOT report them.
