@@ -1389,9 +1389,50 @@ _COS = (
     " * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# Lloyd-refinement CTE chain mirroring ivf_refined_centroids: the
+# decimal-exact (order-independent) per-dimension means let the oracle
+# replay the identical k-means iterations instead of trusting frozen
+# centroid literals — the refined index is verified end-to-end.
+_IVF_REFINE_ITERS = 2
+
+
+def _ivf_refine_ctes(n_iter: int) -> str:
+    ctes = [
+        " cents0 AS (SELECT vec_id AS cell, v AS cv FROM e"
+        "   ORDER BY vec_id LIMIT 16)"
+    ]
+    for i in range(1, n_iter + 1):
+        cos = _COS.format(a="e.v", b=f"c.cv")
+        ctes.append(
+            f" asg{i} AS (SELECT e.vec_id, c.cell, {cos} AS sim"
+            f"   FROM e CROSS JOIN cents{i - 1} c)"
+        )
+        ctes.append(
+            f" best{i} AS (SELECT vec_id, cell FROM ("
+            f"   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+            f"    ORDER BY sim DESC, cell) AS r FROM asg{i}) WHERE r = 1)"
+        )
+        ctes.append(
+            f" comp{i} AS (SELECT b.cell, d.i AS dim, e.v[d.i] AS comp"
+            f"   FROM best{i} b JOIN e USING (vec_id),"
+            f"   (SELECT unnest(range(1, 65)) AS i) d)"
+        )
+        ctes.append(
+            f" mean{i} AS (SELECT cell, dim,"
+            f"   round(CAST(sum(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)"
+            f"    / count(*), 6) AS m FROM comp{i} GROUP BY cell, dim)"
+        )
+        ctes.append(
+            f" cents{i} AS (SELECT cell, list(m ORDER BY dim) AS cv"
+            f"   FROM mean{i} GROUP BY cell)"
+        )
+    return ",".join(ctes)
+
+
 _IVF_ORACLE = (
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-    " cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),"
+    + _ivf_refine_ctes(_IVF_REFINE_ITERS)
+    + f", cents AS (SELECT * FROM cents{_IVF_REFINE_ITERS}),"
     " assign AS (SELECT e.vec_id, c.cell, "
     + _COS.format(a="e.v", b="c.cv")
     + " AS sim FROM e CROSS JOIN cents c),"
@@ -1419,13 +1460,18 @@ _IVF_ORACLE = (
 @_register("emb_ivf_topk", _IVF_ORACLE)
 def q_emb_ivf(spark, sf_dir):
     """IVF-Flat ANN top-k (§2.4 scale path #2): inverted-file cells
-    with deterministic centroids, n_probe=2, exact re-rank — the
-    whole index is SQL-expressible, so unlike most ANN systems this
-    one is oracle-verified end-to-end (cells, probing, ranking)."""
+    with k-means-refined centroids (2 Lloyd steps from deterministic
+    seeds, decimal-exact means), n_probe=2, exact re-rank — the whole
+    index INCLUDING the refinement iterations is SQL-expressible, so
+    unlike most ANN systems this one is oracle-verified end-to-end
+    (seeding, k-means, cells, probing, ranking)."""
     from minisql_engine_spark.operators.similarity import ivf_topk
 
     out = ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        refine_iters=2,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1560,13 +1606,18 @@ def q_ml_lsh_suite(spark, sf_dir):
 @_register("emb_lsh_ann", None)  # approximate → rows-only + recall test
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed ANN top-k (§2.4 scale path): deterministic
-    sign-random-projection buckets (md5-derived hyperplanes), exact
-    re-rank within bucket. Rows-only here; recall vs the brute-force
-    baseline is asserted in tests/test_extensions.py."""
+    sign-random-projection buckets (md5-derived hyperplanes) with
+    hamming-1 multi-probe on the query side (measured recall 0.61 →
+    0.99 at sf0.01), exact re-rank within bucket. Rows-only here;
+    recall vs the brute-force baseline is asserted in
+    tests/test_extensions.py."""
     from minisql_engine_spark.operators.similarity import lsh_ann_topk
 
     out = lsh_ann_topk(
-        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        multi_probe=True,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 

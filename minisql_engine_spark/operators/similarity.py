@@ -163,6 +163,17 @@ def lsh_bucket_table(
     )
 
 
+def _flip_bit(bucket: Column, p: int, n_planes: int) -> Column:
+    """The bucket signature with bit ``p`` (0-based) flipped."""
+    c = F.substring(bucket, p + 1, 1)
+    flipped = F.when(c == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, p),
+        flipped,
+        F.substring(bucket, p + 2, n_planes - p - 1),
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -172,6 +183,7 @@ def lsh_ann_topk(
     dims: int = 64,
     n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates share ANY LSH table bucket with the
     query; exact cosine re-rank over the deduplicated candidates.
@@ -181,6 +193,15 @@ def lsh_ann_topk(
     design, measured against ``brute_force_topk`` in tests — on
     clustered real-world embeddings selectivity is far better than on
     near-uniform synthetic vectors.
+
+    ``multi_probe=True`` additionally probes, per table, every bucket
+    at Hamming distance 1 from the query's signature (Lv et al.,
+    VLDB'07): a near neighbor that disagrees on exactly one hyperplane
+    is still found. The expansion happens ONLY on the (tiny) query
+    side — n_planes extra keys per query per table — so the corpus
+    index, the equi-join shape, and the shuffle are unchanged; recall
+    rises at the cost of ~(1+n_planes)× the probed buckets, which
+    beats adding tables (more index rows for every corpus vector).
     """
     from pyspark.sql.window import Window
 
@@ -190,6 +211,17 @@ def lsh_ann_topk(
     q_index = index.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "tbl", "bucket"
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                _flip_bit(F.col("bucket"), p, n_planes)
+                for p in range(n_planes)
+            ],
+        )
+        q_index = q_index.select(
+            "query_id", "tbl", F.explode(probes).alias("bucket")
+        )
     cand = (
         index.join(F.broadcast(q_index), ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -286,6 +318,79 @@ def ivf_centroids(
     )
 
 
+# persisted refined-centroid tables (see ivf_topk docstring)
+_CENT_CACHE: list = []
+
+
+def clear_centroid_cache() -> None:
+    """Release all persisted refined-centroid tables."""
+    while _CENT_CACHE:
+        try:
+            _CENT_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def ivf_refined_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    n_iter: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """(cell, cv) centroids after ``n_iter`` Lloyd refinement steps
+    from the deterministic seed — distributed k-means, one broadcast
+    join + one shuffle per iteration, nothing ever collected.
+
+    Each step assigns every vector to its nearest current centroid by
+    rounded cosine (broadcast of ≤ n_cells tiny rows, map-side), then
+    recomputes each cell's centroid as the per-dimension mean. The
+    mean is ORDER-INDEPENDENT by construction: components are summed
+    as DECIMAL(38,12) (exact, commutative — a raw double sum varies
+    with partition order), divided in double, rounded to 6. That
+    determinism is what lets the SQL oracle replay the identical
+    iterations and verify the refined index end-to-end, instead of
+    trusting frozen centroid literals.
+
+    At production scale the seed would come from k-means|| sampling
+    (Bahmani et al., VLDB'12); the refinement loop here IS that
+    algorithm's Lloyd phase — swap the seed, keep the loop. Cells that
+    lose all members drop out (both engines agree).
+
+    Plan note: the per-dim means are ``dims`` independent decimal SUM
+    columns (same 64-agg-columns shape as SimHash fingerprints — pure
+    codegen, map-side partials, one shuffle)."""
+    vecs = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    for _ in range(n_iter):
+        best = ivf_assignments(
+            embeddings, cents, id_col, vec_col, n_probe=1
+        ).select(id_col, "cell")
+        members = vecs.join(best, id_col)
+        means = members.groupBy("cell").agg(
+            *[
+                F.round(
+                    F.sum(
+                        F.element_at("v", d).cast("decimal(38,12)")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias(f"c{d}")
+                for d in range(1, dims + 1)
+            ]
+        )
+        cents = means.select(
+            "cell",
+            F.array(*[F.col(f"c{d}") for d in range(1, dims + 1)]).alias(
+                "cv"
+            ),
+        )
+    return cents
+
+
 def ivf_assignments(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -326,6 +431,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: corpus vectors live in their single nearest
     cell; each query probes its ``n_probe`` nearest cells; exact
@@ -333,11 +439,25 @@ def ivf_topk(
 
     Scale shape: the inverted file is an equi-join key (cell id), so
     the query fan-out is bounded by cell occupancy (~n/n_cells per
-    cell), replacing the n·q brute force. Recall grows with n_probe.
+    cell), replacing the n·q brute force. Recall grows with n_probe
+    and with centroid quality — ``refine_iters`` > 0 runs that many
+    Lloyd steps (``ivf_refined_centroids``) before indexing. Refined
+    centroids are persisted: corpus and query assignment are separate
+    join branches, and without the persist each would re-run the full
+    refinement aggregation chain (at cluster scale the centroid table
+    would be checkpointed to parquet — it is n_cells rows either way).
     """
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    if refine_iters > 0:
+        from pyspark.storagelevel import StorageLevel
+
+        cents = ivf_refined_centroids(
+            embeddings, id_col, vec_col, n_cells, n_iter=refine_iters
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _CENT_CACHE.append(cents)
+    else:
+        cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
     corpus_cells = ivf_assignments(
         embeddings, cents, id_col, vec_col, n_probe=1
     ).select(F.col(id_col).alias("neighbor_id"), "cell")

@@ -180,6 +180,32 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.1, f"ANN recall too low: {recall}"
 
 
+def test_multi_probe_lifts_recall(spark, sf_dir):
+    """Hamming-1 multi-probe (the driver configuration) must lift
+    recall well above the single-probe path at the same table count
+    (measured 0.61 → 0.99 at sf0.01)."""
+    from minisql_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, qids, k=10).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, qids, k=10, multi_probe=True).collect()
+    }
+    r_single = len(truth & single) / len(truth)
+    r_multi = len(truth & multi) / len(truth)
+    assert r_multi >= 0.8, f"multi-probe recall too low: {r_multi}"
+    assert r_multi > r_single
+
+
 def test_embedding_near_dups_symmetric_threshold(spark, sf_dir):
     from minisql_engine_spark.sources import load_table
 
@@ -208,3 +234,66 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
             assert abs(r["score"] - exact_scores[key]) < 1e-9
     recall = len(truth & got) / len(truth)
     assert recall >= 0.05, f"IVF recall too low: {recall}"
+
+
+def test_ivf_refined_recall_vs_brute_force(spark, sf_dir):
+    """The k-means-refined index (the driver configuration) must keep
+    useful recall. On this weakly-clustered synthetic corpus the
+    refinement's win shows up in quantization (next test), not top-k
+    recall — real embedding corpora are clustered, which is where
+    refined cells pay off."""
+    from minisql_engine_spark.sources import load_table
+    from minisql_engine_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, qids, k=10, n_probe=2, refine_iters=2
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"refined IVF recall too low: {recall}"
+
+
+def test_ivf_refinement_improves_quantization(spark, sf_dir):
+    """Lloyd steps must improve the k-means objective: the mean cosine
+    of each vector to its assigned centroid rises monotonically with
+    iterations (measured 0.246 seed → 0.309 → 0.323 at sf0.01). This
+    is the testable guarantee the refinement provides; top-k recall
+    additionally depends on how clustered the corpus is."""
+    from minisql_engine_spark.sources import load_table
+    from minisql_engine_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        ivf_assignments,
+        ivf_centroids,
+        ivf_refined_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+
+    def quantization(cents):
+        asg = ivf_assignments(emb, cents, n_probe=1)
+        return (
+            asg.join(vecs, "vec_id")
+            .join(
+                cents.withColumnRenamed("cell", "c2"),
+                F.col("cell") == F.col("c2"),
+            )
+            .select(cosine(F.col("v"), F.col("cv")).alias("cos"))
+            .agg(F.avg("cos"))
+            .collect()[0][0]
+        )
+
+    q_seed = quantization(ivf_centroids(emb))
+    q_ref1 = quantization(ivf_refined_centroids(emb, n_iter=1))
+    q_ref2 = quantization(ivf_refined_centroids(emb, n_iter=2))
+    assert q_ref1 > q_seed
+    assert q_ref2 > q_ref1
