@@ -87,6 +87,17 @@ def main() -> None:
         df.count()
     _force(em.flagship(spark, SF_DIR))
 
+    # Persisted intermediates (simhash fingerprints, refined IVF
+    # centroids) are released BETWEEN queries so one query's storage
+    # memory can never skew another's timing — r2's apparent 2.2×
+    # emb_cosine_topk regression did not reproduce locally (0.69 s
+    # both isolated and in-sequence, = r1) and was ambient machine
+    # variance, but this makes the isolation structural. Within a
+    # query, warm→timed cache reuse stays (index reuse IS the usage
+    # pattern for ANN).
+    from minisql_engine_spark.operators.dedup import clear_simhash_cache
+    from minisql_engine_spark.operators.similarity import clear_centroid_cache
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -98,6 +109,8 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 4)
+        clear_simhash_cache()
+        clear_centroid_cache()
 
     # entry flagship on the bench SF as well
     t0 = time.perf_counter()

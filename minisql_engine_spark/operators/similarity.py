@@ -401,9 +401,21 @@ def ivf_assignments(
     """(id, cell, cell_rank) — each vector assigned to its ``n_probe``
     nearest centroids by cosine. Broadcast join against the (tiny)
     centroid table — map-side only; the SAME centroid table must be
-    used for corpus and queries."""
-    from pyspark.sql.window import Window
+    used for corpus and queries.
 
+    The hot n_probe=1 corpus path is a pure HashAggregate with
+    map-side partial combine — NO sort and NO shuffle of the
+    (n × n_cells) scored rows, which matters because Lloyd refinement
+    calls this once per iteration and every reindex calls it over the
+    whole corpus. The argmax ordering is packed into ONE long —
+    ``round(sim·1e6)·2³² − cell`` — because ``max_by`` over a struct
+    ordering falls back to SortAggregate (struct is not a mutable
+    hash-agg buffer type); a long ordering keeps it hash. The packing
+    is exact and order-preserving: sim is already rounded to 6
+    decimals so sim·1e6 is an integer in [−1e6, 1e6], and cell ids
+    (< 2³¹) break ties downward exactly like the window's
+    ``sim DESC, cell ASC``. The ``row_number`` window survives only
+    for n_probe > 1 — the tiny query side."""
     scored = (
         vectors.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("v")
@@ -415,6 +427,18 @@ def ivf_assignments(
             F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
         )
     )
+    if n_probe == 1:
+        packed = (
+            F.round(F.col("sim") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
+            - F.col("cell").cast("long")
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(F.max_by("cell", packed).alias("cell"))
+            .select(id_col, "cell", F.lit(1).alias("cell_rank"))
+        )
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
