@@ -33,18 +33,20 @@ def _load(spark, data_dir: str) -> list[str]:
 def _execute(spark, query: str) -> int:
     from pyspark.errors import AnalysisException, ParseException
 
+    from minisql_engine_spark.format import ascii_table, qualified_headers
     from minisql_engine_spark.plans import run_sql
     from minisql_engine_spark.plans.dialect import DialectError
 
     try:
         df = run_sql(spark, query)
-        # print the full result like the reference's one-shot mode
-        # (O19/O21); cap at 100k rows to keep the driver safe and say
-        # so explicitly when truncating
+        # reference-layout AsciiTable grid (O19/O21), qualified
+        # table.col headers from the analyzed plan; ONE plan
+        # execution — take(cap+1) both fetches the rows and detects
+        # truncation (cap keeps the driver safe; say so when it bites)
         cap = 100_000
-        rows = df.limit(cap + 1).count()
-        df.show(n=cap, truncate=False)
-        if rows > cap:
+        rows = df.take(cap + 1)
+        print(ascii_table(qualified_headers(df), rows[:cap]))
+        if len(rows) > cap:
             print(f"... output truncated at {cap} rows", file=sys.stderr)
         return 0
     except (AnalysisException, ParseException, DialectError) as exc:
