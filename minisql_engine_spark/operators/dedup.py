@@ -451,8 +451,27 @@ def simhash_near_dups(
     so entries are tracked but NOT eagerly unpersisted (doing so was
     measured to force a fingerprint recompute on back-to-back runs).
     Call ``clear_simhash_cache()`` to release them explicitly.
+
+    Recall contract: Hamming distances up to ``n_chunks − combine``
+    are GUARANTEED found (pigeonhole over clean chunks, modulo
+    ``bucket_cap`` drops); distances above that bound are found only
+    probabilistically via a luckier band — a warning says so when the
+    requested ``max_hamming`` exceeds the guarantee, because the
+    parameter otherwise reads like a hard contract.
     """
+    import warnings
+
     from pyspark.storagelevel import StorageLevel
+
+    guarantee = n_chunks - combine
+    if max_hamming > guarantee:
+        warnings.warn(
+            f"max_hamming={max_hamming} exceeds the banding recall "
+            f"guarantee (n_chunks-combine={guarantee}): pairs at "
+            f"Hamming {guarantee + 1}..{max_hamming} are found only "
+            "probabilistically",
+            stacklevel=2,
+        )
 
     fps = simhash_fingerprints(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK

@@ -107,17 +107,28 @@ def _fake_decode_stats(payload: bytes) -> tuple[int, float]:
     return n, (sum(payload) / n if n else 0.0)
 
 
-def extract_features(with_payloads: DataFrame) -> DataFrame:
+def extract_features(
+    with_payloads: DataFrame,
+    decoder=None,
+) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``.
 
     Arrow-batched: each partition arrives as an iterator of pandas
-    DataFrames; per-row byte processing happens in numpy/pure Python
-    (the fake decode), output rows follow ``FEATURE_SCHEMA``.
+    DataFrames; per-row byte processing happens in numpy/pure Python,
+    output rows follow ``FEATURE_SCHEMA``.
+
+    ``decoder`` is an injectable codec — a picklable callable
+    ``bytes -> (n_bytes, mean_value)`` shipped to executors inside
+    the Arrow UDF, so production users wire Pillow/librosa WITHOUT
+    editing this module (e.g. ``lambda b: real_image_stats(b)``
+    calling :func:`decode_image`). Default stays the deterministic
+    fake (byte statistics) that the SQL oracle can reproduce.
     """
+    decode = decoder or _fake_decode_stats
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = pdf["payload"].map(_fake_decode_stats)
+            stats = pdf["payload"].map(decode)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -263,27 +263,82 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
+def lsh_block_candidates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    dims: int = 64,
+    n_tables: int = N_TABLES,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Candidate (blk, id_a, id_b) pairs within a block that share an
+    SRP-LSH bucket in ANY table. Input: (id, blk, v) rows. The index
+    carries (id, blk, tbl, bucket) only — no vector payload shuffles —
+    and candidates are bounded by per-bucket occupancy (expected
+    ~n²/2^n_planes per table for near-orthogonal vectors) instead of
+    the block's full n²."""
+    buckets = F.array(
+        *[
+            lsh_bucket_expr(F.col("v"), dims, t, n_planes)
+            for t in range(n_tables)
+        ]
+    )
+    idx = vectors.select(
+        F.col(id_col), "blk", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    ia = idx.select(
+        F.col(id_col).alias("id_a"), "blk", "tbl", "bucket"
+    )
+    ib = idx.select(
+        F.col(id_col).alias("id_b"), "blk", "tbl", "bucket"
+    )
+    return (
+        ia.join(ib, ["blk", "tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b")
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_block_size: int = 10_000,
+    dims: int = 64,
 ) -> DataFrame:
     """Near-duplicate vector pairs: exact cosine ≥ threshold within a
-    blocking key (label) — blocked all-pairs, the embedding analog of
-    ``dedup.ngram_jaccard_pairs``. Returns (id_a, id_b, cos_sim)."""
+    blocking key (label) — the embedding analog of
+    ``dedup.ngram_jaccard_pairs``. Returns (id_a, id_b, cos_sim).
+
+    Scale guard: blocks are all-pairs ONLY up to ``max_block_size``
+    rows. A skewed blocking key used to send one giant block
+    quadratic; now any block over the cap routes through the SRP-LSH
+    bucket join (``lsh_block_candidates``) — candidates share a
+    hyperplane-signature bucket, then get the SAME exact cosine
+    scoring, so precision stays 1.0 (every emitted pair's cos_sim is
+    exact and ≥ threshold) and only recall becomes probabilistic,
+    rising with threshold (high-similarity pairs collide in some
+    table with probability ~1-(1-(1-θ/π)^8)^n_tables). Both branches
+    are one plan; on unskewed data the fallback branch is empty and
+    costs one small per-block count aggregate."""
     e = embeddings.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         _as_double(F.col(vec_col)).alias("v"),
     )
-    a = e.select(
+    sizes = e.groupBy("blk").agg(F.count("*").alias("blk_n"))
+    e = e.join(sizes, "blk")  # one row per block; AQE picks broadcast
+    small = e.filter(F.col("blk_n") <= max_block_size)
+    big = e.filter(F.col("blk_n") > max_block_size)
+
+    a = small.select(
         F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va")
     )
-    b = e.select(
+    b = small.select(
         F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb")
     )
-    return (
+    exact = (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -293,6 +348,21 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+    cand = lsh_block_candidates(big, id_col, dims)
+    va = big.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = big.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    approx = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return exact.unionByName(approx)
 
 # ---------------------------------------------------------------------------
 # IVF-Flat ANN (inverted-file index with deterministic centroids)

@@ -46,13 +46,35 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
     session died between write and catalog commit; ``saveAsTable`` then
     fails with LOCATION_ALREADY_EXISTS even in overwrite mode. Cleanup
     goes through the Hadoop FileSystem API so it works on any
-    Hadoop-compatible store (local, HDFS, S3A), not just local disk."""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    Hadoop-compatible store (local, HDFS, S3A), not just local disk.
+
+    Deletion is guarded, never guessed: for a cataloged table the REAL
+    location comes from ``DESCRIBE TABLE EXTENDED`` (correct in any
+    database) and is removed only for MANAGED tables — an external
+    table's data is never touched. For the catalog-less orphan case
+    the ``{warehouse}/{table}`` fallback applies only to unqualified
+    (default-database) names and only if the directory exists."""
+    managed_location: str | None = None
+    if spark.catalog.tableExists(table):
+        info = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        if info.get("Type", "").upper() == "MANAGED":
+            managed_location = info.get("Location")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     jvm = spark._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    if managed_location is not None:
+        # DROP TABLE usually removed the data already; sweep leftovers
+        path = jvm.org.apache.hadoop.fs.Path(managed_location)
+    elif "." not in table:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    else:
+        return  # qualified name, not in catalog: no safe path to guess
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(path, True)
+    if fs.exists(path):
+        fs.delete(path, True)
 
 
 def bucketed_join(

@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
+class CsvSchemaError(ValueError):
+    """A CSV row's column count contradicts the metadata declaration
+    (reference behavior: hard error, ``sqlengine.py:152-154`` — NOT a
+    silent NULL-fill, which hides data corruption)."""
+
+
 def parse_metadata(metadata_path: str) -> dict[str, list[str]]:
     """Parse the ``<begin_table>`` block format → {table: [columns…]}.
 
@@ -59,17 +65,48 @@ def parse_metadata(metadata_path: str) -> dict[str, list[str]]:
     return tables
 
 
+def _validate_column_counts(
+    spark: SparkSession, path: str, table: str, expected: int
+) -> None:
+    """Error on the first CSV row whose column count contradicts the
+    metadata (the reference errors too, ``sqlengine.py:152-154``;
+    Spark's schema'd CSV reader would silently NULL-fill/truncate).
+
+    Distributed and early-exiting: a text scan + ``limit(1)`` stops
+    at the first offending row instead of scanning the whole file.
+    Comma-split counting is exact for the reference's integer CSVs
+    (no embedded commas — cells are integers, quoted or not)."""
+    bad = (
+        spark.read.text(path)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(F.size(F.split("value", ",")).alias("n"))
+        .filter(F.col("n") != expected)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise CsvSchemaError(
+            f"table '{table}': CSV row has {bad[0]['n']} columns but "
+            f"metadata declares {expected}"
+        )
+
+
 def load_csv_database(
     spark: SparkSession,
     data_dir: str,
     metadata_name: str = "metadata.txt",
     register: bool = True,
+    validate: bool = True,
 ) -> dict[str, DataFrame]:
     """Load every metadata-declared table from headerless integer CSVs.
 
     Returns {table_name: DataFrame(LongType columns)}. LongType (not
     Int) keeps SUM overflow-safe at 100 TB scale (SURVEY §1.3).
     Missing CSV files are skipped; empty CSVs produce empty DataFrames.
+    ``validate=True`` (default) raises :class:`CsvSchemaError` when a
+    row's column count contradicts the metadata — one extra
+    early-exit scan per table, the right trade for the (small)
+    reference-parity catalog; the scale path is the parquet catalog.
     """
     schema_map = parse_metadata(os.path.join(data_dir, metadata_name))
     out: dict[str, DataFrame] = {}
@@ -77,6 +114,8 @@ def load_csv_database(
         path = os.path.join(data_dir, f"{table}.csv")
         if not os.path.exists(path):
             continue
+        if validate:
+            _validate_column_counts(spark, path, table, len(cols))
         raw_schema = StructType(
             [StructField(c, StringType(), nullable=True) for c in cols]
         )

@@ -72,3 +72,27 @@ def test_analyze_table_statistics(spark, bucketed_tables):
     detail = spark.sql(f"DESCRIBE TABLE EXTENDED {lt}").collect()
     stats = {r["col_name"]: r["data_type"] for r in detail}
     assert "Statistics" in stats and "rows" in stats["Statistics"]
+
+
+def test_drop_bucketed_never_touches_external_path(spark, sf_dir, tmp_path):
+    """drop_bucketed resolves the real managed location from the
+    catalog and refuses to guess paths for qualified uncataloged
+    names — an unrelated directory named like the table survives."""
+    from minisql_engine_spark.sources.bucketing import drop_bucketed
+
+    decoy = tmp_path / "somedb.db"
+    decoy.mkdir()
+    (decoy / "marker.txt").write_text("do not delete")
+    # qualified name, not in catalog: must be a no-op on disk
+    drop_bucketed(spark, "somedb.ghost_table")
+    assert (decoy / "marker.txt").exists()
+
+    # managed default-db table: dropped from catalog AND disk
+    load_table(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(
+        "drop_guard_t"
+    )
+    assert spark.catalog.tableExists("drop_guard_t")
+    drop_bucketed(spark, "drop_guard_t")
+    assert not spark.catalog.tableExists("drop_guard_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert not os.path.exists(os.path.join(wh, "drop_guard_t"))

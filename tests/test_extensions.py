@@ -297,3 +297,42 @@ def test_ivf_refinement_improves_quantization(spark, sf_dir):
     q_ref2 = quantization(ivf_refined_centroids(emb, n_iter=2))
     assert q_ref1 > q_seed
     assert q_ref2 > q_ref1
+
+
+def test_near_dup_block_guard_bounds_skewed_blocks(spark, sf_dir):
+    """A degenerate all-one-label corpus (maximal blocking-key skew)
+    must NOT go quadratic: oversized blocks route through the SRP-LSH
+    bucket join, whose candidate count is a small fraction of the
+    block's n(n-1)/2, and every emitted pair is exactly scored (the
+    fallback loses only recall, never precision)."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.similarity import (
+        _as_double,
+        embedding_near_dups,
+        lsh_block_candidates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = emb.withColumn("label", F.lit("x"))
+    n = one.count()
+
+    prepped = one.select(
+        F.col("vec_id"), F.col("label").alias("blk"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    cand = lsh_block_candidates(prepped).count()
+    all_pairs = n * (n - 1) // 2
+    assert cand < 0.25 * all_pairs, (cand, all_pairs)
+
+    # fallback output ⊆ exact output with identical scores
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dups(one, threshold=0.4).collect()
+    }
+    approx = embedding_near_dups(
+        one, threshold=0.4, max_block_size=max(10, n // 10)
+    ).collect()
+    assert approx, "fallback path must still find high-sim pairs"
+    for r in approx:
+        assert exact[(r["id_a"], r["id_b"])] == r["cos_sim"]

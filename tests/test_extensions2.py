@@ -132,3 +132,23 @@ def test_scale_shuffle_partitions(spark, sf_dir):
         assert n2 == spark.sparkContext.defaultParallelism
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_multimodal_decoder_injection(spark, sf_dir):
+    """A production codec can be wired through extract_features
+    without editing the module: inject a toy decoder and verify its
+    outputs flow through the Arrow pipeline."""
+    from minisql_engine_spark.operators.multimodal import (
+        extract_features,
+        synthesize_payloads,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = synthesize_payloads(docs)
+    out = extract_features(
+        payloads, decoder=lambda b: (len(b) * 2, 42.0)
+    ).collect()
+    assert len(out) == 20
+    # md5 payloads are 16 bytes; the toy decoder doubles the count
+    assert all(r["n_bytes"] == 32 and r["mean_byte"] == 42.0 for r in out)

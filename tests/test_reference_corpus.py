@@ -174,3 +174,23 @@ def test_pandas_quality_udf_null_text(spark):
     rows = {r["i"]: r["q"] for r in df.select(
         "i", quality_score_pandas_udf("text").alias("q")).collect()}
     assert rows[2] is None and rows[1] is not None
+
+
+def test_csv_column_count_mismatch_errors(spark, tmp_path):
+    """Reference parity (sqlengine.py:152-154): a CSV row whose column
+    count contradicts metadata.txt is a hard error, not a silent
+    NULL-fill."""
+    from minisql_engine_spark.sources.csv_metadata import (
+        CsvSchemaError,
+        load_csv_database,
+    )
+
+    (tmp_path / "metadata.txt").write_text(
+        "<begin_table>\nbadtab\nA\nB\nC\n<end_table>\n"
+    )
+    (tmp_path / "badtab.csv").write_text("1,2,3\n4,5\n6,7,8\n")
+    with pytest.raises(CsvSchemaError, match="badtab.*2 columns.*3"):
+        load_csv_database(spark, str(tmp_path))
+    # validate=False restores the permissive NULL-fill read
+    dfs = load_csv_database(spark, str(tmp_path), validate=False, register=False)
+    assert dfs["badtab"].count() == 3
