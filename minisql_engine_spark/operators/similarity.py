@@ -54,6 +54,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with pre-materialized norms — bit-identical to
+    ``cosine(a, b)`` (same expressions, same operation order) but the
+    per-vector ``sqrt(dot(v,v))`` fold is computed ONCE per row in a
+    projection BELOW the join boundary instead of once per scored
+    PAIR. In every top-k/assignment path the pair count is n×q or
+    n×n_cells, so this removes 2 of the 3 64-element folds from the
+    hot multiply: scoring cost drops ~3× while the oracle hash stays
+    unchanged (verified — tests/test_oracle_parity.py)."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -76,18 +88,24 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
         )
+        .withColumn("qn", norm(F.col("qv")))
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -114,28 +132,46 @@ def _plane_component(table: int, p: int, d: int) -> float:
     return int(h[0], 16) - 7.5
 
 
-def lsh_bucket_expr(
-    vec_col: Column, dims: int, table: int, n_planes: int = N_PLANES
-) -> Column:
-    """One table's bucket signature: concat of sign(v·plane_p) bits.
+def _plane_hex(table: int, p: int, dims: int) -> str:
+    """The plane's ``dims`` components packed as one hex string —
+    char d is md5('t:p:d')[0], so component d = hexval(char) − 7.5."""
+    import hashlib
 
-    Planes are constant arrays folded into the plan (no join, no
-    shuffle): bucket computation is pure map-side. The dot product is
-    a ``zip_with``+``aggregate`` fold over a constant array rather
-    than dims×planes inlined multiply-adds — keeps the generated code
-    under the JVM's 64 KB method limit at any dims."""
-    bits = []
+    return "".join(
+        hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[0]
+        for d in range(dims)
+    )
+
+
+def lsh_bucket_expr(
+    vec_field: str, dims: int, table: int, n_planes: int = N_PLANES
+) -> Column:
+    """One table's bucket signature: concat of sign(v·plane_p) bits,
+    for the array column named ``vec_field``.
+
+    Planes are constants folded into the plan (no join, no shuffle):
+    bucket computation is pure map-side. Two plan-construction traps
+    measured here: (a) dims×planes×tables ``F.lit`` nodes cost ~4 s
+    of py4j round-trips per query BEFORE any row moved — each plane
+    is instead ONE packed hex string decoded per element
+    (``conv(char,16,10) − 7.5``, exact halves); (b) composing the
+    folds through the functional Column API still made thousands of
+    py4j calls, so the whole signature is ONE ``F.expr`` SQL string —
+    a single round-trip, parsed JVM-side. Fold order (left-to-right)
+    and arithmetic match the original literal-array encoding, so
+    signatures are bit-identical and the SQL oracle can still rebuild
+    planes from md5."""
+    parts = []
     for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(_plane_component(table, p, d)) for d in range(dims)]
+        hx = _plane_hex(table, p, dims)
+        fold = (
+            f"aggregate(transform({vec_field}, (x, i) ->"
+            f" cast(x as double) *"
+            f" (cast(conv(substring('{hx}', i + 1, 1), 16, 10) as double)"
+            f" - 7.5d)), 0d, (acc, x) -> acc + x)"
         )
-        s = F.aggregate(
-            F.zip_with(vec_col, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        parts.append(f"case when {fold} > 0d then '1' else '0' end")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def lsh_bucket_table(
@@ -154,7 +190,7 @@ def lsh_bucket_table(
     so shuffle rows are (id, short string)."""
     buckets = F.array(
         *[
-            lsh_bucket_expr(F.col(vec_col), dims, t, n_planes)
+            lsh_bucket_expr(vec_col, dims, t, n_planes)
             for t in range(n_tables)
         ]
     )
@@ -230,14 +266,17 @@ def lsh_ann_topk(
     )
     vecs = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     qv = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nv", "qn")
     )
-    cv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
-        "v", "cv"
+    cv = (
+        vecs.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed("v", "cv")
+        .withColumnRenamed("nv", "cn")
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -245,7 +284,12 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -278,7 +322,7 @@ def lsh_block_candidates(
     the block's full n²."""
     buckets = F.array(
         *[
-            lsh_bucket_expr(F.col("v"), dims, t, n_planes)
+            lsh_bucket_expr("v", dims, t, n_planes)
             for t in range(n_tables)
         ]
     )
@@ -323,43 +367,57 @@ def embedding_near_dups(
     table with probability ~1-(1-(1-θ/π)^8)^n_tables). Both branches
     are one plan; on unskewed data the fallback branch is empty and
     costs one small per-block count aggregate."""
-    e = embeddings.select(
-        F.col(id_col), F.col(block_col).alias("blk"),
-        _as_double(F.col(vec_col)).alias("v"),
+    from pyspark.sql.window import Window
+
+    # Block sizes via a window over blk, NOT groupBy+self-join: the
+    # window's shuffle is the SAME hash-partitioning by blk the pair
+    # join needs, so every downstream branch (a/b/va/vb) reuses ONE
+    # exchange (ReusedExchange) instead of re-running the scan+norm
+    # subtree per branch — Spark dedupes identical exchanges, not
+    # arbitrary common subplans.
+    e = (
+        embeddings.select(
+            F.col(id_col), F.col(block_col).alias("blk"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nv", norm(F.col("v")))
+        .withColumn("blk_n", F.count("*").over(Window.partitionBy("blk")))
     )
-    sizes = e.groupBy("blk").agg(F.count("*").alias("blk_n"))
-    e = e.join(sizes, "blk")  # one row per block; AQE picks broadcast
     small = e.filter(F.col("blk_n") <= max_block_size)
     big = e.filter(F.col("blk_n") > max_block_size)
 
+    sim = F.round(
+        cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+    ).alias("cos_sim")
+
     a = small.select(
-        F.col(id_col).alias("id_a"), "blk", F.col("v").alias("va")
+        F.col(id_col).alias("id_a"), "blk",
+        F.col("v").alias("va"), F.col("nv").alias("na"),
     )
     b = small.select(
-        F.col(id_col).alias("id_b"), "blk", F.col("v").alias("vb")
+        F.col(id_col).alias("id_b"), "blk",
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
     )
     exact = (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", sim)
         .filter(F.col("cos_sim") >= threshold)
     )
 
     cand = lsh_block_candidates(big, id_col, dims)
-    va = big.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = big.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    va = big.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    vb = big.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
     approx = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", sim)
         .filter(F.col("cos_sim") >= threshold)
     )
     return exact.unionByName(approx)
@@ -490,11 +548,17 @@ def ivf_assignments(
         vectors.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("v")
         )
-        .crossJoin(F.broadcast(centroids))
+        .withColumn("nv", norm(F.col("v")))
+        .crossJoin(
+            F.broadcast(centroids.withColumn("nc", norm(F.col("cv"))))
+        )
         .select(
             F.col(id_col),
             "cell",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                cosine_pre(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")),
+                6,
+            ).alias("sim"),
         )
     )
     if n_probe == 1:
@@ -573,14 +637,17 @@ def ivf_topk(
     )
     vecs = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("nv", norm(F.col("v")))
     qv = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .withColumnRenamed(id_col, "query_id")
         .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nv", "qn")
     )
-    cv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
-        "v", "cv"
+    cv = (
+        vecs.withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed("v", "cv")
+        .withColumnRenamed("nv", "cn")
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -588,7 +655,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                cosine_pre(
+                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
