@@ -41,12 +41,17 @@ from pyspark.sql import functions as F
 NUM_HASHES = 8
 BAND_SIZE = 2
 
-# persisted simhash fingerprint indexes (see simhash_near_dups docstring)
+# persisted dedup intermediates — simhash fingerprint indexes and
+# minhash shingle tables (see simhash_near_dups docstring for the
+# cache-lifecycle rationale; both are (re)built per corpus and read
+# by several join branches with different keys, so exchange reuse
+# cannot cover them)
 _FPS_CACHE: list = []
 
 
 def clear_simhash_cache() -> None:
-    """Release all persisted simhash fingerprint indexes."""
+    """Release all persisted dedup intermediates (simhash
+    fingerprints, minhash shingle tables)."""
     while _FPS_CACHE:
         try:
             _FPS_CACHE.pop().unpersist()
@@ -159,7 +164,12 @@ def minhash_signatures(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig_{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        # |shingles(doc)| rides the SAME shuffle (shingles are
+        # distinct per doc) — downstream Jaccard verification reads
+        # set sizes from here instead of a fourth pass over the
+        # shingle table
+        F.count("*").alias("n_sh"),
     )
 
 
@@ -222,17 +232,22 @@ def jaccard_verify(
     pairs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for candidate pairs.
 
     ``exploded`` is the (id, sh) distinct-shingle table — passing it
     in (rather than re-deriving from raw text) keeps the plan to ONE
     shingling subtree shared across the intersect and size branches.
-    The intersect join is pair-restricted first, so only candidate
-    docs' shingles flow; |A∩B| / (|A|+|B|-|A∩B|) is a single integer
-    division → bit-identical in the oracle.
+    Pass ``sizes`` (id, n_sh) to reuse set sizes already computed
+    elsewhere (e.g. on the minhash-signature shuffle) instead of
+    aggregating the shingle table again. The intersect join is
+    pair-restricted first, so only candidate docs' shingles flow;
+    |A∩B| / (|A|+|B|-|A∩B|) is a single integer division →
+    bit-identical in the oracle.
     """
-    sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = exploded.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     ea = exploded.select(F.col(id_col).alias("id_a"), F.col("sh"))
     eb = exploded.select(F.col(id_col).alias("id_b"), F.col("sh"))
     inter = (
@@ -288,12 +303,33 @@ def minhash_lsh_dedup(
     Plan-shape note (the 100 TB concern): every stage derives from a
     single ``shingle_table`` subtree and the signature aggregation
     appears once per join branch, not once per band/hash — at sf0.1
-    this cut wall time ~6× versus the naive branching pipeline.
+    this cut wall time ~6× versus the naive branching pipeline. The
+    shingle table is persisted (it feeds the signature aggregate and
+    both sides of the pair-restricted intersect join — three
+    branches with different keys, beyond exchange reuse), and set
+    sizes ride the signature shuffle instead of a fourth pass.
     """
-    ex = shingle_table(df, id_col, text_col)
-    sigs = minhash_signatures(df, id_col, text_col, shingles=ex)
+    from pyspark.storagelevel import StorageLevel
+
+    ex = shingle_table(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _FPS_CACHE.append(ex)
+    # The signature index is persisted too: min(<hex string>) is not
+    # hash-agg-bufferable, so Spark computes it as a SortAggregate
+    # over the full shingle table — and the LSH self-join would run
+    # that sort TWICE (once per side; the two consumers need
+    # different downstream partitionings). Persisting the n_docs ×
+    # num_hashes result runs it once. (A 60-bit integer hash family
+    # would make this a pure HashAggregate — kept hex-string so the
+    # DuckDB oracle replays signatures byte-for-byte.)
+    sigs = minhash_signatures(df, id_col, text_col, shingles=ex).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _FPS_CACHE.append(sigs)
     pairs = lsh_candidate_pairs(lsh_band_keys(sigs, id_col), id_col)
-    return jaccard_verify(ex, pairs, id_col, threshold=threshold)
+    sizes = sigs.select(F.col(id_col), "n_sh")
+    return jaccard_verify(ex, pairs, id_col, threshold=threshold, sizes=sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -334,22 +370,25 @@ def simhash_fingerprints(
 
     def s_j(j: int) -> Column:
         # hex digit d = j div 4 (1-indexed substr), bit k = 3 - j%4 —
-        # all positions literal → pure codegen
-        hexval = F.expr(
-            f"instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1"
+        # all positions literal → pure codegen. ONE F.expr per bit:
+        # the equivalent Column-API composition makes ~6 py4j
+        # round-trips per bit, which at 64 bits cost ~1.5 s of driver
+        # time on every plan BUILD (measured r3) before a single row
+        # moved. Arithmetic is identical (`/` is double division in
+        # both forms), so fingerprints are bit-stable.
+        return F.expr(
+            f"sum(tf * ((cast(floor((instr('0123456789abcdef',"
+            f" substring(h, {j // 4 + 1}, 1)) - 1)"
+            f" / {2 ** (3 - j % 4)}) as int) % 2) * 2 - 1)) as s{j}"
         )
-        bit = F.floor(hexval / F.lit(2 ** (3 - j % 4))).cast("int") % 2
-        return F.sum(F.col("tf") * (bit * 2 - 1)).alias(f"s{j}")
 
     sums = tf.groupBy(id_col).agg(*[s_j(j) for j in range(bits)])
+    bitstr = ", ".join(
+        f"case when s{j} > 0 then '1' else '0' end" for j in range(bits)
+    )
     return sums.select(
         F.col(id_col),
-        F.concat(
-            *[
-                F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-                for j in range(bits)
-            ]
-        ).alias("simhash"),
+        F.expr(f"concat({bitstr})").alias("simhash"),
     )
 
 
@@ -489,11 +528,17 @@ def simhash_near_dups(
         )
     a = chunks.select(F.col(id_col).alias("id_a"), "band", "bk")
     b = chunks.select(F.col(id_col).alias("id_b"), "band", "bk")
+    # NOTE deliberately no .distinct() here: a pair colliding in k
+    # bands appears k times, but dedup on the candidate set would
+    # shuffle every candidate (measured 839k rows at sf0.1, ~5% of
+    # them dupes) while verification is pure bit arithmetic. Cheaper
+    # to XOR-verify every occurrence and dedup the tiny verified
+    # output instead (17k rows at sf0.1; bounded by the true-pair
+    # count × n_bands in general). Measured 1.76 → 0.97 s.
     cand = (
         a.join(b, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     # Hamming via XOR + popcount on two 32-bit halves — whole-stage
     # codegen (an interpreted per-character zip_with fold was ~10×
@@ -523,6 +568,7 @@ def simhash_near_dups(
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
