@@ -67,8 +67,26 @@ def _nanos_timestamp_fields(path: str) -> list[str]:
     ]
 
 
+# Memoized lazy DataFrames, per session (weak — a stopped session's
+# entries die with it) then keyed by (dir, table). A DataFrame is an
+# immutable logical plan, so handing the same object to every caller
+# is safe — and spark.read.parquet costs a py4j round-trip plus JVM
+# file listing (~50-100 ms), which a 7-table TPC-H query would
+# otherwise pay 7× on every plan build. NOTE the memoized plan pins
+# the file listing taken at first read; after overwriting a table
+# path in-place, call clear_table_cache().
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_table_cache() -> None:
+    """Drop memoized table handles (tests / layout changes)."""
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazily open one parquet table under ``sf_dir``.
+    """Lazily open one parquet table under ``sf_dir`` (memoized).
 
     Handles TIMESTAMP(NANOS) parquet columns (e.g. ``events.ts``),
     which Spark's vectorized reader rejects by default: ONLY when the
@@ -81,6 +99,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_timestamp_fields(path)
@@ -97,6 +121,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+    per_session[key] = df
     return df
 
 
