@@ -66,6 +66,35 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+# SQL-string twins of the Column helpers above, for the hot builders.
+# Each Python-side lambda in F.zip_with/F.aggregate costs several
+# py4j round-trips to register (~7 ms per higher-order call —
+# measured r3: ~0.4 s of every IVF plan build); the SQL forms parse
+# JVM-side in one trip and produce the IDENTICAL expression tree
+# (same lambdafunction nodes, same left-to-right fold, same 0.0
+# double seed), so scores stay bit-stable.
+
+
+def as_double_sql(field: str) -> str:
+    return f"transform({field}, x -> cast(x as double))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" 0.0d, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def score_sql(a: str, b: str, na: str, nb: str) -> str:
+    """round(cosine, 6) from pre-materialized norms."""
+    return f"round({dot_sql(a, b)} / ({na} * {nb}), 6)"
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -82,30 +111,21 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    q = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-        )
-        .withColumn("qn", norm(F.col("qv")))
-    )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).selectExpr(
+        f"{id_col} as query_id",
+        as_double_sql(vec_col) + " as qv",
+    ).withColumn("qn", F.expr(norm_sql("qv")))
+    c = embeddings.selectExpr(
+        f"{id_col} as neighbor_id",
+        as_double_sql(vec_col) + " as cv",
+    ).withColumn("cn", F.expr(norm_sql("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_pre(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-                ),
-                6,
-            ).alias("score"),
+            F.expr(score_sql("qv", "cv", "qn", "cn")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -264,9 +284,9 @@ def lsh_ann_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
-    vecs = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
+    vecs = embeddings.selectExpr(
+        id_col, as_double_sql(vec_col) + " as v"
+    ).withColumn("nv", F.expr(norm_sql("v")))
     qv = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .withColumnRenamed(id_col, "query_id")
@@ -284,12 +304,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_pre(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-                ),
-                6,
-            ).alias("score"),
+            F.expr(score_sql("qv", "cv", "qn", "cn")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -376,19 +391,18 @@ def embedding_near_dups(
     # subtree per branch — Spark dedupes identical exchanges, not
     # arbitrary common subplans.
     e = (
-        embeddings.select(
-            F.col(id_col), F.col(block_col).alias("blk"),
-            _as_double(F.col(vec_col)).alias("v"),
+        embeddings.selectExpr(
+            id_col,
+            f"{block_col} as blk",
+            as_double_sql(vec_col) + " as v",
         )
-        .withColumn("nv", norm(F.col("v")))
+        .withColumn("nv", F.expr(norm_sql("v")))
         .withColumn("blk_n", F.count("*").over(Window.partitionBy("blk")))
     )
     small = e.filter(F.col("blk_n") <= max_block_size)
     big = e.filter(F.col("blk_n") > max_block_size)
 
-    sim = F.round(
-        cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
-    ).alias("cos_sim")
+    sim = F.expr(score_sql("va", "vb", "na", "nb")).alias("cos_sim")
 
     a = small.select(
         F.col(id_col).alias("id_a"), "blk",
@@ -440,9 +454,9 @@ def ivf_centroids(
     smallest ids — deterministic, reproducible in SQL, a legitimate
     IVF seeding (at cluster scale you'd refresh centroids with
     k-means||; the index structure and query path stay identical)."""
-    return embeddings.orderBy(F.col(id_col)).limit(n_cells).select(
-        F.col(id_col).alias("cell"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    return embeddings.orderBy(F.col(id_col)).limit(n_cells).selectExpr(
+        f"{id_col} as cell",
+        as_double_sql(vec_col) + " as cv",
     )
 
 
@@ -489,35 +503,32 @@ def ivf_refined_centroids(
     Plan note: the per-dim means are ``dims`` independent decimal SUM
     columns (same 64-agg-columns shape as SimHash fingerprints — pure
     codegen, map-side partials, one shuffle)."""
-    vecs = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    vecs = embeddings.selectExpr(id_col, as_double_sql(vec_col) + " as v")
     cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    # ONE F.expr per dimension, built ONCE and reused across
+    # iterations (Column objects are immutable unresolved
+    # expressions): the Column-API composition of the same mean
+    # (~7 py4j calls × dims × n_iter) cost ~1.9 s of driver time per
+    # plan BUILD (measured r3). SQL `/` is the same double division;
+    # values are bit-stable.
+    mean_cols = [
+        F.expr(
+            f"round(cast(sum(cast(element_at(v, {d}) as"
+            f" decimal(38,12))) as double) / count(*), 6)"
+            f" as c{d}"
+        )
+        for d in range(1, dims + 1)
+    ]
+    cv_col = F.expr(
+        "array(" + ", ".join(f"c{d}" for d in range(1, dims + 1)) + ")"
+    ).alias("cv")
     for _ in range(n_iter):
         best = ivf_assignments(
             embeddings, cents, id_col, vec_col, n_probe=1
         ).select(id_col, "cell")
         members = vecs.join(best, id_col)
-        # ONE F.expr per dimension: the Column-API composition of the
-        # same mean (~7 py4j calls × dims × n_iter) cost ~1.9 s of
-        # driver time per plan BUILD (measured r3). SQL `/` is the
-        # same double division; values are bit-stable.
-        means = members.groupBy("cell").agg(
-            *[
-                F.expr(
-                    f"round(cast(sum(cast(element_at(v, {d}) as"
-                    f" decimal(38,12))) as double) / count(*), 6)"
-                    f" as c{d}"
-                )
-                for d in range(1, dims + 1)
-            ]
-        )
-        cents = means.select(
-            "cell",
-            F.expr(
-                "array(" + ", ".join(f"c{d}" for d in range(1, dims + 1)) + ")"
-            ).alias("cv"),
-        )
+        means = members.groupBy("cell").agg(*mean_cols)
+        cents = means.select("cell", cv_col)
     return cents
 
 
@@ -547,20 +558,17 @@ def ivf_assignments(
     ``sim DESC, cell ASC``. The ``row_number`` window survives only
     for n_probe > 1 — the tiny query side."""
     scored = (
-        vectors.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-        )
-        .withColumn("nv", norm(F.col("v")))
+        vectors.selectExpr(id_col, as_double_sql(vec_col) + " as v")
+        .withColumn("nv", F.expr(norm_sql("v")))
         .crossJoin(
-            F.broadcast(centroids.withColumn("nc", norm(F.col("cv"))))
+            F.broadcast(
+                centroids.withColumn("nc", F.expr(norm_sql("cv")))
+            )
         )
         .select(
             F.col(id_col),
             "cell",
-            F.round(
-                cosine_pre(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")),
-                6,
-            ).alias("sim"),
+            F.expr(score_sql("v", "cv", "nv", "nc")).alias("sim"),
         )
     )
     if n_probe == 1:
@@ -637,9 +645,9 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
+    vecs = embeddings.selectExpr(
+        id_col, as_double_sql(vec_col) + " as v"
+    ).withColumn("nv", F.expr(norm_sql("v")))
     qv = (
         vecs.filter(F.col(id_col).isin(query_ids))
         .withColumnRenamed(id_col, "query_id")
@@ -657,12 +665,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_pre(
-                    F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
-                ),
-                6,
-            ).alias("score"),
+            F.expr(score_sql("qv", "cv", "qn", "cn")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
