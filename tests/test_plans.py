@@ -98,3 +98,88 @@ def test_flagship_plan_shape(spark, sf_dir):
         "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,"
         "l_extendedprice:double,l_discount:double>" in plan
     )
+
+
+def test_ivf_corpus_assignment_is_sort_free_hash_agg(spark, sf_dir):
+    """The n_probe=1 corpus assignment must be a pure HashAggregate
+    (packed-long argmax): a Sort or Window here means the corpus-wide
+    sort-shuffle is back in every Lloyd iteration and reindex."""
+    from minisql_engine_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(
+        ivf_assignments(emb, ivf_centroids(emb), n_probe=1)
+    )
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    # the only Sort allowed is the 16-row centroid seed (below the
+    # BroadcastExchange); the corpus side above the join must not sort
+    tree = plan.split("\n\n")[0]
+    corpus_section = tree[: tree.index("BroadcastExchange")]
+    assert "Sort" not in corpus_section
+
+
+def test_simhash_dedups_verified_output_not_candidates(spark, sf_dir):
+    """The pair distinct must sit ABOVE the Hamming filter (dedup of
+    the small verified output), not below it (shuffle of the full
+    candidate set — measured ~50× more rows at sf0.1)."""
+    from minisql_engine_spark.operators.dedup import (
+        clear_simhash_cache,
+        simhash_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_near_dups(docs, max_hamming=3, n_chunks=8, combine=2)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    clear_simhash_cache()
+    first_agg = opt.index("Aggregate")
+    # the topmost Aggregate (the distinct) must carry the hamming
+    # column, i.e. it deduplicates verified (id_a, id_b, hamming)
+    # rows, and no aggregate over bare candidate pairs exists below
+    head = opt[first_agg : opt.index("\n", first_agg)]
+    assert "hamming" in head
+
+
+def test_minhash_persists_shingles_and_signatures(spark, sf_dir):
+    """Both dedup indexes (shingle table, signature table) must read
+    from the cache in the final pipeline plan — each feeds multiple
+    join branches whose different keys defeat exchange reuse."""
+    from minisql_engine_spark.operators.dedup import (
+        clear_simhash_cache,
+        minhash_lsh_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup(docs)
+    plan = plan_of(out)
+    clear_simhash_cache()
+    assert plan.count("InMemoryTableScan") >= 3  # sigs ×2 sides + shingles
+
+
+def test_load_table_memoizes_per_session(spark, sf_dir):
+    df1 = load_table(spark, sf_dir, "orders")
+    df2 = load_table(spark, sf_dir, "orders")
+    assert df1 is df2
+    from minisql_engine_spark.sources.parquet_catalog import (
+        clear_table_cache,
+    )
+
+    clear_table_cache()
+    assert load_table(spark, sf_dir, "orders") is not df1
+
+
+def test_brute_force_topk_norms_below_join(spark, sf_dir):
+    """Vector norms must be computed once per row below the join
+    boundary — the per-pair projection above the broadcast join must
+    not re-run the sqrt fold (2 of 3 64-element folds hoisted)."""
+    from minisql_engine_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(brute_force_topk(emb, query_ids=[0, 1], k=5))
+    # SQRT appears only in the two below-join projections (qn, cn),
+    # never in the scored-pair projection
+    assert plan.count("SQRT") == 2
