@@ -5,6 +5,14 @@ from minisql_engine_spark.sources.parquet_catalog import (
     register_views,
 )
 from minisql_engine_spark.sources.csv_metadata import load_csv_database
+from minisql_engine_spark.sources.writers import (
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+    write_parquet,
+)
 
 __all__ = [
     "TABLES",
@@ -12,4 +20,10 @@ __all__ = [
     "load_tables",
     "register_views",
     "load_csv_database",
+    "read_jsonl",
+    "read_orc",
+    "write_csv",
+    "write_jsonl",
+    "write_orc",
+    "write_parquet",
 ]

@@ -152,3 +152,78 @@ def test_multimodal_decoder_injection(spark, sf_dir):
     assert len(out) == 20
     # md5 payloads are 16 bytes; the toy decoder doubles the count
     assert all(r["n_bytes"] == 32 and r["mean_byte"] == 42.0 for r in out)
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir):
+    """JSONL write → schema-explicit read must preserve rows and
+    types; a corrupt line must land in _corrupt_record, not poison
+    the good rows (PERMISSIVE)."""
+    import glob
+    import gzip
+
+    from minisql_engine_spark.sources.writers import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_jsonl")
+        write_jsonl(docs, path, partition_by=["source"], compression=None)
+        assert any(d.startswith("source=") for d in os.listdir(path))
+        back = read_jsonl(spark, path, schema="doc_id bigint, text string, source string")
+        assert back.count() == docs.count()
+        assert dict(back.dtypes)["doc_id"] == "bigint"
+        # splittability contract: uncompressed jsonl is plain newline text
+        part = sorted(glob.glob(os.path.join(path, "source=*", "part-*")))[0]
+        with open(part, "rb") as f:
+            assert f.read(1) == b"{"
+
+        # corrupt-row isolation
+        bad = os.path.join(tmp, "bad")
+        os.makedirs(bad)
+        with open(os.path.join(bad, "rows.jsonl"), "w") as f:
+            f.write('{"doc_id": 1, "text": "ok", "source": "s"}\n')
+            f.write("not json at all\n")
+        got = read_jsonl(
+            spark,
+            bad,
+            schema="doc_id bigint, text string, source string, _corrupt_record string",
+        )
+        rows = got.collect()
+        assert len(rows) == 2
+        corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+        assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
+
+    # gzip sink writes .gz part files (file-per-split documented)
+    with tempfile.TemporaryDirectory() as tmp:
+        gz = os.path.join(tmp, "gz")
+        write_jsonl(docs.limit(10), gz)
+        parts = glob.glob(os.path.join(gz, "part-*.gz"))
+        assert parts
+        with gzip.open(parts[0], "rb") as f:
+            assert f.read(1) == b"{"
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir):
+    """ORC must round-trip exactly and give the same scan-level
+    guarantees as parquet: partition pruning + predicate pushdown +
+    column pruning in the vectorized reader."""
+    from minisql_engine_spark.sources.writers import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_orc")
+        write_orc(orders, path, partition_by=["o_year"])
+        back = read_orc(spark, path)
+        assert back.count() == orders.count()
+        pruned = back.filter(F.col("o_year") == 1995).filter(
+            F.col("o_custkey") == 7
+        ).select("o_orderkey")
+        plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+            pruned._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters: [isnotnull(o_year" in plan
+        assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+        assert "ReadSchema: struct<o_orderkey:bigint" in plan
