@@ -14,3 +14,6 @@ __all__ = [
 from minisql_engine_spark.streaming.windows import stateful_user_stats  # noqa: E402,F401
 
 __all__.append("stateful_user_stats")
+from minisql_engine_spark.streaming.windows import stream_dedup_events  # noqa: E402,F401
+
+__all__.append("stream_dedup_events")

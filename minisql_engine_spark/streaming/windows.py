@@ -185,3 +185,34 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-side counterpart of
+    ``operators.dedup.exact_dedup`` for at-least-once sources
+    (replayed Kafka offsets, retried file drops).
+
+    Two state regimes, chosen by ``within``:
+
+    * ``within=None`` → ``dropDuplicates(keys)``: state grows with
+      the number of distinct keys ever seen — correct for bounded
+      key domains or availableNow backfills, unbounded on a forever
+      stream.
+    * ``within='10 minutes'`` etc. →
+      ``dropDuplicatesWithinWatermark(keys)``: duplicates are only
+      suppressed while they can still legally arrive (inside the
+      event-time watermark), so state is EVICTED as the watermark
+      advances — the only shape that survives an unbounded 100 TB/day
+      stream. Requires an upstream ``withWatermark`` on the input.
+
+    Batch/stream parity: on a static DataFrame ``dropDuplicates`` is
+    the same operator, so the DuckDB oracle can check the batch
+    result while the streaming test replays the identical parquet.
+    """
+    if within is not None:
+        return events.dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))
