@@ -227,3 +227,27 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir):
         assert "PartitionFilters: [isnotnull(o_year" in plan
         assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
         assert "ReadSchema: struct<o_orderkey:bigint" in plan
+
+
+def test_pandas_topk_agrees_with_jvm_fold(spark, sf_dir):
+    """The BLAS-batched top-k must return the same neighbor rankings
+    as the exact JVM-fold path (scores may differ in the last rounded
+    unit from summation order; rankings must not)."""
+    from minisql_engine_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    jvm = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    vec = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk_pandas(emb, qids, k=10).collect()
+    }
+    assert len(jvm) == len(vec) == 50
+    agree = sum(jvm[key] == vec[key] for key in jvm)
+    assert agree >= 48  # ties at the rounded 6th decimal may swap
