@@ -1101,43 +1101,8 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     " CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,"
     " CAST(len(regexp_extract_all(lower(text),"
     "   '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_stop"
-    " FROM documents)"
-    " SELECT doc_id, n_tokens AS n_ws_tokens, n_bpe_tokens,"
-    "  CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,"
-    "  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,"
-    "  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1) AS mean_word_len,"
-    "  0.5 + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 0.3)"
-    "      - least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 0.3)"
-    "      + (CASE WHEN CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens,1)"
-    "              BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END) AS quality_score"
-    " FROM m",
-)
-def q_text_metrics(spark, sf_dir):
-    """Token counting (whitespace + BPE-ish regex) AND quality scoring
-    (length / punctuation / stopword ratios) in one map-side pass
-    (§2.4 text analysis) — pure codegen expressions, no shuffle, one
-    scan of documents; ratio arithmetic mirrors the oracle op-for-op
-    so doubles are bit-equal."""
-    from minisql_engine_spark.operators.text import (
-        with_quality_score,
-        with_token_counts,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return with_quality_score(with_token_counts(docs)).select(
-        "doc_id",
-        F.col("n_ws_tokens"),
-        "n_bpe_tokens",
-        "punct_ratio",
-        "stop_ratio",
-        "mean_word_len",
-        "quality_score",
-    )
-
-
-@_register(
-    "text_lang_fingerprint",
-    "WITH c AS (SELECT doc_id, lang,"
+    " FROM documents),"
+    " c AS (SELECT doc_id, lang,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b')) AS BIGINT) AS n_de,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|it|that|was|for)\\b')) AS BIGINT) AS n_en,"
     " CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|una|del|para|con|por)\\b')) AS BIGINT) AS n_es,"
@@ -1156,7 +1121,15 @@ def q_text_metrics(spark, sf_dir):
     "  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct_trigrams,"
     "  CASE WHEN len(gs) > 0 THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)"
     "   / len(gs) ELSE 0.0 END AS repetition_ratio FROM g)"
-    " SELECT c.doc_id, lang, n_de, n_en, n_es, n_fr, n_zh,"
+    " SELECT m.doc_id, n_tokens AS n_ws_tokens, n_bpe_tokens,"
+    "  CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1) AS punct_ratio,"
+    "  CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stop_ratio,"
+    "  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1) AS mean_word_len,"
+    "  0.5 + least(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 0.3)"
+    "      - least(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 0.3)"
+    "      + (CASE WHEN CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens,1)"
+    "              BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END) AS quality_score,"
+    " lang, n_de, n_en, n_es, n_fr, n_zh,"
     " CASE WHEN greatest(n_de,n_en,n_es,n_fr,n_zh) = 0 THEN 'und'"
     "  WHEN n_de = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'de'"
     "  WHEN n_en = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'en'"
@@ -1165,26 +1138,44 @@ def q_text_metrics(spark, sf_dir):
     "  ELSE 'zh' END AS lang_pred,"
     " fingerprint, fp_shard, n_trigrams, n_distinct_trigrams,"
     " repetition_ratio"
-    " FROM c JOIN fp ON fp.doc_id = c.doc_id JOIN r ON r.doc_id = c.doc_id",
+    " FROM m JOIN c ON c.doc_id = m.doc_id"
+    " JOIN fp ON fp.doc_id = m.doc_id JOIN r ON r.doc_id = m.doc_id",
 )
-def q_text_lang_fingerprint(spark, sf_dir):
-    """Language-ID stopword heuristic (per-language counts +
-    deterministic argmax), content fingerprinting (md5 + 16-way
-    shard key), and repetition detection (word-trigram duplication
-    ratio — the boilerplate gate), composed in ONE map-side pass over
-    documents (§2.4 text analysis): Spark evaluates all three
-    families in a single Project, the oracle joins its three CTEs on
-    doc_id."""
+def q_text_metrics(spark, sf_dir):
+    """The full §2.4 text-analysis surface in ONE map-side pass over
+    documents: token counting (whitespace + BPE-ish regex), quality
+    scoring (length / punctuation / stopword ratios), language-ID
+    stopword heuristic (per-language counts + deterministic argmax),
+    content fingerprinting (md5 + 16-way shard key), and repetition
+    detection (word-trigram duplication ratio — the boilerplate
+    gate). Spark evaluates all five families in a single Project —
+    pure codegen expressions, no shuffle, one scan — while the oracle
+    joins its four CTEs on doc_id; ratio arithmetic mirrors the
+    oracle op-for-op so doubles are bit-equal. (Merged from the r2
+    ``text_metrics`` + ``text_lang_fingerprint`` entries to free a
+    driver-window slot for TPC-H Q1.)"""
     from minisql_engine_spark.operators.text import (
         with_fingerprint,
         with_lang_id,
+        with_quality_score,
         with_repetition_ratio,
+        with_token_counts,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = with_repetition_ratio(with_fingerprint(with_lang_id(docs)))
+    out = with_repetition_ratio(
+        with_fingerprint(
+            with_lang_id(with_quality_score(with_token_counts(docs)))
+        )
+    )
     return out.select(
         "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stop_ratio",
+        "mean_word_len",
+        "quality_score",
         "lang",
         "n_de",
         "n_en",
@@ -1198,6 +1189,21 @@ def q_text_lang_fingerprint(spark, sf_dir):
         "n_distinct_trigrams",
         "repetition_ratio",
     )
+
+
+from minisql_engine_spark.queries.tpch import _Q1_SQL as _TPCH_Q1_ORACLE
+
+
+@_register("tpch_q1_pricing_summary", _TPCH_Q1_ORACLE)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary) — the canonical scan-heavy
+    aggregation: one pruned pass over lineitem, 8 exact aggregates
+    over 6 groups, map-side partials around a 6-row exchange. Full
+    suite: minisql_engine_spark/queries/tpch.py (Q1-Q22, the 15
+    non-registry shapes oracle-verified in tests/test_tpch.py)."""
+    from minisql_engine_spark.queries import tpch
+
+    return tpch.q1(spark, sf_dir)
 
 
 # --- Dedup family ----------------------------------------------------------
@@ -2208,8 +2214,10 @@ def q_stateful_stream(spark, sf_dir):
 _DRIVER_WINDOW = 50
 
 #: Names listed here are emitted first (operators new or unverified as of
-#: round 2); everything else follows in file (registration) order.
+#: round 3); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    "tpch_q1_pricing_summary",
+    "text_metrics",
     "pipeline_curation",
     "ml_lsh_suite",
     "emb_lsh_ann",

@@ -48,6 +48,7 @@ HEADLINE = (
     # aggregations belong on the native path (see its docstring).
     "grouping_sets",
     "json_extract_props",
+    "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
