@@ -1224,7 +1224,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 _MINHASH_CTE = (
-    f"WITH d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents),"
+    # RECURSIVE for the connected-components closure appended by the
+    # dedup_minhash_lsh oracle below (harmless for the other CTEs)
+    f"WITH RECURSIVE d AS (SELECT doc_id, {_NORM_SQL} AS content FROM documents),"
     " tk AS (SELECT doc_id, string_split(content, ' ') AS t FROM d),"
     " sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
     "   for i in range(1, len(t)-1)]) AS shs FROM tk WHERE len(t) >= 3),"
@@ -1253,21 +1255,58 @@ _MINHASH_CTE = (
 @_register(
     "dedup_minhash_lsh",
     _MINHASH_CTE
-    + " SELECT id_a, id_b, jaccard FROM ("
+    + ", verified AS (SELECT id_a, id_b, jaccard FROM ("
     "   SELECT i.id_a, i.id_b,"
     "    round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
     "   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a"
     "   JOIN sizes sb ON sb.doc_id = i.id_b)"
-    " WHERE jaccard >= 0.5",
+    "  WHERE jaccard >= 0.5),"
+    # transitive closure of the verified pairs → min reachable id per
+    # node: the oracle twin of operators/clustering.connected_components
+    " nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM verified"
+    "   UNION SELECT id_b FROM verified)),"
+    " e2 AS (SELECT id_a AS s, id_b AS t FROM verified"
+    "   UNION SELECT id_b, id_a FROM verified),"
+    " reach(id, r) AS (SELECT id, id FROM nodes"
+    "   UNION SELECT e2.t, reach.r FROM reach JOIN e2 ON e2.s = reach.id),"
+    " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+    " SELECT v.id_a, v.id_b, v.jaccard, c.component FROM verified v"
+    " JOIN comp c ON c.id = v.id_a",
 )
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(8)+LSH(4 bands×2) near-dup pairs with exact-Jaccard
-    verification (dedup family #2). The md5-string-min hash family
-    makes the ENTIRE pipeline — signatures, banding, candidates —
-    bit-reproducible in the oracle, not just the final verify."""
-    from minisql_engine_spark.operators.dedup import minhash_lsh_dedup
+    verification (dedup family #2), plus duplicate-CLUSTER resolution:
+    each pair carries its connected component's canonical (min) id,
+    computed by distributed min-label propagation
+    (operators/clustering.py). The md5-string-min hash family makes
+    the pipeline — signatures, banding, candidates — bit-reproducible
+    in the oracle, and the closure is replayed there as a recursive
+    CTE, so the iterative DataFrame algorithm itself is
+    hash-verified."""
+    from pyspark.storagelevel import StorageLevel
 
-    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    from minisql_engine_spark.operators.clustering import (
+        connected_components,
+    )
+    from minisql_engine_spark.operators.dedup import (
+        _FPS_CACHE,
+        minhash_lsh_dedup,
+    )
+
+    # pairs feed the closure AND the final join — persist so the
+    # verify subtree (shingle-intersect join) executes once, not
+    # three times; released with the other dedup intermediates
+    pairs = minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _FPS_CACHE.append(pairs)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return pairs.join(
+        comp.select(
+            F.col("id").alias("id_a"), "component"
+        ),
+        "id_a",
+    ).select("id_a", "id_b", "jaccard", "component")
 
 
 _SIMHASH_CTE = (
@@ -2218,6 +2257,7 @@ _DRIVER_WINDOW = 50
 _VERIFY_FIRST: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "text_metrics",
+    "dedup_minhash_lsh",
     "pipeline_curation",
     "ml_lsh_suite",
     "emb_lsh_ann",

@@ -96,6 +96,9 @@ def main() -> None:
     # variance, but this makes the isolation structural. Within a
     # query, warm→timed cache reuse stays (index reuse IS the usage
     # pattern for ANN).
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+    )
     from minisql_engine_spark.operators.dedup import clear_simhash_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
 
@@ -112,6 +115,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         clear_simhash_cache()
         clear_centroid_cache()
+        clear_clustering_cache()
 
     # entry flagship on the bench SF as well
     t0 = time.perf_counter()

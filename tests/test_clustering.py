@@ -1,0 +1,93 @@
+"""Connected-components / dedup-cluster resolution tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from minisql_engine_spark.operators.clustering import (
+    clear_clustering_cache,
+    connected_components,
+    dedup_clusters,
+)
+
+
+@pytest.fixture(autouse=True)
+def _release_cache():
+    yield
+    clear_clustering_cache()
+
+
+def _components(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_clique_chain_and_isolated_pair(spark):
+    # clique {1,2,3}, chain 10-11-12-13 (diameter 3), pair {20,21}
+    comp = _components(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+    )
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_long_chain_converges(spark):
+    # a 17-node path — needs several propagation rounds, well under
+    # max_iter; every node must reach the global min label
+    pairs = [(i, i + 1) for i in range(100, 116)]
+    comp = _components(spark, pairs)
+    assert set(comp.values()) == {100}
+    assert len(comp) == 17
+
+
+def test_reversed_and_duplicate_edges(spark):
+    # direction and multiplicity must not matter
+    comp = _components(spark, [(5, 4), (4, 5), (4, 3), (5, 3), (3, 4)])
+    assert comp == {3: 3, 4: 3, 5: 3}
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_max_iter_warns_but_bounds(spark):
+    pairs = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    with pytest.warns(UserWarning, match="not converged"):
+        out = connected_components(df, max_iter=1).collect()
+    # still a valid (partial) labelling: labels ≤ own id
+    assert all(r["component"] <= r["id"] for r in out)
+
+
+def test_dedup_clusters_roster(spark):
+    df = spark.createDataFrame([(7, 9), (9, 8), (30, 31)], ["id_a", "id_b"])
+    rows = dedup_clusters(df).collect()
+    roster = {(r["component"], r["member_id"]): r["is_canonical"] for r in rows}
+    assert roster == {
+        (7, 7): True, (7, 8): False, (7, 9): False,
+        (30, 30): True, (30, 31): False,
+    }
+
+
+def test_lineage_stays_flat(spark):
+    """The iteration must checkpoint-and-swap, not stack lineage: the
+    label table feeds each round twice, so lazy composition doubles
+    the logical plan per round (2^k subtrees — a 17-round chain OOMed
+    the JVM printing the plan before localCheckpoint was used). The
+    final plan must be a flat read of a materialized RDD, constant
+    size regardless of iteration count."""
+    pairs = [(i, i + 1) for i in range(1, 9)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = connected_components(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "ExistingRDD" in plan
+    assert len(plan) < 2000, f"plan not truncated ({len(plan)} chars)"
