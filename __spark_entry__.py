@@ -1587,17 +1587,34 @@ def q_array_explode(spark, sf_dir):
     "  WHERE n_tokens >= 20 AND n_stop >= 2 AND lang = 'en'),"
     " deduped AS (SELECT content_hash, min(doc_id) AS keep_id,"
     "    count(*) AS n_copies, min(n_tokens) AS n_tokens"
-    "  FROM kept GROUP BY content_hash)"
+    "  FROM kept GROUP BY content_hash),"
+    # deterministic 80/10/10 split on the canonical id (operators/
+    # sampling.hash_split): md5-prefix vs hex-threshold string compare
+    " split AS (SELECT *, CASE"
+    "   WHEN substr(md5('split:' || CAST(keep_id AS VARCHAR)), 1, 8)"
+    "    < 'cccccccc' THEN 'train'"
+    "   WHEN substr(md5('split:' || CAST(keep_id AS VARCHAR)), 1, 8)"
+    "    < 'e6666666' THEN 'val'"
+    "   ELSE 'test' END AS split FROM deduped)"
     " SELECT count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
-    "  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed"
-    " FROM deduped",
+    "  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,"
+    "  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_train,"
+    "  CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_val,"
+    "  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_test"
+    " FROM split",
 )
 def q_pipeline_curation(spark, sf_dir):
     """End-to-end curation composite — the engine's reason to exist:
     quality gate (length + stopword) → language filter → exact dedup →
-    corpus stats, all in ONE lazy plan (single scan of documents, one
-    hash-aggregate on the content hash; filters run before hashing so
-    rejected docs are never hashed)."""
+    deterministic train/val/test split → corpus stats, all in ONE
+    lazy plan (single scan of documents, one hash-aggregate on the
+    content hash; filters run before hashing so rejected docs are
+    never hashed; the split is a pure map-side md5-threshold
+    projection — operators/sampling.py — so re-runs and the oracle
+    route every document identically)."""
     docs = _t(spark, sf_dir, "documents")
     n_tokens = F.when(F.trim("text") == "", 0).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
@@ -1630,12 +1647,26 @@ def q_pipeline_curation(spark, sf_dir):
         F.count("*").alias("n_copies"),
         F.min("n_tokens").alias("n_tokens"),
     )
-    return deduped.agg(
+    from minisql_engine_spark.operators.sampling import hash_split
+
+    split = hash_split(
+        deduped, "keep_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         (F.sum("n_copies") - F.count("*")).cast("bigint").alias(
             "n_dups_removed"
         ),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
     )
 
 
