@@ -188,3 +188,45 @@ def with_repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_rr_toks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level statistics (the only shuffling operators in this module)
+# ---------------------------------------------------------------------------
+
+
+def vocabulary_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """(token, tf, doc_freq): corpus-wide term frequency and document
+    frequency over whitespace tokens of the normalized text — the
+    vocabulary audit every tokenizer-training and contamination-check
+    step needs.
+
+    Plan shape: explode → ONE shuffle on token with partial
+    (map-side) aggregation; doc_freq is a count-distinct over doc_id
+    planned as a two-phase aggregate. Tokens distribute ~Zipf but the
+    hot keys are exactly the ones partial aggregation collapses
+    map-side, so the shuffle carries near-distinct (token, doc) pairs
+    for doc_freq and tiny partial counts for tf — no salting needed.
+    ``top_k`` adds a global sort bounded by TakeOrdered (no full
+    sort materialization)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
+    )
+    out = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct(id_col).cast("bigint").alias("doc_freq"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("tf").desc(), F.col("token")).limit(top_k)
+    return out
+
+
+def _norm_text(text: Column) -> Column:
+    """Whitespace-normalized lowercase content (the dedup _NORM rule)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -1,0 +1,126 @@
+"""PII redaction, vocabulary stats, and histogram operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.redaction import (
+    redact_pii,
+    redact_pii_sql,
+)
+from minisql_engine_spark.operators.stats import (
+    value_histogram,
+    value_histogram_sql,
+)
+from minisql_engine_spark.operators.text import vocabulary_stats
+from minisql_engine_spark.sources import load_table
+from tests.conftest import assert_matches_oracle
+
+PII_ROWS = [
+    (1, "contact me at alice.smith+x@example.co.uk for details"),
+    (2, "server at 192.168.1.17 answered, backup 10.0.0.1 did not"),
+    (3, "call 555-867-5309 or 555 123 4567 after hours"),
+    (4, "card 4111111111111111 and account 123456789 leaked"),
+    (5, "clean text with no identifiers whatsoever"),
+    (6, "mixed: bob@corp.io from 8.8.8.8 card 5500005555555559"),
+]
+
+
+def test_redaction_replaces_and_counts(spark):
+    df = spark.createDataFrame(PII_ROWS, ["id", "text"])
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "contact me at <EMAIL> for details"
+    assert out[1]["n_email"] == 1 and out[1]["n_pii_total"] == 1
+    assert out[2]["redacted"] == (
+        "server at <IP> answered, backup <IP> did not"
+    )
+    assert out[2]["n_ip"] == 2
+    assert "<PHONE>" in out[3]["redacted"]
+    assert "555-867-5309" not in out[3]["redacted"]
+    assert out[4]["redacted"] == "card <IDNUM> and account <IDNUM> leaked"
+    assert out[5]["redacted"] == out[5]["text"]
+    assert out[5]["n_pii_total"] == 0
+    assert out[6]["n_email"] == out[6]["n_ip"] == out[6]["n_idnum"] == 1
+    assert out[6]["n_pii_total"] == 3
+
+
+def test_redaction_matches_oracle(spark, duck):
+    """The pattern set must behave identically under Java regex
+    (Spark) and RE2 (DuckDB) — the portability contract."""
+    df = spark.createDataFrame(PII_ROWS, ["id", "text"])
+    out = redact_pii(df).drop("text")
+    values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in PII_ROWS
+    )
+    oracle = (
+        f"SELECT id, {redact_pii_sql()} FROM"
+        f" (VALUES {values}) AS t(id, text)"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "redact")
+
+
+def test_redaction_is_map_side(spark):
+    df = spark.createDataFrame(PII_ROWS, ["id", "text"])
+    out = redact_pii(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan
+
+
+def test_vocabulary_stats_oracle(spark, duck, sf_dir):
+    out = vocabulary_stats(load_table(spark, sf_dir, "documents"))
+    oracle = (
+        "WITH toks AS (SELECT doc_id, unnest(string_split("
+        " regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+        "  AS token FROM documents WHERE trim(text) <> '')"
+        " SELECT token, CAST(count(*) AS BIGINT) AS tf,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq"
+        " FROM toks GROUP BY token"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "vocab")
+
+
+def test_vocabulary_topk_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    top = vocabulary_stats(docs, top_k=10).collect()
+    assert len(top) == 10
+    tfs = [r["tf"] for r in top]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(r["doc_freq"] <= r["tf"] for r in top)
+
+
+def test_histogram_matches_oracle(spark, duck, sf_dir):
+    out = value_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 0.0, 400_000.0, 16
+    )
+    oracle = value_histogram_sql("orders", "o_totalprice", 0.0, 400_000.0, 16)
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "histogram")
+
+
+def test_histogram_sentinel_buckets(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (9.999,), (10.0,), (200.0,), (None,)],
+        "v double",
+    )
+    rows = {r["bucket"]: r["n"] for r in value_histogram(df, "v", 0, 10, 2).collect()}
+    # half-open buckets: [0,5) gets 0.0; [5,10) gets 5.0 and 9.999;
+    # 10.0 and 200.0 overflow; NULL excluded
+    assert rows == {-1: 1, 0: 1, 1: 2, 2: 2}
+
+
+def test_histogram_validates(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(df, "v", 5, 5)
+    with pytest.raises(ValueError, match="n_buckets"):
+        value_histogram(df, "v", 0, 1, 0)
+
+
+def test_histogram_total_is_nonnull_count(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    hist = value_histogram(orders, "o_totalprice", 0.0, 100_000.0, 8)
+    assert hist.agg(F.sum("n")).first()[0] == orders.filter(
+        F.col("o_totalprice").isNotNull()
+    ).count()
