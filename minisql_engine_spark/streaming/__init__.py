@@ -17,3 +17,9 @@ __all__.append("stateful_user_stats")
 from minisql_engine_spark.streaming.windows import stream_dedup_events  # noqa: E402,F401
 
 __all__.append("stream_dedup_events")
+from minisql_engine_spark.streaming.joins import (  # noqa: E402,F401
+    attribution_join,
+    attribution_join_events,
+)
+
+__all__ += ["attribution_join", "attribution_join_events"]

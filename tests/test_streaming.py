@@ -138,3 +138,41 @@ def test_stream_dedup_equals_batch(spark, sf_dir):
     # every surviving row is unique by event_id and none were lost
     got2 = spark.table(name2)
     assert got2.select("event_id").distinct().count() == got2.count() == expect
+
+
+def test_attribution_join_stream_equals_batch_and_oracle(spark, duck, sf_dir):
+    """Stream-stream interval join (symmetric stateful join with
+    watermark-bounded state) must equal the batch join AND the DuckDB
+    oracle. Append mode: a pair is emitted once both sides arrived."""
+    from minisql_engine_spark.streaming import attribution_join_events
+
+    batch = attribution_join_events(load_table(spark, sf_dir, "events"))
+    oracle = duck.execute(
+        "WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts"
+        "  FROM events WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts"
+        "  FROM events WHERE event_type = 'purchase')"
+        " SELECT purchase_id, p.user_id, purchase_ts, click_id, click_ts,"
+        "  (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000"
+        "   AS lag_seconds"
+        " FROM p JOIN c ON p.user_id = c.user_id"
+        " AND click_ts <= purchase_ts"
+        " AND click_ts >= purchase_ts - INTERVAL 2 HOUR"
+    ).fetchdf()
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(batch, oracle, "attribution_join")
+    assert batch.count() > 0
+
+    stream = attribution_join_events(read_events_stream(spark, sf_dir))
+    assert stream.isStreaming
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _sorted_rows(spark.table(name)) == _sorted_rows(batch)
