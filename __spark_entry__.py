@@ -467,21 +467,39 @@ def q_join_semi_anti(spark, sf_dir):
 # --- approximate sketches (COUNT DISTINCT exact form lives in agg_all) -----
 
 
-@_register("approx_distinct", None)  # approximate → rows-only check
+@_register("approx_distinct", None)  # approximate → rows-only, gated
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct / percentile_approx sketches (SURVEY §2.2
     row 6, §2.4 sketches). HLL++ partial sketches merge associatively
     across 1000 executors — the scale path for distinct counting.
-    No oracle: sketch results are engine-specific by design.
-    Percentiles are emitted as three scalar columns (not one ARRAY)
-    so every result cell is hashable by the driver canonicalizer."""
+    No oracle: sketch results are engine-specific by design; instead
+    the accuracy bar is wired INTO the result like the other
+    rows-only entries (r2 VERDICT task 6): the single row is emitted
+    ONLY if every sketch lands within 5% of its exact counterpart
+    (computed in the same aggregate), so a sketch-accuracy regression
+    drops the row count 1 → 0 and the driver's hard gate moves.
+    Percentiles are scalar columns (not one ARRAY) so every cell is
+    hashable by the driver canonicalizer."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agged = li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("price_p95"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("price_p99"),
+        F.countDistinct("l_partkey").alias("_exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("_exact_p95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("_exact_p99"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05
+    )
+    return agged.filter(
+        within("approx_parts", "_exact_parts")
+        & within("price_p50", "_exact_p50")
+        & within("price_p95", "_exact_p95")
+        & within("price_p99", "_exact_p99")
+    ).select("approx_parts", "price_p50", "price_p95", "price_p99")
 
 
 # --- Scalar functions: string / date / math --------------------------------
