@@ -82,3 +82,53 @@ def value_histogram_sql(
         f"  SELECT {bucket} AS bucket, count(*) AS n FROM {table}"
         f"  WHERE {col} IS NOT NULL GROUP BY 1) ORDER BY bucket"
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    group_by: str | None = None,
+) -> DataFrame:
+    """Exact linearly-interpolated quantiles (one column per prob,
+    named ``p25``-style), optionally per group.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` implement
+    the same rank interpolation ``a + (b − a)·frac`` over the sorted
+    values, and it reproduces bit-for-bit on identical doubles
+    (verified in tests) — so unlike sketch quantiles this surface IS
+    oracle-checkable. Cost is a full sort of each group's values:
+    right for data-quality audits at any scale (sort-based agg,
+    spillable), wrong for interactive dashboards — use
+    ``percentile_approx`` (KLL) there, gated like ``approx_distinct``.
+    """
+    cols = [
+        F.expr(f"percentile({col}, {p!r})").alias(_pname(p))
+        for p in probs
+    ]
+    if group_by is None:
+        return df.agg(*cols)
+    return df.groupBy(group_by).agg(*cols)
+
+
+def exact_quantiles_sql(
+    table: str,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    group_by: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`exact_quantiles`."""
+    cols = ", ".join(
+        f"quantile_cont({col}, {p!r}) AS {_pname(p)}" for p in probs
+    )
+    if group_by is None:
+        return f"SELECT {cols} FROM {table}"
+    return (
+        f"SELECT {group_by}, {cols} FROM {table} GROUP BY {group_by}"
+    )
+
+
+def _pname(p: float) -> str:
+    """0.25 → 'p25', 0.999 → 'p99_9'."""
+    s = f"{p * 100:g}".replace(".", "_")
+    return f"p{s}"

@@ -124,3 +124,37 @@ def test_histogram_total_is_nonnull_count(spark, sf_dir):
     assert hist.agg(F.sum("n")).first()[0] == orders.filter(
         F.col("o_totalprice").isNotNull()
     ).count()
+
+
+def test_exact_quantiles_global_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.stats import (
+        exact_quantiles,
+        exact_quantiles_sql,
+    )
+
+    out = exact_quantiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+    oracle = exact_quantiles_sql("lineitem", "l_extendedprice")
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "quantiles")
+
+
+def test_exact_quantiles_grouped_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.stats import (
+        exact_quantiles,
+        exact_quantiles_sql,
+    )
+
+    out = exact_quantiles(
+        load_table(spark, sf_dir, "orders"),
+        "o_totalprice",
+        probs=(0.5, 0.9),
+        group_by="o_orderpriority",
+    )
+    oracle = exact_quantiles_sql(
+        "orders", "o_totalprice", probs=(0.5, 0.9),
+        group_by="o_orderpriority",
+    )
+    assert_matches_oracle(
+        out, duck.execute(oracle).fetchdf(), "grouped_quantiles"
+    )
