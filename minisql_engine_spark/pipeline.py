@@ -1,0 +1,128 @@
+"""curate_corpus — the engine's end-to-end product surface.
+
+One call takes a raw document table to a training-ready corpus:
+
+    quality gate → language filter → PII redaction → exact dedup
+    → near-dup clustering (MinHash+LSH → connected components,
+      keep one canonical doc per cluster)
+    → deterministic train/val/test split
+
+Every stage is one of this package's tested operators; this module
+only composes them and owns the cross-stage decisions a pipeline has
+to get right:
+
+* **Redact BEFORE hashing.** Two documents differing only in the PII
+  span (same text, different email) should dedup together — hashing
+  the redacted text makes dedup PII-invariant for free.
+* **Exact dedup before near-dup.** Exact dups are the overwhelming
+  majority of duplicates in web corpora and cost one 32-hex-key
+  shuffle; the (quadratic-ish) near-dup machinery then runs on the
+  surviving distinct texts only.
+* **Cluster, don't pair-drop.** Dropping `id_b` of every near-dup
+  pair over-deletes (a∼b, b∼c drops b AND c even if a≁c transitively
+  chosen differently) or under-deletes depending on pair order;
+  connected components + min-id canonicalization is deterministic
+  and order-free.
+* **Split LAST, on the canonical id.** Splitting before dedup leaks
+  near-identical documents across train/test — the classic
+  contamination bug this pipeline exists to prevent.
+
+Laziness contract: stages 1-3 compose into one lazy plan; the
+near-dup clustering stage runs Spark jobs when called (the
+connected-components fixpoint needs actions). At 100 TB you would
+materialize the post-exact-dedup corpus to parquet first anyway —
+pass ``near_dups=False`` to keep the fully-lazy subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    langs: tuple[str, ...] | None = None,
+    lang_col: str = "lang",
+    redact: bool = True,
+    near_dups: bool = True,
+    near_dup_threshold: float = 0.5,
+    split_fractions: dict[str, float] | None = None,
+    seed: str = "curate",
+) -> DataFrame:
+    """Returns the curated corpus: one row per kept document with
+    (id, text [redacted], n_ws_tokens, quality_score, content_hash,
+    n_copies, split). Deterministic end-to-end: same input + same
+    parameters → byte-identical corpus, regardless of partitioning.
+    """
+    from minisql_engine_spark.operators.redaction import redact_pii
+    from minisql_engine_spark.operators.sampling import hash_split
+    from minisql_engine_spark.operators.text import (
+        with_quality_score,
+        with_token_counts,
+    )
+
+    split_fractions = split_fractions or {
+        "train": 0.8, "val": 0.1, "test": 0.1,
+    }
+
+    # 1-2. quality + language gate (map-side; filters reach the scan)
+    scored = with_quality_score(with_token_counts(docs, text_col), text_col)
+    kept = scored.filter(F.col("n_ws_tokens") >= min_tokens)
+    if langs is not None:
+        kept = kept.filter(F.col(lang_col).isin(*langs))
+
+    # 3. redaction — before hashing, so dedup is PII-invariant
+    if redact:
+        kept = redact_pii(kept, text_col).drop(text_col).withColumnRenamed(
+            "redacted", text_col
+        )
+
+    # 4. exact dedup: keep the min-id row per normalized content hash
+    content_hash = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    hashed = kept.withColumn("content_hash", content_hash)
+    canon = (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("_keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    uniq = hashed.join(
+        canon,
+        (hashed["content_hash"] == canon["content_hash"])
+        & (hashed[id_col] == canon["_keep_id"]),
+    ).select(hashed["*"], canon["n_copies"])
+
+    # 5. near-dup clustering on the exact-distinct survivors
+    if near_dups:
+        from minisql_engine_spark.operators.clustering import (
+            connected_components,
+        )
+        from minisql_engine_spark.operators.dedup import minhash_lsh_dedup
+
+        pairs = minhash_lsh_dedup(
+            uniq, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        )
+        comp = connected_components(pairs, "id_a", "id_b")
+        drop = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        uniq = uniq.join(drop, id_col, "left_anti")
+
+    # 6. deterministic split on the surviving canonical ids
+    return hash_split(uniq, id_col, split_fractions, seed=seed).select(
+        id_col,
+        text_col,
+        "n_ws_tokens",
+        "quality_score",
+        "content_hash",
+        "n_copies",
+        "split",
+    )
