@@ -91,3 +91,54 @@ def test_lineage_stays_flat(spark):
     )
     assert "ExistingRDD" in plan
     assert len(plan) < 2000, f"plan not truncated ({len(plan)} chars)"
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed CC ≡ union-find on random graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cc_equals_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    clear_clustering_cache()
+    assert got == _union_find_components(pairs)
