@@ -1,0 +1,127 @@
+"""Persisted IVF index: the inverted file AS parquet partition layout.
+
+``ivf_topk`` (similarity.py) rebuilds its index per query session; at
+100 TB the index is built ONCE and written so that searches touch
+only the probed fraction of the corpus. This module materializes the
+IVF structure the way a lakehouse actually stores one:
+
+* ``<path>/centroids/`` — the n_cells refined centroids (tiny);
+* ``<path>/corpus/cell=<c>/…`` — every corpus vector WITH its
+  precomputed norm, parquet-partitioned BY CELL ID.
+
+The partition column is the inverted file: a search assigns the
+query to its ``n_probe`` nearest centroids map-side (broadcast of the
+tiny centroid table) and scans ``cell IN (…)`` — Spark's partition
+pruning turns that into reading n_probe directories, i.e. ~n_probe /
+n_cells of the corpus bytes, no index service required
+(``test_ann_index.py`` asserts the pruned scan). Vector norms are
+precomputed at build time, so search cost per candidate is one dot
+product.
+
+Same determinism contract as the in-memory path: centroids come from
+``ivf_refined_centroids`` (decimal-exact Lloyd means), assignment
+tiebreak is ``sim DESC, cell ASC``, scores are round(6) — a search
+over the written index returns EXACTLY what ``ivf_topk`` returns on
+the same corpus (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.similarity import (
+    N_CELLS,
+    N_PROBE,
+    as_double_sql,
+    ivf_assignments,
+    ivf_centroids,
+    ivf_refined_centroids,
+    norm_sql,
+    score_sql,
+)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    refine_iters: int = 2,
+) -> None:
+    """Build and persist the IVF index under ``path``."""
+    if refine_iters > 0:
+        cents = ivf_refined_centroids(
+            embeddings, id_col, vec_col, n_cells, n_iter=refine_iters
+        )
+    else:
+        cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    spark = embeddings.sparkSession
+    cents_back = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = ivf_assignments(
+        embeddings, cents_back, id_col, vec_col, n_probe=1
+    ).select(id_col, "cell")
+    corpus = (
+        embeddings.selectExpr(
+            id_col, as_double_sql(vec_col) + " as v"
+        )
+        .withColumn("nv", F.expr(norm_sql("v")))
+        .join(assigned, id_col)
+    )
+    # one directory per cell — the inverted file IS the layout
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "corpus")
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Search the persisted index: (query_id, neighbor_id, score,
+    rank). ``query_embeddings`` carries (id, vector) of the queries —
+    typically a tiny DataFrame; it is broadcast, the corpus is read
+    partition-pruned to the probed cells only."""
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    q_cells = ivf_assignments(
+        query_embeddings, cents, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    qv = query_embeddings.selectExpr(
+        f"{id_col} as query_id", as_double_sql(vec_col) + " as qv"
+    ).withColumn("qn", F.expr(norm_sql("qv")))
+    probes = q_cells.join(qv, "query_id")
+
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(score_sql("qv", "v", "qn", "nv")).alias("score"),
+        )
+        # no distinct needed: each corpus vector lives in exactly ONE
+        # cell directory, so a (query, neighbor) pair joins at most
+        # once even under multi-probe — and skipping it saves a
+        # candidate-set shuffle
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,81 @@
+"""Persisted IVF index: layout, pruning, and parity with the
+in-memory path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.ann_index import (
+    ivf_index_topk,
+    write_ivf_index,
+)
+from minisql_engine_spark.operators.similarity import (
+    clear_centroid_cache,
+    ivf_topk,
+)
+from minisql_engine_spark.sources import load_table
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ivf") / "index")
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir, index_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    write_ivf_index(emb, index_path, refine_iters=2)
+    clear_centroid_cache()
+    return index_path
+
+
+def test_layout_is_cell_partitioned(built):
+    cells = [
+        d
+        for d in os.listdir(os.path.join(built, "corpus"))
+        if d.startswith("cell=")
+    ]
+    assert len(cells) > 1  # multiple cell directories materialized
+
+
+def test_index_search_equals_in_memory(spark, sf_dir, built):
+    """Searching the written index must reproduce ivf_topk exactly —
+    same centroids (decimal-exact Lloyd replay), same tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    from_index = sorted(
+        tuple(r) for r in ivf_index_topk(spark, built, queries, k=10).collect()
+    )
+    in_memory = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, QUERY_IDS, k=10, refine_iters=2).collect()
+    )
+    clear_centroid_cache()
+    assert from_index == in_memory
+    assert len(from_index) == len(QUERY_IDS) * 10
+
+
+def test_search_scan_is_partition_pruned(spark, sf_dir, built):
+    """The probed-cells filter must reach the corpus scan as a
+    partition filter — the whole point of writing the inverted file
+    as directory layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    df = ivf_index_topk(spark, built, queries, k=5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    clear_centroid_cache()
+    assert "PartitionFilters" in plan
+    # the corpus scan must carry a dynamic/explicit cell filter, not
+    # scan all partitions: look for the cell column in a partition
+    # filter expression
+    assert any(
+        "PartitionFilters" in line and "cell" in line
+        for line in plan.splitlines()
+    ), plan
