@@ -142,3 +142,114 @@ def extract_features(
             yield out
 
     return with_payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame sampling (the remaining §2.4 multimodal verbs)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: cycle the payload bytes to a length
+    proportional to the target area (capped) — honest about doing no
+    image math, while giving the pipeline a real, size-changed binary
+    to carry."""
+    if not payload:
+        return b""
+    target = max(1, min((w * h) // 256, 4096))
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    with_payloads: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer=None,
+) -> DataFrame:
+    """Resize every payload to (width, height) via ``mapInPandas``.
+
+    ``resizer`` is the injectable codec ``(bytes, w, h) -> bytes``
+    (wire Pillow's ``Image.resize`` in production); the default is a
+    deterministic fake. Metadata is rewritten to the target
+    dimensions so downstream consumers see a consistent contract.
+    Map-side only; binary columns ride Arrow in both directions.
+    """
+    do_resize = resizer or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda b: do_resize(b, width, height)
+                    ),
+                }
+            )
+
+    return with_payloads.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    with_payloads: DataFrame,
+    n_frames: int = 4,
+    frame_extractor=None,
+) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames from each video
+    payload — a one-to-many mapInPandas (each input row yields up to
+    ``n_frames`` output rows, the UDTF shape for binary media).
+
+    ``frame_extractor`` is the injectable codec
+    ``(bytes, frame_idx, n_frames) -> bytes`` (wire pyav/ffmpeg in
+    production). The default fake slices the payload into
+    ``n_frames`` even byte-ranges — deterministic, and it preserves
+    the invariant that concatenating the frames restores the
+    payload, which the tests use as the plumbing check. Non-video
+    rows are passed through as a single frame (frame_idx 0)."""
+    extract = frame_extractor or (
+        lambda b, i, n: b[
+            (i * len(b)) // n : ((i + 1) * len(b)) // n
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "n_frames": [],
+                "frame_bytes": [],
+            }
+            for _, r in pdf.iterrows():
+                n = n_frames if r["modality"] == "video" else 1
+                for i in range(n):
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(n)
+                    rows["frame_bytes"].append(
+                        extract(r["payload"], i, n)
+                    )
+            yield pd.DataFrame(rows)
+
+    return with_payloads.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -251,3 +251,53 @@ def test_pandas_topk_agrees_with_jvm_fold(spark, sf_dir):
     assert len(jvm) == len(vec) == 50
     agree = sum(jvm[key] == vec[key] for key in jvm)
     assert agree >= 48  # ties at the rounded 6th decimal may swap
+
+
+def test_multimodal_resize_rewrites_payload_and_meta(spark, sf_dir):
+    from minisql_engine_spark.operators.multimodal import (
+        resize_images,
+        synthesize_payloads,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = resize_images(synthesize_payloads(docs), width=32, height=32)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    # fake resize targets (32*32)//256 = 4 bytes
+    assert all(len(r["payload"]) == 4 for r in rows)
+    # injectable resizer takes precedence
+    out2 = resize_images(
+        synthesize_payloads(docs),
+        width=8,
+        height=8,
+        resizer=lambda b, w, h: b"\x01" * (w + h),
+    ).collect()
+    assert all(r["payload"] == b"\x01" * 16 for r in out2)
+
+
+def test_multimodal_frame_sampling_partitions_payload(spark, sf_dir):
+    from minisql_engine_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_payloads,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    payloads = synthesize_payloads(docs)
+    frames = sample_frames(payloads, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    orig = {r["doc_id"]: (r["modality"], r["payload"]) for r in payloads.collect()}
+    for doc_id, rows in by_doc.items():
+        modality, payload = orig[doc_id]
+        rows.sort(key=lambda r: r["frame_idx"])
+        if modality == "video":
+            assert len(rows) == 4
+            # plumbing invariant: frames reassemble the payload
+            assert b"".join(r["frame_bytes"] for r in rows) == payload
+        else:
+            assert len(rows) == 1 and rows[0]["frame_bytes"] == payload
+    assert set(by_doc) == set(orig)
