@@ -23,3 +23,9 @@ from minisql_engine_spark.streaming.joins import (  # noqa: E402,F401
 )
 
 __all__ += ["attribution_join", "attribution_join_events"]
+from minisql_engine_spark.streaming.curate import (  # noqa: E402,F401
+    curate_stream,
+    read_documents_stream,
+)
+
+__all__ += ["curate_stream", "read_documents_stream"]

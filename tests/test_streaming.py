@@ -176,3 +176,45 @@ def test_attribution_join_stream_equals_batch_and_oracle(spark, duck, sf_dir):
     )
     q.awaitTermination(120)
     assert _sorted_rows(spark.table(name)) == _sorted_rows(batch)
+
+
+def test_curate_stream_equals_batch_content(spark, sf_dir):
+    """Streaming curation must agree with the batch run on every
+    content-level fact — (content_hash, split, n_ws_tokens) — even
+    though which duplicate doc_id survives is arrival-order-dependent
+    (streaming keeps first arrival, batch an arbitrary/min row)."""
+    from minisql_engine_spark.streaming import (
+        curate_stream,
+        read_documents_stream,
+    )
+
+    batch = curate_stream(
+        load_table(spark, sf_dir, "documents"), min_tokens=10, langs=None
+    )
+    assert not batch.isStreaming
+
+    stream = curate_stream(
+        read_documents_stream(spark, sf_dir), min_tokens=10, langs=None
+    )
+    assert stream.isStreaming
+    name = f"curate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["content_hash"], r["split"], r["n_ws_tokens"])
+        for r in df.collect()
+    )
+    b, s = key(batch), key(got)
+    assert b == s
+    assert len(b) > 0
+    # dedup really happened: hashes unique
+    hashes = [h for h, _, _ in b]
+    assert len(hashes) == len(set(hashes))
