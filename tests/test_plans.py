@@ -183,3 +183,81 @@ def test_brute_force_topk_norms_below_join(spark, sf_dir):
     # SQRT appears only in the two below-join projections (qn, cn),
     # never in the scored-pair projection
     assert plan.count("SQRT") == 2
+
+
+def test_tpch_q1_two_phase_agg_over_pruned_scan(spark, sf_dir):
+    """Q1 must be the canonical scan-heavy shape: pruned 7-column
+    scan with the shipdate predicate pushed, ONE partial+final
+    aggregate pair (map-side combine collapses to ≤6 rows/partition
+    before the single exchange)."""
+    import re
+
+    from minisql_engine_spark.queries import tpch
+
+    plan = plan_of(tpch.q1(spark, sf_dir))
+    # detail sections name each node once as "(N) HashAggregate"
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read  # unused columns pruned
+    assert "l_partkey" not in read
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every filterable predicate must
+    reach the parquet scan, and the scan must read only the 3 needed
+    columns + filter columns."""
+    from minisql_engine_spark.queries import tpch
+
+    plan = plan_of(tpch.q6(spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read
+    assert "l_returnflag" not in read
+
+
+def test_curation_is_single_scan_filters_before_agg(spark, sf_dir):
+    """pipeline_curation: one scan of documents; quality/lang filters
+    run below the content-hash aggregate so rejected docs are never
+    hashed."""
+    import re
+
+    q = entrymod.queries()["pipeline_curation"]
+    plan = plan_of(q(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    # the quality/lang filter must sit between scan and the first
+    # aggregate: in the indented tree the Filter line is DEEPER
+    # (larger indent) than the HashAggregate line above it
+    tree = plan.split("\n\n")[0].splitlines()
+    f_depth = next(len(l) - len(l.lstrip(" +-*")) for l in tree if "Filter" in l)
+    a_depth = max(
+        len(l) - len(l.lstrip(" +-*")) for l in tree if "HashAggregate" in l
+    )
+    assert f_depth > a_depth, plan
+    assert re.search(r"^\(\d+\) Filter", plan, re.M)
+
+
+def test_sampling_split_is_codegen_projection(spark, sf_dir):
+    """hash_split must compile to a whole-stage-codegen Project over
+    the scan — no shuffle, no Python."""
+    from minisql_engine_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(hash_split(docs, "doc_id", {"a": 0.5, "b": 0.5}))
+    assert "Exchange" not in plan
+    # '*' prefix marks whole-stage-codegen nodes in formatted plans
+    assert "* Project" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocabulary_stats_partial_aggregation(spark, sf_dir):
+    """The token shuffle must carry map-side partial aggregates."""
+    from minisql_engine_spark.operators.text import vocabulary_stats
+
+    import re
+
+    plan = plan_of(vocabulary_stats(load_table(spark, sf_dir, "documents")))
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+    assert "hashpartitioning(token" in plan
