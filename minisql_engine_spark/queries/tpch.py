@@ -168,11 +168,16 @@ _SUPPLY_SQL = (
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: for EUROPE-supplied parts of size 15, the supplier(s)
     achieving the per-part MINIMUM supply cost — the correlated-min
-    subquery shape. Spark plans it as a per-part min aggregate joined
-    back on (part, cost): both branches share the filtered supply
-    subtree, one shuffle each, and the equality join on the min cost
-    replaces the correlated rescan a tuple-at-a-time engine would do.
-    nation/region broadcast; supplier is AQE's call."""
+    subquery shape. Spark cannot dedupe common SUBPLANS (only
+    identical exchanges), so the groupBy-then-join-back formulation
+    would compute the whole 4-table ``euro`` subtree TWICE (measured:
+    9 parquet scans); the per-part min as a WINDOW over euro computes
+    the subtree once — one shuffle on ps_partkey, half the scans —
+    and the correlated rescan a tuple-at-a-time engine would do
+    becomes a filter. nation/region broadcast; supplier is AQE's
+    call."""
+    from pyspark.sql.window import Window
+
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -186,15 +191,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
-    best = euro.groupBy(F.col("ps_partkey").alias("_pk")).agg(
-        F.min("ps_supplycost").alias("_min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        euro.join(
-            best,
-            (F.col("ps_partkey") == F.col("_pk"))
-            & (F.col("ps_supplycost") == F.col("_min_cost")),
-        )
+        euro.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
         .join(
             p.filter(F.col("p_size") == 15),
             F.col("ps_partkey") == F.col("p_partkey"),
@@ -361,10 +361,16 @@ _Q9_SQL = (
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: parts whose NATION_1-supplied value exceeds a
     fraction of the nation's total — the global-total scalar-subquery
-    shape. The per-part aggregate is computed once; the 1-row total is
-    an aggregate OF that aggregate, broadcast back as a cross join
-    (never collected to the driver). Both sides cast to double before
+    shape. The per-part aggregate is computed ONCE and the global
+    total rides an empty-frame window over it — the
+    aggregate-then-crossJoin form would rebuild the whole semi-join
+    subtree for the 1-row total (Spark dedupes exchanges, not
+    subplans). The global window moves only the ALREADY-REDUCED
+    per-part rows (≤ n_parts) to one partition, which is the cheap
+    side of that trade at any SF. Both sides cast to double before
     the threshold compare so both engines compare identical values."""
+    from pyspark.sql.window import Window
+
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem")
@@ -377,11 +383,9 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(_dec("l_extendedprice")).alias("_value"))
     )
-    total = per_part.agg(
-        F.sum("_value").cast("double").alias("_total")
-    )
+    total = F.sum("_value").over(Window.partitionBy()).cast("double")
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("_total", total)
         .filter(
             F.col("_value").cast("double") > F.lit(0.001) * F.col("_total")
         )
@@ -503,11 +507,14 @@ _Q13_SQL = (
 
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
-    view + scalar-max shape. The revenue aggregate is built once and
-    feeds both the 1-row max (broadcast back) and the equality filter;
-    Spark reuses the exchange instead of recomputing the aggregate.
-    Revenue is an exact decimal sum cast to double, so the max-equality
-    compare is between identical values in both engines."""
+    view + scalar-max shape. The revenue aggregate is built ONCE; the
+    scalar max rides an empty-frame window over its ≤ n_suppliers
+    rows (the aggregate-then-crossJoin form would scan lineitem
+    twice — Spark dedupes exchanges, not subplans). Revenue is an
+    exact decimal sum cast to double, so the max-equality compare is
+    between identical values in both engines."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -517,11 +524,12 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .withColumn(
+            "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
     )
-    best = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -593,16 +601,28 @@ _Q16_SQL = (
 
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from lineitems under 20% of their part's
-    average quantity — the correlated scalar-average shape. Spark
-    computes the per-part average once (exact decimal sum / count,
-    deterministic) and joins it back; the correlated rescan of a
-    tuple-at-a-time engine becomes one aggregate + one equi-join."""
+    average quantity — the correlated scalar-average shape. The
+    per-part average is a WINDOW over the (already part-filtered)
+    lineitems rather than a separate aggregate joined back: the
+    filter on part cuts the input first, then ONE shuffle on
+    l_partkey serves both the average and the comparison — the
+    groupBy+join form would scan lineitem twice and shuffle the
+    unfiltered aggregate. (Exact decimal sum / count per partition,
+    deterministic.)
+
+    Semantics note: the join keeps EVERY lineitem of each qualifying
+    part (the filter restricts parts, not their lineitems), so the
+    window average equals the spec's correlated per-part average
+    exactly; the oracle computes it from the unjoined table and
+    matches by construction."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias(
-            "_avg_qty"
-        )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_dec("l_quantity")).over(w).cast("double")
+        / F.count("*").over(w)
     )
     return (
         li.join(
@@ -612,7 +632,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(per_part, F.col("l_partkey") == F.col("_pk"))
+        .withColumn("_avg_qty", avg_qty)
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
         .agg(
             (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
@@ -737,11 +757,15 @@ _Q20_SQL = (
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who were the ONLY late supplier on a
     multi-supplier finished order. The spec's EXISTS + NOT EXISTS
-    double correlation is algebraized into one per-order aggregate —
-    (n suppliers, n late suppliers) — joined back to the late rows:
-    identical semantics at per-(order, supplier) granularity, and the
-    two correlated rescans collapse into ONE extra shuffle on
-    l_orderkey. Lateness = shipped > 90 days after the order date."""
+    double correlation is algebraized into per-order statistics —
+    (n suppliers, n late suppliers) — computed as a WINDOW over the
+    per-(order, supplier) aggregate: identical semantics, and the two
+    correlated rescans collapse into one window shuffle on an
+    already-reduced table (the groupBy+join form would build the
+    lineitem⋈orders subtree twice — Spark dedupes exchanges, not
+    subplans). Lateness = shipped > 90 days after the order date."""
+    from pyspark.sql.window import Window
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -761,13 +785,15 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late")
         )
     )
-    ord_stats = base.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count("*").alias("_n_supp"), F.sum("late").alias("_n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        base.filter(F.col("late") == 1)
-        .join(ord_stats, F.col("l_orderkey") == F.col("_ok"))
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        base.withColumn("_n_supp", F.count("*").over(w))
+        .withColumn("_n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late") == 1)
+        )
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
