@@ -1,0 +1,129 @@
+"""Time-series regularization: resample onto a fixed grid + gap fill.
+
+Event streams are irregular; training features and dashboards want
+fixed-step series. ``resample_forward_fill`` puts every key on an
+aligned grid and carries the last observation forward across gaps —
+the standard as-of semantics expressed with only JVM operators:
+
+1. the grid is ``sequence(floor(min_ts), floor(max_ts), step)``
+   exploded per key — generated distributed, never collected;
+2. observed values aggregate per (key, slot) — ``max_by`` keeps the
+   LATEST observation inside a slot (ties by timestamp are broken by
+   value to stay deterministic);
+3. the fill is ``last(value, ignoreNulls) OVER (PARTITION BY key
+   ORDER BY slot)`` — one window shuffle on the key, the same
+   partitioning the slot aggregate already produced.
+
+Scale: everything shuffles on the series key exactly once
+(grid, slot-agg, and fill all hash-partition by key — AQE reuses the
+exchange); grid size is bounded by span/step per key, independent of
+event count. Leading slots before a key's first observation stay
+NULL by design (there is nothing to carry forward) — callers choose
+a default with ``coalesce``.
+
+Oracle: DuckDB replays the identical recipe (generate_series +
+arg_max + last_value IGNORE NULLS) — asserted in
+``tests/test_timeseries.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """(key, slot_ts, value, is_observed): one row per key per
+    ``step_seconds`` slot spanning that key's [min, max] event range,
+    value = last observation at-or-before the slot."""
+    from pyspark.sql.window import Window
+
+    step = int(step_seconds)
+    # integer floor-division of exact microseconds: unix_timestamp's
+    # per-operand second handling and a float epoch cast disagree
+    # across engines on sub-second boundaries (same lesson as the
+    # attribution join's lag arithmetic)
+    epoch_s = F.expr(f"unix_micros({ts_col}) div 1000000")
+    slot = (epoch_s / step).cast("long") * step
+
+    # per-key span → exploded grid (one shuffle on key)
+    span = events.groupBy(F.col(key_col).alias("_k")).agg(
+        F.min(slot).alias("_lo"), F.max(slot).alias("_hi")
+    )
+    grid = span.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias("_slot"),
+    )
+
+    # latest observation per (key, slot); value tiebreak for determinism
+    obs = (
+        events.select(
+            F.col(key_col).alias("_k"),
+            slot.alias("_slot"),
+            F.expr(f"unix_micros({ts_col})").alias("_ts"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_k", "_slot")
+        .agg(
+            # lexicographic struct max == "value of the latest ts,
+            # ties to the larger value" — the same expression DuckDB
+            # evaluates (struct_pack max), so both engines pick the
+            # identical observation
+            F.max(F.struct(F.col("_ts"), F.col("_v")))
+            .getField("_v")
+            .alias("_obs")
+        )
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "_slot"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            F.timestamp_seconds(F.col("_slot")).alias("slot_ts"),
+            F.last("_obs", ignorenulls=True).over(w).alias(value_col),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+def resample_forward_fill_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> str:
+    """DuckDB oracle twin of :func:`resample_forward_fill`."""
+    step = int(step_seconds)
+    slot = f"((epoch_us({ts_col}) // 1000000) // {step}) * {step}"
+    return (
+        f"WITH span AS (SELECT {key_col} AS _k, min({slot}) AS _lo,"
+        f"  max({slot}) AS _hi FROM {table} GROUP BY {key_col}),"
+        " grid AS (SELECT _k, unnest(range(_lo, _hi + 1, "
+        f"{step})) AS _slot FROM span),"
+        f" obs AS (SELECT {key_col} AS _k, {slot} AS _slot,"
+        f"  (max(struct_pack(t := epoch_us({ts_col}),"
+        f"   v := {value_col}))).v AS _obs"
+        f"  FROM {table} GROUP BY 1, 2)"
+        # ::TIMESTAMP strips DuckDB's tz-awareness (Spark emits naive)
+        f" SELECT g._k AS {key_col},"
+        " CAST(to_timestamp(g._slot) AS TIMESTAMP) AS slot_ts,"
+        "  last_value(o._obs IGNORE NULLS) OVER ("
+        "   PARTITION BY g._k ORDER BY g._slot"
+        f"   ROWS UNBOUNDED PRECEDING) AS {value_col},"
+        "  o._obs IS NOT NULL AS is_observed"
+        " FROM grid g LEFT JOIN obs o ON o._k = g._k AND o._slot = g._slot"
+    )
