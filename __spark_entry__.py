@@ -621,29 +621,56 @@ def q_subquery_suite(spark, sf_dir):
 
 
 @_register(
-    "join_three_tables",
-    "SELECT r_name, n_name, count(c_custkey) AS n_customers,"
-    " CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS total_acctbal"
-    " FROM region JOIN nation ON r_regionkey = n_regionkey"
-    " JOIN customer ON n_nationkey = c_nationkey"
-    " GROUP BY r_name, n_name",
+    "contamination_report",
+    # deterministic 80/20 split (sampling.hash_split, seed 'contam')
+    # replayed in SQL, then the full 8-gram decontamination recipe
+    "WITH sp AS (SELECT doc_id, text, CASE"
+    "   WHEN substr(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    "    < 'cccccccc' THEN 'train' ELSE 'test' END AS split"
+    "  FROM documents),"
+    " tk AS (SELECT doc_id, split, string_split("
+    "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t"
+    "  FROM sp),"
+    " grams AS (SELECT doc_id, split,"
+    "  unnest(list_distinct([md5(array_to_string(t[i:i+7], ' '))"
+    "   for i in range(1, len(t) - 6)])) AS gram"
+    "  FROM tk WHERE len(t) >= 8),"
+    " tr AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),"
+    " ev AS (SELECT doc_id, gram FROM grams WHERE split = 'test'),"
+    " per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams"
+    "  FROM ev GROUP BY doc_id),"
+    " hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated"
+    "  FROM ev WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id)"
+    " SELECT p.doc_id, n_grams,"
+    "  COALESCE(n_contaminated, 0) AS n_contaminated,"
+    "  CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_grams"
+    "   AS contamination_ratio"
+    " FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id"
+    " WHERE COALESCE(n_contaminated, 0) > 0"
+    " ORDER BY contamination_ratio DESC, p.doc_id",
 )
-def q_join_three(spark, sf_dir):
-    """3-table join chain — the reference hard-capped FROM at 2 tables
-    (`sqlengine.py:242-244`; BASELINE.md). Both dims broadcast: the
-    customer scan never shuffles."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count("c_custkey").alias("n_customers"),
-            R.exact_sum("c_acctbal", "total_acctbal"),
-        )
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination through the driver gate: documents
+    get a deterministic 80/20 hash split (operators/sampling), then
+    every test-split doc is scored for distinct word-8-gram overlap
+    with the ENTIRE train split (operators/contamination — grams
+    shuffle as md5 keys, train side reduces to its distinct n-gram
+    vocabulary, containment answered by one semi-join, no pairwise
+    document comparison). Non-empty at sf0.01: exact duplicate
+    documents land on both sides of the split and surface at
+    contamination_ratio 1.0 — precisely the leak this operator
+    exists to catch. (Replaced join_three_tables r3: ≥3-table joins
+    are already driver-covered by the eight TPC-H entries.)"""
+    from minisql_engine_spark.operators.contamination import (
+        cross_split_contamination,
     )
+    from minisql_engine_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "test": 0.2}, seed="contam"
+    )
+    return cross_split_contamination(split, n=8)
 
 
 # --- TPC-H classic shapes (adapted to the driver star schema) --------------
@@ -2304,6 +2331,7 @@ _DRIVER_WINDOW = 50
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 3); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    "contamination_report",
     "tpch_q1_pricing_summary",
     "text_metrics",
     "dedup_minhash_lsh",

@@ -42,8 +42,19 @@ def test_column_pruning_in_read_schema(spark, sf_dir):
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
-    q = entrymod.queries()["join_three_tables"]
-    plan = plan_of(q(spark, sf_dir))
+    # dim ⋈ fact with fixed-cardinality dims: the fact side must not
+    # shuffle (same contract join_three_tables asserted before it was
+    # replaced by contamination_report in the registry)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    q = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+    plan = plan_of(q)
     assert "BroadcastHashJoin" in plan
     # the fact table (customer) must not be exchanged before the join
     assert "SortMergeJoin" not in plan
