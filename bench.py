@@ -36,6 +36,7 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "contamination_report",
     "text_metrics",
     "emb_cosine_topk",
     "emb_ivf_topk",
