@@ -125,3 +125,41 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally index new vectors into an EXISTING persisted
+    index: assign against the FROZEN stored centroids and append into
+    the cell partitions — no rebuild, no touching existing files
+    (parquet partitioned append writes only the new cells' files).
+
+    This is how IVF indexes are actually maintained at scale: the
+    coarse quantizer (centroids) stays fixed between periodic
+    re-trainings, so an append-only ingest pipeline can index
+    continuously; because assignment is deterministic against the
+    same centroids, an index built incrementally equals one built
+    from scratch over the union (asserted in tests). Centroid drift
+    from distribution shift is handled by scheduled re-builds
+    (write_ivf_index), not per-batch."""
+    import os
+
+    spark = new_embeddings.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = ivf_assignments(
+        new_embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(id_col, "cell")
+    corpus = (
+        new_embeddings.selectExpr(
+            id_col, as_double_sql(vec_col) + " as v"
+        )
+        .withColumn("nv", F.expr(norm_sql("v")))
+        .join(assigned, id_col)
+    )
+    corpus.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "corpus")
+    )

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.ann_index import (
+    append_to_ivf_index,
     ivf_index_topk,
     write_ivf_index,
 )
@@ -79,3 +80,45 @@ def test_search_scan_is_partition_pruned(spark, sf_dir, built):
         "PartitionFilters" in line and "cell" in line
         for line in plan.splitlines()
     ), plan
+
+
+def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
+    """Index half the corpus, append the other half against the
+    frozen centroids: search results must equal an index built from
+    the full corpus with the SAME centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # seed-only centroids (refine_iters=0) so both halves see the
+    # identical frozen quantizer: the seed derives from the 16 lowest
+    # vec_ids, which are all in neither half exclusively — build the
+    # index from the FULL corpus's seed by writing centroids first
+    inc_path = str(tmp_path / "inc")
+    write_ivf_index(emb.limit(0).unionByName(first), inc_path, refine_iters=0)
+    # overwrite centroids with the full-corpus seed for determinism
+    from minisql_engine_spark.operators.similarity import ivf_centroids
+
+    ivf_centroids(emb).write.mode("overwrite").parquet(inc_path + "/centroids")
+    # rebuild first half against those centroids, then append second
+    import shutil
+
+    shutil.rmtree(inc_path + "/corpus")
+    append_to_ivf_index(first, inc_path)
+    append_to_ivf_index(second, inc_path)
+
+    full_path = str(tmp_path / "full")
+    write_ivf_index(emb, full_path, refine_iters=0)
+
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    a = sorted(
+        tuple(r)
+        for r in ivf_index_topk(spark, inc_path, queries, k=10).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivf_index_topk(spark, full_path, queries, k=10).collect()
+    )
+    clear_centroid_cache()
+    assert a == b
+    assert len(a) == len(QUERY_IDS) * 10
