@@ -99,9 +99,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
-    _CC_CACHE.append(comp)
     prev_sum = comp.agg(F.sum("component")).first()[0]
     if prev_sum is None:  # empty graph
+        _CC_CACHE.append(comp)
         return comp
 
     for _ in range(max_iter):
@@ -127,13 +127,19 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage — see module docstring
         )
-        _CC_CACHE.append(new_comp)
         new_sum = new_comp.agg(F.sum("component")).first()[0]
+        # only the FINAL table is retained in _CC_CACHE: rebinding
+        # `comp` drops the previous round's only reference, so the
+        # ContextCleaner can release each intermediate checkpoint RDD
+        # as the loop advances (long-lived sessions would otherwise
+        # accumulate one pinned RDD per iteration per call)
         comp = new_comp
         if new_sum == prev_sum:  # labels monotone ↓ ⇒ fixpoint
+            _CC_CACHE.append(comp)
             return comp
         prev_sum = new_sum
 
+    _CC_CACHE.append(comp)
     warnings.warn(
         f"connected_components: not converged after {max_iter} iterations "
         "(graph diameter exceeds max_iter); labels are a valid upper "

@@ -245,26 +245,60 @@ def char_entropy(
 
     Plan: explode characters → (doc, char) hash aggregate → per-doc
     entropy sum — two shuffles on uniformly-distributed keys with
-    map-side partials; the log2 arithmetic is identical per-term in
-    the oracle and rounded to 6 at the edge (the libm-ulp policy
-    every float edge in this package uses). Empty docs → entropy 0.
+    map-side partials, then a broadcast-sized left join back to the
+    id set so empty docs surface as entropy 0. The entropy uses the
+    single-pass decomposition ``H = log2(n) − Σ tf·log2(tf) / n``
+    (algebraically equal to ``−Σ p·log2 p``), which needs NO window
+    over the totals; the oracle replays the identical decomposition
+    and both engines round to 6 at the edge (the libm-ulp policy
+    every float edge in this package uses).
     """
     chars = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "")).alias("_c"),
     ).filter(F.col("_c") != "")
     tf = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_tf"))
-    return (
-        tf.groupBy(id_col)
-        .agg(
-            F.sum("_tf").cast("bigint").alias("n_chars_e"),
+    per = tf.groupBy(id_col).agg(
+        F.sum("_tf").cast("bigint").alias("_n"),
+        F.sum(
+            F.col("_tf").cast("double")
+            * F.log2(F.col("_tf").cast("double"))
+        ).alias("_stl"),
+    )
+    ids = df.select(F.col(id_col)).distinct()
+    return ids.join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_chars_e"),
+        F.coalesce(
             F.round(
-                -F.sum(
-                    (F.col("_tf") / F.sum("_tf").over_window
-                    if False
-                    else F.lit(0))
-                ),
+                F.log2(F.col("_n").cast("double"))
+                - F.col("_stl") / F.col("_n").cast("double"),
                 6,
-            ).alias("_placeholder"),
-        )
+            ),
+            F.lit(0.0),
+        ).alias("entropy_bits"),
+    )
+
+
+def char_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`char_entropy` — the same
+    ``log2(n) − Σ tf·log2(tf)/n`` decomposition, term for term."""
+    return (
+        f"WITH chars AS (SELECT {id_col},"
+        f" unnest(string_split({text_col}, '')) AS c FROM {table}),"
+        f" tf AS (SELECT {id_col}, c, count(*) AS tf FROM chars"
+        f"  WHERE c <> '' GROUP BY {id_col}, c),"
+        f" per AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS n,"
+        "  sum(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))) AS stl"
+        f"  FROM tf GROUP BY {id_col})"
+        f" SELECT d.{id_col},"
+        " COALESCE(per.n, 0) AS n_chars_e,"
+        " COALESCE(round(log2(CAST(per.n AS DOUBLE))"
+        "  - per.stl / CAST(per.n AS DOUBLE), 6), 0.0) AS entropy_bits"
+        f" FROM (SELECT DISTINCT {id_col} FROM {table}) d"
+        f" LEFT JOIN per ON d.{id_col} = per.{id_col}"
     )

@@ -45,12 +45,17 @@ def resample_forward_fill(
     from pyspark.sql.window import Window
 
     step = int(step_seconds)
-    # integer floor-division of exact microseconds: unix_timestamp's
-    # per-operand second handling and a float epoch cast disagree
-    # across engines on sub-second boundaries (same lesson as the
-    # attribution join's lag arithmetic)
-    epoch_s = F.expr(f"unix_micros({ts_col}) div 1000000")
-    slot = (epoch_s / step).cast("long") * step
+    # FLOOR-align exact microseconds to the step: pmod() is >= 0 for
+    # negative dividends, so `us - pmod(us, step_us)` floors toward
+    # -inf for pre-1970 timestamps too (a double divide + cast('long')
+    # truncates toward zero and disagrees with the oracle's floor
+    # there); the final /step_us divide is exact — the numerator is a
+    # step_us multiple well inside 2^53
+    step_us = step * 1_000_000
+    epoch_us = F.expr(f"unix_micros({ts_col})")
+    slot = (
+        (epoch_us - F.pmod(epoch_us, F.lit(step_us))) / F.lit(step_us)
+    ).cast("long") * step
 
     # per-key span → exploded grid (one shuffle on key)
     span = events.groupBy(F.col(key_col).alias("_k")).agg(
@@ -108,7 +113,13 @@ def resample_forward_fill_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`resample_forward_fill`."""
     step = int(step_seconds)
-    slot = f"((epoch_us({ts_col}) // 1000000) // {step}) * {step}"
+    step_us = step * 1_000_000
+    # same floor-mod alignment as the Spark side: ((x % m) + m) % m is
+    # the portable non-negative modulo, so this floors pre-1970 too
+    slot = (
+        f"((epoch_us({ts_col}) - (((epoch_us({ts_col}) % {step_us})"
+        f" + {step_us}) % {step_us})) // {step_us}) * {step}"
+    )
     return (
         f"WITH span AS (SELECT {key_col} AS _k, min({slot}) AS _lo,"
         f"  max({slot}) AS _hi FROM {table} GROUP BY {key_col}),"
