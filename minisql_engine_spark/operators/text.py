@@ -245,8 +245,9 @@ def char_entropy(
 
     Plan: explode characters → (doc, char) hash aggregate → per-doc
     entropy sum — two shuffles on uniformly-distributed keys with
-    map-side partials, then a broadcast-sized left join back to the
-    id set so empty docs surface as entropy 0. The entropy uses the
+    map-side partials, then a left join back to the distinct id set
+    (same cardinality as the documents — both sides hash-partition on
+    the id) so empty docs surface as entropy 0. The entropy uses the
     single-pass decomposition ``H = log2(n) − Σ tf·log2(tf) / n``
     (algebraically equal to ``−Σ p·log2 p``), which needs NO window
     over the totals; the oracle replays the identical decomposition

@@ -47,15 +47,19 @@ def resample_forward_fill(
     step = int(step_seconds)
     # FLOOR-align exact microseconds to the step: pmod() is >= 0 for
     # negative dividends, so `us - pmod(us, step_us)` floors toward
-    # -inf for pre-1970 timestamps too (a double divide + cast('long')
-    # truncates toward zero and disagrees with the oracle's floor
-    # there); the final /step_us divide is exact — the numerator is a
-    # step_us multiple well inside 2^53
+    # -inf for pre-1970 timestamps too.  The quotient uses integer
+    # `div`, never a double divide: a double can't represent every
+    # long past 2^53, so `(x / y).cast('long')` could land one slot
+    # off at the extremes of Spark's timestamp range, diverging from
+    # the oracle's exact integer `//`.
     step_us = step * 1_000_000
-    epoch_us = F.expr(f"unix_micros({ts_col})")
     slot = (
-        (epoch_us - F.pmod(epoch_us, F.lit(step_us))) / F.lit(step_us)
-    ).cast("long") * step
+        F.expr(
+            f"(unix_micros({ts_col}) -"
+            f" pmod(unix_micros({ts_col}), {step_us})) div {step_us}"
+        )
+        * step
+    )
 
     # per-key span → exploded grid (one shuffle on key)
     span = events.groupBy(F.col(key_col).alias("_k")).agg(
