@@ -577,6 +577,91 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _ngram_exploded(
+    df: DataFrame, block_col: str, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, blk, g, n_g): one row per distinct character n-gram per
+    doc, with the doc's gram-set size attached."""
+    normed = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("blk"),
+        # materialized first — an inline expression under the
+        # char_ngrams lambda re-evaluates per element (26× slower,
+        # see word_shingles)
+        _norm(F.col(text_col)).alias("_c"),
+    )
+    grams = normed.select(
+        id_col, "blk", char_ngrams(F.col("_c"), n).alias("_gs")
+    ).withColumn("n_g", F.size("_gs"))
+    return grams.select(
+        id_col, "blk", "n_g", F.explode("_gs").alias("g")
+    )
+
+
+def ngram_prefix_candidates(
+    ex: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """PPJoin-style candidate pairs (id_a, id_b, n_a, n_b) from the
+    exploded gram table — EXACT (superset of every true pair ≥
+    threshold), but never all-pairs-per-block.
+
+    Prefix-filter lemma: order each doc's gram set by a global total
+    order; if J(a,b) ≥ t then |a∩b| ≥ t·|a∪b| ≥ ⌈t·|x|⌉ for both
+    docs, so two qualifying docs MUST share a gram within their first
+    |x| − ⌈t·|x|⌉ + 1 grams. Keying the candidate join on only those
+    prefix grams — ordered by ascending global document frequency so
+    the join keys are the *rarest* grams — bounds candidates by
+    Σ_g df_prefix(g)² over low-frequency grams instead of Σ_g df(g)²
+    over all (a skewed block with n docs sharing "the" no longer
+    goes O(n²)). A length filter (t·|a| ≤ |b| ≤ |a|/t) prunes the
+    rest. Same exactness technique as PPJoin (Xiao et al., WWW'08);
+    no recall loss, so the DuckDB all-pairs oracle stays the oracle.
+
+    Scale note: the bound is Σ C(df_prefix(g), 2) over the rarest
+    grams, so its strength tracks how discriminative the grams are.
+    Character-3-grams live in a ~26³ space that saturates around
+    10⁴–10⁵ docs per block — at corpus scale use ``n≥4`` (26⁴ ≈
+    457k) or word shingles; the skew test asserts both regimes.
+    """
+    # Global document frequency per gram: one partial-agg shuffle.
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    # Rank each doc's grams by (df asc, gram) — rarest first. The
+    # prefix keeps |g| − ⌈t·|g|⌉ + 1 grams; the 1e-9 slack only ever
+    # LENGTHENS the prefix when t·n sits a float-ulp above an
+    # integer, so pruning stays on the safe (superset) side.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("g").asc())
+    prefix_len = (
+        F.col("n_g")
+        - F.ceil(F.col("n_g") * F.lit(threshold) - F.lit(1e-9))
+        + F.lit(1)
+    )
+    prefix = (
+        ex.join(dfreq, "g")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+        .select(id_col, "blk", "g", "n_g")
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "blk", "g", F.col("n_g").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "blk", "g", F.col("n_g").alias("n_b")
+    )
+    return (
+        pa.join(pb, ["blk", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J ≥ t forces t ≤ min(|a|,|b|)/max(|a|,|b|)
+        .filter(
+            (F.col("n_b") >= F.col("n_a") * threshold - 1e-9)
+            & (F.col("n_a") >= F.col("n_b") * threshold - 1e-9)
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_col: str = "source",
@@ -585,37 +670,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Character-n-gram Jaccard between all doc pairs sharing a
-    blocking key (e.g. source) — the classic blocked near-dup join.
+    """Character-n-gram Jaccard between doc pairs sharing a blocking
+    key (e.g. source) — blocked near-dup join, candidate-bounded.
 
-    The pairwise work is bounded per block; blocks shuffle
-    independently. Output: (id_a, id_b, jaccard) above threshold.
+    Candidates come from :func:`ngram_prefix_candidates` (rarest-gram
+    prefix filter — exact, never all-pairs-per-block); the exact
+    intersection is then computed ONLY for candidate pairs via a
+    pair-restricted join of the two gram sets, the same verify shape
+    the MinHash path uses. Output: (id_a, id_b, jaccard) ≥ threshold
+    — identical to the naive blocked all-pairs join, which is what
+    the DuckDB oracle replays.
     """
-    normed = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("blk"),
-        _norm(F.col(text_col)).alias("_c"),
-    )
-    ex = normed.select(
-        F.col(id_col),
-        "blk",
-        F.explode(char_ngrams(F.col("_c"), n)).alias("g"),
-    )
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_g"))
-    ea = ex.select(F.col(id_col).alias("id_a"), F.col("blk"), F.col("g"))
-    eb = ex.select(F.col(id_col).alias("id_b"), F.col("blk"), F.col("g"))
+    ex = _ngram_exploded(df, block_col, id_col, text_col, n)
+    cand = ngram_prefix_candidates(ex, id_col, threshold)
+    # pair-restricted exact verify: candidates × grams-of-a, matched
+    # against grams-of-b on (id_b, g) — shuffle is |cand|·|grams/doc|,
+    # not block².
+    ga = ex.select(F.col(id_col).alias("id_a"), "g")
+    gb = ex.select(F.col(id_col).alias("id_b"), "g")
     inter = (
-        ea.join(eb, ["blk", "g"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_g").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_g").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")

@@ -98,7 +98,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the legacy conf, so other reads in the session are unaffected.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
@@ -120,6 +120,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if fld is not None and isinstance(fld.dataType, LongType):
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    # Parquet files written with isAdjustedToUTC=false surface as
+    # TIMESTAMP_NTZ, which watermarks / unix_micros / interval
+    # arithmetic reject. The session tz is pinned to UTC
+    # (session.py), so the NTZ wall clock IS the instant and the
+    # LTZ cast is value-preserving; pushdown/pruning are unaffected
+    # (the cast sits above the scan, filters on other columns still
+    # reach the reader).
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, TimestampNTZType):
+            df = df.withColumn(
+                fld.name, F.col(fld.name).cast("timestamp")
             )
     per_session[key] = df
     return df

@@ -54,10 +54,16 @@ def read_events_stream(
         os.symlink(src, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     # same ns→µs repair as the batch path
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local tz); the session tz
+        # is pinned to UTC so the NTZ wall clock IS the instant — the
+        # cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     if with_watermark:
         stream = stream.withWatermark("ts", with_watermark)
     return stream

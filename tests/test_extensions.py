@@ -156,6 +156,102 @@ def test_ngram_jaccard_blocked(planted_docs):
     assert (1, 2) not in pairs
 
 
+def test_ngram_prefix_filter_matches_naive_all_pairs(spark):
+    """The prefix-filtered join must return EXACTLY the naive blocked
+    all-pairs result (the DuckDB oracle's shape) — same pairs, same
+    jaccard values — on a corpus with near-dups at several lengths."""
+    from minisql_engine_spark.operators.dedup import (
+        _ngram_exploded,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"shared boilerplate prefix number {i % 7} "
+                        f"with tail variant {i}", "blk"))
+    # planted exact-ish near dups
+    rows.append((100, "shared boilerplate prefix number 1 with tail variant 1",
+                 "blk"))
+    rows.append((101, "totally disjoint content qqq zzz xxx", "blk"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+    }
+    # naive all-pairs replay (the pre-prefix-filter implementation)
+    ex = _ngram_exploded(docs, "source", "doc_id", "text", 3)
+    ea = ex.select(F.col("doc_id").alias("id_a"), "blk", "g",
+                   F.col("n_g").alias("n_a"))
+    eb = ex.select(F.col("doc_id").alias("id_b"), "blk", "g",
+                   F.col("n_g").alias("n_b"))
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in (
+            ea.join(eb, ["blk", "g"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("n_inter"))
+            .withColumn(
+                "jaccard",
+                F.round(F.col("n_inter").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+            )
+            .filter(F.col("jaccard") >= t)
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_ngram_prefix_filter_bounds_skewed_block(spark):
+    """One giant block (every doc same source) — the flaw class the
+    embedding path fixed in r2: candidates must stay FAR below the
+    all-pairs n·(n−1)/2 even though virtually all docs share common
+    3-grams like 'the'."""
+    from minisql_engine_spark.operators.dedup import (
+        _ngram_exploded,
+        ngram_prefix_candidates,
+    )
+
+    n = 200
+    # pairwise-dissimilar bodies (deterministic pseudo-random tokens)
+    # glued with universal stopwords: every doc shares 'the'/'and'
+    # grams with every other doc, so the NAIVE (blk, gram) join pairs
+    # all of them — exactly the skew the prefix filter must bound.
+    def word(seed):
+        # deterministic 6-letter token — full 26³ trigram space, so
+        # body grams are genuinely rare across the corpus
+        out, x = [], seed * 2654435761 % 2**32
+        for _ in range(6):
+            out.append(chr(ord("a") + x % 26))
+            x = (x * 1103515245 + 12345) % 2**31
+        return "".join(out)
+
+    rows = [
+        (i,
+         "the " + " ".join(word(i * 37 + j) for j in range(18))
+         + " and the end",
+         "one_block")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    all_pairs = n * (n - 1) // 2
+
+    # n=3: the 26³ gram space saturates (avg df ≈ 1.5 even on random
+    # text), so rare-gram collisions keep a constant fraction — the
+    # filter must still beat all-pairs by ~3× here
+    ex3 = _ngram_exploded(docs, "source", "doc_id", "text", 3)
+    n_cand3 = ngram_prefix_candidates(ex3, "doc_id", 0.7).count()
+    assert n_cand3 < all_pairs / 3, (n_cand3, all_pairs)
+
+    # n=4 (the corpus-scale config): grams are discriminative, the
+    # candidate set collapses to near-zero spurious pairs
+    ex4 = _ngram_exploded(docs, "source", "doc_id", "text", 4)
+    n_cand4 = ngram_prefix_candidates(ex4, "doc_id", 0.7).count()
+    assert n_cand4 < all_pairs / 50, (n_cand4, all_pairs)
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN must recover a reasonable share of true top-10
     neighbors for bucketed queries (and every hit it reports must be
