@@ -1198,21 +1198,13 @@ def q_text_metrics(spark, sf_dir):
     joins its four CTEs on doc_id; ratio arithmetic mirrors the
     oracle op-for-op so doubles are bit-equal. (Merged from the r2
     ``text_metrics`` + ``text_lang_fingerprint`` entries to free a
-    driver-window slot for TPC-H Q1.)"""
-    from minisql_engine_spark.operators.text import (
-        with_fingerprint,
-        with_lang_id,
-        with_quality_score,
-        with_repetition_ratio,
-        with_token_counts,
-    )
+    driver-window slot for TPC-H Q1; r5 switched to the fused
+    ``text_metrics_all``, which materializes each shared
+    subexpression exactly once — VERDICT r3 task 3.)"""
+    from minisql_engine_spark.operators.text import text_metrics_all
 
     docs = _t(spark, sf_dir, "documents")
-    out = with_repetition_ratio(
-        with_fingerprint(
-            with_lang_id(with_quality_score(with_token_counts(docs)))
-        )
-    )
+    out = text_metrics_all(docs)
     return out.select(
         "doc_id",
         "n_ws_tokens",
@@ -2317,6 +2309,198 @@ def q_stateful_stream(spark, sf_dir):
     )
 
 
+# --- Round-5 rotation: previously pytest-only operators ---------------------
+# (VERDICT r3 task 2 — these had DuckDB-oracle pytest coverage since r3
+# but never a driver CORRECTNESS row; six long-proven §2.1/§2.2 slots
+# move to _ARCHIVED to make room, still pytest-verified every run.)
+
+
+@_register(
+    "tfidf_keywords",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_tfidf_keywords(spark, sf_dir):
+    """Exact smoothed TF-IDF with per-doc top-5 keyword extraction
+    (§2.4 text-features; relational formulation, not HashingTF —
+    exact per-term weights, oracle-replayable; tokens explode once,
+    two partial-agg shuffles, WindowGroupLimit for the top-k)."""
+    from minisql_engine_spark.operators.tfidf import tfidf_terms
+
+    return tfidf_terms(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+def _tfidf_oracle() -> str:
+    from minisql_engine_spark.operators.tfidf import tfidf_terms_sql
+
+    # n_docs=None → scalar-subquery corpus size, so the string is
+    # static across scale factors
+    return tfidf_terms_sql(None, top_k=5)
+
+
+_ORACLES["tfidf_keywords"] = _tfidf_oracle()
+
+
+@_register(
+    "stats_histogram",
+    None,
+)
+def q_stats_histogram(spark, sf_dir):
+    """Fixed-bucket value histogram over lineitem.l_extendedprice
+    (data-quality stat): one pass, map-side pure-arithmetic bucket
+    assignment, partial agg, sentinel under/overflow buckets —
+    bit-identical boundaries in both engines."""
+    from minisql_engine_spark.operators.stats import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        lo=0.0, hi=80000.0, n_buckets=16,
+    )
+
+
+def _histogram_oracle() -> str:
+    from minisql_engine_spark.operators.stats import value_histogram_sql
+
+    return value_histogram_sql(
+        "lineitem", "l_extendedprice", lo=0.0, hi=80000.0, n_buckets=16
+    )
+
+
+_ORACLES["stats_histogram"] = _histogram_oracle()
+
+
+@_register(
+    "stats_quantiles",
+    None,
+)
+def q_stats_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles of o_totalprice per order status
+    (sort-based agg, spillable; Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the a+(b−a)·frac interpolation, so the
+    surface is bit-comparable — unlike sketch quantiles)."""
+    from minisql_engine_spark.operators.stats import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "orders"), "o_totalprice",
+        group_by="o_orderstatus",
+    )
+
+
+def _quantiles_oracle() -> str:
+    from minisql_engine_spark.operators.stats import exact_quantiles_sql
+
+    return exact_quantiles_sql(
+        "orders", "o_totalprice", group_by="o_orderstatus"
+    )
+
+
+_ORACLES["stats_quantiles"] = _quantiles_oracle()
+
+
+@_register(
+    "timeseries_resample",
+    None,
+)
+def q_timeseries_resample(spark, sf_dir):
+    """Per-user 6-hour resample with forward fill over the events
+    stream (time-series gap filling): floor-aligned integer slot
+    arithmetic (exact `div`, ADVICE r4), per-key dense grid via
+    sequence-explode, last-observation window carry."""
+    from minisql_engine_spark.operators.timeseries import (
+        resample_forward_fill,
+    )
+
+    return resample_forward_fill(
+        _t(spark, sf_dir, "events"), step_seconds=6 * 3600
+    )
+
+
+def _resample_oracle() -> str:
+    from minisql_engine_spark.operators.timeseries import (
+        resample_forward_fill_sql,
+    )
+
+    return resample_forward_fill_sql(step_seconds=6 * 3600)
+
+
+_ORACLES["timeseries_resample"] = _resample_oracle()
+
+
+@_register(
+    "pii_redaction",
+    None,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing over the documents corpus (curation-pipeline
+    stage): per-pattern hit counts + redacted text, map-side only —
+    patterns restricted to the Java-regex ∩ RE2 portable subset so
+    the DuckDB oracle replays them verbatim."""
+    from minisql_engine_spark.operators.redaction import (
+        DEFAULT_PATTERNS,
+        redact_pii,
+    )
+
+    out = redact_pii(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in DEFAULT_PATTERNS],
+        "n_pii_total",
+        "redacted",
+    )
+
+
+def _redaction_oracle() -> str:
+    from minisql_engine_spark.operators.redaction import (
+        DEFAULT_PATTERNS,
+        redact_pii_sql,
+    )
+
+    select_list = redact_pii_sql()
+    names = [f"n_{name}" for name, _, _ in DEFAULT_PATTERNS]
+    return (
+        f"SELECT doc_id, {', '.join(names)}, n_pii_total, redacted"
+        f" FROM (SELECT doc_id, {select_list} FROM documents)"
+    )
+
+
+_ORACLES["pii_redaction"] = _redaction_oracle()
+
+
+@_register("ivf_index_search", _IVF_ORACLE)
+def q_ivf_index_search(spark, sf_dir):
+    """Search of the PERSISTED cell-partitioned IVF index (§2.4 scale
+    path #3): the index is written as one parquet directory per cell,
+    queries broadcast, the corpus read partition-pruned to the probed
+    cells. Same centroids/probing/ranking as emb_ivf_topk, so the
+    identical end-to-end Lloyd-replay oracle applies — this entry
+    proves the on-disk layout and pruned read, not new math."""
+    import hashlib
+    import tempfile
+
+    from minisql_engine_spark.operators.ann_index import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from minisql_engine_spark.operators.similarity import (
+        clear_centroid_cache,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_ivf_{tag}")
+    # rebuild once per process (stale on-disk indexes from earlier
+    # runs must not leak into this one)
+    if path not in _IVF_BUILT:
+        write_ivf_index(emb, path, refine_iters=2)
+        clear_centroid_cache()
+        _IVF_BUILT.add(path)
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    out = ivf_index_topk(spark, path, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_IVF_BUILT: set[str] = set()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -2324,13 +2508,40 @@ def q_stateful_stream(spark, sf_dir):
 # (near-duplicate shapes are merged, see VERDICT r1 "trim to fit"), and
 # (b) queries() emits the entries whose verification is newest-first, so
 # even a shrunken window checks the least-proven operators.
+#
+# Long-proven entries rotate into _ARCHIVED (r3 task 2): excluded from
+# the driver window but still registered — tests/test_oracle_parity.py
+# runs archived_queries() against archived_oracle_sql() every pytest
+# run, so rotation never drops verification, only driver visibility.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = 50
 
+#: Hash-green for ≥2 consecutive driver rounds (r3+r4) and structurally
+#: simple — rotated out of the driver window to free slots for the r3
+#: additions that never got a driver row. Still verified by pytest.
+_ARCHIVED: frozenset[str] = frozenset(
+    {
+        "case_when_having",
+        "scalar_string_math",
+        "json_extract_props",
+        "set_ops",
+        "pivot_status_by_segment",
+        "scalar_date_interval",
+    }
+)
+
 #: Names listed here are emitted first (operators new or unverified as of
-#: round 3); everything else follows in file (registration) order.
+#: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r5 rotation — first driver rows for these
+    "tfidf_keywords",
+    "stats_histogram",
+    "stats_quantiles",
+    "timeseries_resample",
+    "pii_redaction",
+    "ivf_index_search",
+    # r3/r4 entries, newest-proven first
     "contamination_report",
     "tpch_q1_pricing_summary",
     "text_metrics",
@@ -2339,19 +2550,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "ml_lsh_suite",
     "emb_lsh_ann",
     "grouping_sets",
-    "set_ops",
-    "scalar_date_interval",
     "multimodal_features",
     "events_fixed_windows",
     "events_session_window",
-    "pivot_status_by_segment",
     "subquery_suite",
     "udtf_chunk_documents",
     "udaf_weighted_avg",
     "asof_join_events",
     "pandas_group_features",
     "range_join_bands",
-    "json_extract_props",
     "streaming_stateful_user_stats",
     "approx_distinct",
     "tpch_q7_volume_shipping",
@@ -2363,7 +2570,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
 
 def _ordered_names() -> list[str]:
     front = [n for n in _VERIFY_FIRST if n in _QUERIES]
-    back = [n for n in _QUERIES if n not in set(front)]
+    back = [
+        n
+        for n in _QUERIES
+        if n not in set(front) and n not in _ARCHIVED
+    ]
     names = front + back
     if len(names) > _DRIVER_WINDOW:
         # RuntimeError, not assert: the window cap must hold even
@@ -2385,3 +2596,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each ``queries()`` entry."""
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
+
+
+def archived_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Rotated-out entries — not in the driver window, still tested
+    by tests/test_oracle_parity.py against archived_oracle_sql()."""
+    return {n: _QUERIES[n] for n in sorted(_ARCHIVED) if n in _QUERIES}
+
+
+def archived_oracle_sql() -> dict[str, str]:
+    """Oracle twins for :func:`archived_queries`."""
+    return {n: _ORACLES[n] for n in sorted(_ARCHIVED) if n in _ORACLES}

@@ -88,7 +88,7 @@ def tfidf_terms(
 
 
 def tfidf_terms_sql(
-    n_docs: int,
+    n_docs: int | None,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -96,7 +96,17 @@ def tfidf_terms_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`tfidf_terms`. ``n_docs`` is the
     corpus size (the Spark side computes it with one count; SQL takes
-    it as a literal so both use the identical constant)."""
+    it as a literal so both use the identical constant). Pass ``None``
+    to embed a scalar subquery instead — needed where the SQL string
+    must be static (the driver's ``oracle_sql()``); an integer-valued
+    count cast to DOUBLE is exact, so both forms agree bit-for-bit."""
+    if n_docs is None:
+        n1 = (
+            f"CAST((SELECT count(DISTINCT {id_col}) FROM {table}) + 1"
+            " AS DOUBLE)"
+        )
+    else:
+        n1 = repr(float(n_docs + 1))
     base = (
         f"WITH toks AS (SELECT {id_col}, unnest(string_split("
         f" regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'),"
@@ -107,7 +117,7 @@ def tfidf_terms_sql(
         f"  CAST(count(DISTINCT {id_col}) AS BIGINT) AS doc_freq"
         "  FROM toks GROUP BY token),"
         f" scored AS (SELECT {id_col}, tf.token, tf, doc_freq,"
-        f"  round(tf * (ln({float(n_docs + 1)!r}"
+        f"  round(tf * (ln({n1}"
         "   / CAST(doc_freq + 1 AS DOUBLE)) + 1.0), 6) AS tfidf"
         "  FROM tf JOIN df_t ON tf.token = df_t.token)"
     )

@@ -17,6 +17,22 @@ entrymod = importlib.import_module("__spark_entry__")
 from tests.conftest import assert_matches_oracle  # noqa: E402
 
 QUERY_NAMES = sorted(entrymod.queries().keys())
+# rotated-out entries keep full parity coverage here even though the
+# driver window no longer sees them (registry ordering note in the
+# entry module)
+ALL_NAMES = sorted(
+    set(QUERY_NAMES) | set(entrymod.archived_queries().keys())
+)
+
+
+def _lookup(name):
+    qs = entrymod.queries()
+    if name in qs:
+        return qs[name], entrymod.oracle_sql().get(name)
+    return (
+        entrymod.archived_queries()[name],
+        entrymod.archived_oracle_sql().get(name),
+    )
 
 
 def test_every_query_has_callable():
@@ -30,11 +46,17 @@ def test_oracles_subset_of_queries():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_archived_entries_all_have_oracles():
+    # rotation must never park an entry where NOTHING checks it: every
+    # archived entry keeps a DuckDB oracle
+    archived = entrymod.archived_queries()
+    assert archived and set(entrymod.archived_oracle_sql()) == set(archived)
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    fn = entrymod.queries()[name]
+    fn, oracle = _lookup(name)
     sdf = fn(spark, sf_dir)
-    oracle = entrymod.oracle_sql().get(name)
     if oracle is None:
         # weaker rows-only check (driver does the same)
         assert sdf.count() >= 0
