@@ -80,17 +80,50 @@ def synthesize_payloads(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload into an array.
+    """Decode an image payload into an H×W[×C] uint8 array.
 
-    STUB: real decoding needs an image library (e.g. Pillow / OpenCV)
-    that is not available in this container. The Spark-side plumbing
-    (binary column → Arrow batch → per-row bytes) is real; swap this
-    function for a real codec in production.
+    Uses Pillow automatically when it is importable on the executor
+    (guarded import — the library is optional); otherwise raises
+    ``NotImplementedError``. The Spark-side plumbing (binary column →
+    Arrow batch → per-row bytes) is identical either way, so
+    environments with Pillow get real decoding with no code changes.
     """
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; wire Pillow/OpenCV here in production"
-    )
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed; "
+            "pip install Pillow (or inject a custom decoder) to enable"
+        ) from None
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img)
+
+
+def pil_image_stats(payload: bytes) -> tuple[int, float]:
+    """Real-codec drop-in for ``extract_features``'s ``decoder``
+    slot: decodes with Pillow and returns (n_pixels, mean_pixel) —
+    same ``bytes -> (count, mean)`` contract as the deterministic
+    fake. Raises ``NotImplementedError`` without Pillow."""
+    arr = decode_image(payload)
+    return int(arr.size), (float(arr.mean()) if arr.size else 0.0)
+
+
+def default_image_decoder():
+    """The decoder ``extract_features`` should use for IMAGE columns:
+    :func:`pil_image_stats` when Pillow imports, else the
+    deterministic fake (byte statistics, oracle-reproducible). The
+    choice happens ONCE on the driver; the chosen callable is what
+    ships to executors."""
+    try:
+        import PIL  # noqa: F401
+
+        return pil_image_stats
+    except ImportError:
+        return _fake_decode_stats
 
 
 def decode_audio(payload: bytes) -> "object":

@@ -82,6 +82,50 @@ def test_vocabulary_stats_oracle(spark, duck, sf_dir):
     assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "vocab")
 
 
+def test_char_entropy_oracle_corpus(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.text import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    out = char_entropy(load_table(spark, sf_dir, "documents"))
+    oracle = char_entropy_sql()
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "entropy")
+
+
+def test_char_entropy_edges(spark, duck):
+    """Edge rows the corpus doesn't exercise (ADVICE r4): empty doc,
+    NULL text, single-char repeat (entropy exactly 0), multi-byte
+    unicode — Spark and DuckDB must agree on every one."""
+    from minisql_engine_spark.operators.text import (
+        char_entropy,
+        char_entropy_sql,
+    )
+
+    rows = [
+        (1, ""),                      # empty → n=0, entropy 0
+        (2, None),                    # NULL text → like empty
+        (3, "aaaaaaa"),               # one symbol → entropy exactly 0
+        (4, "héllo wörld — ünïcode"),  # multi-byte chars count as 1
+        (5, "abab"),                  # two symbols, uniform → 1 bit
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = char_entropy(sdf)
+    duck.execute(
+        "CREATE OR REPLACE TABLE _ent(doc_id BIGINT, text VARCHAR)"
+    )
+    duck.executemany("INSERT INTO _ent VALUES (?, ?)", rows)
+    oracle = char_entropy_sql(table="_ent")
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "entropy_edge")
+    got = {r["doc_id"]: (r["n_chars_e"], r["entropy_bits"])
+           for r in out.collect()}
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[3] == (7, 0.0)
+    assert got[5] == (4, 1.0)
+    duck.execute("DROP TABLE _ent")
+
+
 def test_vocabulary_topk_bounded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     top = vocabulary_stats(docs, top_k=10).collect()

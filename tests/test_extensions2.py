@@ -154,6 +154,68 @@ def test_multimodal_decoder_injection(spark, sf_dir):
     assert all(r["n_bytes"] == 32 and r["mean_byte"] == 42.0 for r in out)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decoder_selection_is_guarded():
+    """default_image_decoder picks the real Pillow codec exactly when
+    the library imports; the stub raises NotImplementedError (never a
+    silent wrong answer) when it doesn't."""
+    from minisql_engine_spark.operators.multimodal import (
+        _fake_decode_stats,
+        decode_image,
+        default_image_decoder,
+        pil_image_stats,
+    )
+
+    chosen = default_image_decoder()
+    if _pil_available():
+        assert chosen is pil_image_stats
+    else:
+        assert chosen is _fake_decode_stats
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+import pytest as _pt  # noqa: E402
+
+
+@_pt.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_real_png_decodes_through_extract_features(spark, sf_dir):
+    """With Pillow present, a real PNG flows through the SAME Arrow
+    pipeline: synthesize a 4×4 image, encode to PNG bytes, decode via
+    pil_image_stats inside extract_features."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from minisql_engine_spark.operators.multimodal import (
+        PAYLOAD_SCHEMA,
+        extract_features,
+        pil_image_stats,
+    )
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [(1, "image", 4, 4, bytearray(png))]
+    payloads = spark.createDataFrame(rows, PAYLOAD_SCHEMA)
+    out = extract_features(payloads, decoder=pil_image_stats).collect()
+    assert len(out) == 1
+    assert out[0]["n_bytes"] == arr.size
+    assert abs(out[0]["mean_byte"] - float(arr.mean())) < 1e-9
+
+
 def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir):
     """JSONL write → schema-explicit read must preserve rows and
     types; a corrupt line must land in _corrupt_record, not poison
