@@ -48,7 +48,11 @@ HEADLINE = (
     # as the correctness-gated UDAF-surface demo, but SQL-expressible
     # aggregations belong on the native path (see its docstring).
     "grouping_sets",
-    "json_extract_props",
+    "json_extract_props",  # archived from the driver window r5; bench series continues
+    "tfidf_keywords",
+    "timeseries_resample",
+    "pii_redaction",
+    "stats_histogram",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
@@ -79,7 +83,10 @@ def main() -> None:
     spark = get_spark("minisql-bench", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = em.queries()
+    qs = dict(em.queries())
+    # archived entries left the driver window but keep their bench
+    # series (round-over-round comparability)
+    qs.update(em.archived_queries())
     # Warm the JVM, codegen paths, and parquet footers: count() every
     # table once so timings measure execution, not first-contact
     # metadata I/O; one flagship run warms the join/agg codegen.
