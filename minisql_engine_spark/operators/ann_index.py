@@ -163,3 +163,92 @@ def append_to_ivf_index(
     corpus.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "corpus")
     )
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell, n_vectors, mean_dist): occupancy and mean cosine
+    distance (1 − sim) of each cell's members to their centroid.
+
+    ``mean_dist`` is the drift metric: appends assign against FROZEN
+    centroids, so distribution shift shows up as rising mean distance
+    (members far from their quantizer → worse pruned-search recall
+    per byte scanned). One pass over the corpus joined to the
+    broadcast-sized centroid table, one cell-keyed aggregate."""
+    cents = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .withColumnRenamed("cv", "_cv")
+        .withColumn("_cn", F.expr(norm_sql("_cv")))
+    )
+    corpus = spark.read.parquet(os.path.join(path, "corpus"))
+    dist = F.lit(1.0) - F.expr(score_sql("v", "_cv", "nv", "_cn"))
+    return (
+        corpus.join(F.broadcast(cents), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg(dist), 6).alias("mean_dist"),
+        )
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_cell_size: int,
+    id_col: str = "vec_id",
+    refine_iters: int = 2,
+) -> dict:
+    """Re-cluster the index when any cell outgrows ``max_cell_size``
+    (IVF maintenance: appends against frozen centroids eventually
+    unbalance the inverted file — an oversized cell makes every probe
+    of it scan too much).
+
+    Compaction re-trains the coarse quantizer over the FULL stored
+    corpus (decimal-exact Lloyd, same seeding rule) and rewrites the
+    cell layout. Because stored vectors are the exact doubles the
+    original embeddings cast to, a compacted index is bit-identical
+    to one built fresh over the union corpus — searches keep the
+    in-memory ``ivf_topk`` contract (asserted in tests). At lakehouse
+    scale you would write ``<path>.new`` and swap a pointer; here the
+    corpus is staged through a DataFrame checkpoint-free rewrite of
+    the same directories.
+
+    Returns ``{"compacted": bool, "max_cell_before": int,
+    "mean_dist_before": float, "mean_dist_after": float | None}`` —
+    the before/after drift record the maintenance job logs.
+    """
+    stats = ivf_cell_stats(spark, path).collect()  # n_cells rows — tiny
+    max_cell = max((r["n_vectors"] for r in stats), default=0)
+    total = sum(r["n_vectors"] for r in stats) or 1
+    mean_before = round(
+        sum(r["mean_dist"] * r["n_vectors"] for r in stats) / total, 6
+    )
+    if max_cell <= max_cell_size:
+        return {
+            "compacted": False,
+            "max_cell_before": max_cell,
+            "mean_dist_before": mean_before,
+            "mean_dist_after": None,
+        }
+    # full stored corpus back into embedding shape; v is already the
+    # double-cast of the original vectors, so retraining here equals
+    # retraining on the source embeddings
+    stored = (
+        spark.read.parquet(os.path.join(path, "corpus"))
+        .select(id_col, F.col("v").alias("embedding"))
+        .localCheckpoint()  # sever lineage from the files being rewritten
+    )
+    write_ivf_index(
+        stored, path, id_col=id_col, refine_iters=refine_iters
+    )
+    after = ivf_cell_stats(spark, path).collect()
+    total_a = sum(r["n_vectors"] for r in after) or 1
+    mean_after = round(
+        sum(r["mean_dist"] * r["n_vectors"] for r in after) / total_a, 6
+    )
+    return {
+        "compacted": True,
+        "max_cell_before": max_cell,
+        "mean_dist_before": mean_before,
+        "mean_dist_after": mean_after,
+    }

@@ -560,6 +560,143 @@ def ivf_centroids(
     )
 
 
+def kmeans_parallel_seeds(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = N_CELLS,
+    oversample: int | None = None,
+    rounds: int = 3,
+) -> DataFrame:
+    """(cell, cv) seed centroids via DETERMINISTIC k-means||
+    (Bahmani et al., VLDB'12) — the scale-correct alternative to
+    first-ids seeding when ids correlate with ingest order (first-ids
+    then seeds from one corner of the distribution).
+
+    k-means|| structure, determinism substituted for randomness so
+    runs (and a SQL oracle) reproduce bit-for-bit:
+
+    * initial center: the min-id vector;
+    * each round scores every vector's cosine distance to the current
+      center set (broadcast join, min over centers — round(6) like
+      every sim in this module), computes the total cost φ as an
+      exact DECIMAL sum, and "samples" each vector with probability
+      ``min(1, l·d/φ)`` — the coin flip is the md5-hash fraction of
+      ``(id, round)``, the same hash-threshold trick
+      ``operators/sampling`` uses, so acceptance is a pure function
+      of the data;
+    * final reduction to ``n_cells``: candidates are weighted by
+      member count (one broadcast-join aggregate) and the heaviest
+      ``n_cells`` win, weight desc / id asc — SQL-replayable, unlike
+      the usual driver-side weighted k-means++.
+
+    Everything is map-side against broadcast center sets except the
+    per-round (id-keyed) min-distance aggregate and the final weight
+    count; candidate sets stay ≤ 1 + l·rounds rows and ride
+    ``localCheckpoint`` so the loop never deepens the lineage. Use as
+    ``ivf_refined_centroids(..., seed="kmeans_parallel")``; Lloyd
+    refinement is identical from either seed."""
+    l = oversample if oversample is not None else 2 * n_cells
+    vecs = (
+        embeddings.selectExpr(id_col, as_double_sql(vec_col) + " as v")
+        .withColumn("nv", F.expr(norm_sql("v")))
+    )
+    # deterministic first center: min id
+    cents = (
+        vecs.orderBy(F.col(id_col))
+        .limit(1)
+        .select(F.col(id_col).alias("cell"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    # md5-fraction in [0,1): first 8 hex chars / 2^32 — the
+    # deterministic coin (operators/sampling.py pattern)
+    def _frac(round_no: int):
+        return F.expr(
+            f"conv(substr(md5(concat(cast({id_col} as string),"
+            f" '#kmpar#', '{round_no}')), 1, 8), 16, 10)"
+        ).cast("double") / F.lit(float(1 << 32))
+
+    for r in range(rounds):
+        scored = (
+            vecs.crossJoin(
+                F.broadcast(
+                    cents.withColumn("nc", F.expr(norm_sql("cv")))
+                )
+            )
+            .select(
+                F.col(id_col),
+                "v",
+                "nv",
+                F.expr(score_sql("v", "cv", "nv", "nc")).alias("sim"),
+            )
+            .groupBy(id_col, "v", "nv")
+            .agg((F.lit(1.0) - F.max("sim")).alias("d"))
+        )
+        phi = scored.agg(
+            F.sum(F.col("d").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_phi")
+        )
+        accepted = (
+            scored.crossJoin(F.broadcast(phi))
+            .filter(F.col("_phi") > 0)
+            .filter(
+                _frac(r)
+                < F.lit(float(l)) * F.col("d") / F.col("_phi")
+            )
+            .select(F.col(id_col).alias("cell"), F.col("v").alias("cv"))
+        )
+        cents = (
+            cents.unionByName(accepted)
+            .dropDuplicates(["cell"])
+            .localCheckpoint(eager=True)
+        )
+    # Reduce to n_cells: weight candidates by membership, then a
+    # deterministic weighted farthest-point greedy — Bahmani's final
+    # step reclusters the candidate set "small enough to handle
+    # locally" (ibid. §3.3); taking simply the heaviest k instead
+    # collapses onto the dense core and costs recall (measured:
+    # 0.34 vs 0.96 at sf0.1). The candidate set is ≤ 1 + l·rounds
+    # rows — the same contract-tiny driver fetch as query vectors.
+    assigned = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    )
+    weights = assigned.groupBy("cell").agg(F.count("*").alias("_w"))
+    rows = (
+        cents.join(weights, "cell", "left")
+        .withColumn("_w", F.coalesce(F.col("_w"), F.lit(0)))
+        .orderBy(F.col("_w").desc(), F.col("cell"))
+        .collect()
+    )
+    if not rows:
+        return cents.select("cell", "cv")
+    import math
+
+    def _cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return round(dot / (na * nb), 6)
+
+    chosen = [rows[0]]  # heaviest first (weight desc, cell asc)
+    remaining = rows[1:]
+    while remaining and len(chosen) < n_cells:
+        # deterministic argmax of weight · min-cosine-distance to the
+        # chosen set; ties → lower cell id
+        best_i, best_key = 0, None
+        for i, r in enumerate(remaining):
+            d = min(1.0 - _cos(r["cv"], c["cv"]) for c in chosen)
+            key = (r["_w"] * d, -r["cell"])
+            if best_key is None or key > best_key:
+                best_i, best_key = i, key
+        chosen.append(remaining.pop(best_i))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(int(r["cell"]), list(r["cv"])) for r in chosen],
+        "cell bigint, cv array<double>",
+    )
+
+
 # persisted refined-centroid tables (see ivf_topk docstring)
 _CENT_CACHE: list = []
 
@@ -580,6 +717,7 @@ def ivf_refined_centroids(
     n_cells: int = N_CELLS,
     n_iter: int = 2,
     dims: int = 64,
+    seed: str = "first_ids",
 ) -> DataFrame:
     """(cell, cv) centroids after ``n_iter`` Lloyd refinement steps
     from the deterministic seed — distributed k-means, one broadcast
@@ -595,16 +733,29 @@ def ivf_refined_centroids(
     iterations and verify the refined index end-to-end, instead of
     trusting frozen centroid literals.
 
-    At production scale the seed would come from k-means|| sampling
-    (Bahmani et al., VLDB'12); the refinement loop here IS that
-    algorithm's Lloyd phase — swap the seed, keep the loop. Cells that
-    lose all members drop out (both engines agree).
+    ``seed`` picks the initializer: ``"first_ids"`` (default — the
+    n_cells lowest-id vectors, trivially SQL-replayable, what the
+    driver oracle replays) or ``"kmeans_parallel"``
+    (:func:`kmeans_parallel_seeds` — deterministic k-means||, better
+    spread when ids correlate with ingest order; recall comparison
+    recorded in PLANS_r5.md). The refinement loop is identical from
+    either seed. Cells that lose all members drop out (both engines
+    agree).
 
     Plan note: the per-dim means are ``dims`` independent decimal SUM
     columns (same 64-agg-columns shape as SimHash fingerprints — pure
     codegen, map-side partials, one shuffle)."""
     vecs = embeddings.selectExpr(id_col, as_double_sql(vec_col) + " as v")
-    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    if seed == "kmeans_parallel":
+        cents = kmeans_parallel_seeds(
+            embeddings, id_col, vec_col, n_cells
+        )
+    elif seed == "first_ids":
+        cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    else:
+        raise ValueError(
+            f"unknown seed {seed!r}: use 'first_ids' or 'kmeans_parallel'"
+        )
     # ONE F.expr per dimension, built ONCE and reused across
     # iterations (Column objects are immutable unresolved
     # expressions): the Column-API composition of the same mean
@@ -700,6 +851,7 @@ def ivf_topk(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     refine_iters: int = 0,
+    seed: str = "first_ids",
 ) -> DataFrame:
     """IVF-Flat ANN top-k: corpus vectors live in their single nearest
     cell; each query probes its ``n_probe`` nearest cells; exact
@@ -721,7 +873,8 @@ def ivf_topk(
         from pyspark.storagelevel import StorageLevel
 
         cents = ivf_refined_centroids(
-            embeddings, id_col, vec_col, n_cells, n_iter=refine_iters
+            embeddings, id_col, vec_col, n_cells,
+            n_iter=refine_iters, seed=seed,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _CENT_CACHE.append(cents)
     else:

@@ -122,3 +122,73 @@ def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     clear_centroid_cache()
     assert a == b
     assert len(a) == len(QUERY_IDS) * 10
+
+
+def test_cell_stats_report_occupancy_and_drift(spark, sf_dir, built):
+    from minisql_engine_spark.operators.ann_index import ivf_cell_stats
+    from minisql_engine_spark.sources import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    stats = ivf_cell_stats(spark, built).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    # cosine distance to the assigned (nearest) centroid ∈ [0, 2]
+    assert all(0.0 <= r["mean_dist"] <= 2.0 for r in stats)
+    assert len(stats) > 1
+
+
+def test_compaction_after_appends_preserves_search_parity(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r3 #7: grow an index by appends against frozen
+    centroids, compact when a cell exceeds its bound — the compacted
+    index must (a) report the before/after drift record and (b) search
+    exactly like the in-memory ivf_topk over the union corpus."""
+    from minisql_engine_spark.operators.ann_index import (
+        compact_ivf_index,
+        ivf_cell_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 1000)
+    extra1 = emb.filter((F.col("vec_id") >= 1000) & (F.col("vec_id") < 1500))
+    extra2 = emb.filter(F.col("vec_id") >= 1500)
+    path = str(tmp_path / "grown")
+    write_ivf_index(base, path, refine_iters=2)
+    clear_centroid_cache()
+    append_to_ivf_index(extra1, path)
+    append_to_ivf_index(extra2, path)
+
+    # under-threshold: a no-op with the before-stats still reported
+    big = max(
+        r["n_vectors"] for r in ivf_cell_stats(spark, path).collect()
+    )
+    rep0 = compact_ivf_index(spark, path, max_cell_size=big)
+    assert rep0["compacted"] is False
+    assert rep0["mean_dist_after"] is None
+    assert rep0["max_cell_before"] == big
+
+    # over-threshold: re-clusters, reports drift both sides
+    rep = compact_ivf_index(spark, path, max_cell_size=big - 1)
+    clear_centroid_cache()
+    assert rep["compacted"] is True
+    assert rep["mean_dist_before"] >= 0.0
+    assert rep["mean_dist_after"] is not None
+    # retraining the quantizer on the full corpus must not worsen the
+    # fit it is optimizing (tiny slack for round(6) edges)
+    assert rep["mean_dist_after"] <= rep["mean_dist_before"] + 1e-4
+
+    # the compacted index IS a fresh full-corpus index: searching it
+    # equals the in-memory build over the union
+    from minisql_engine_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    from_index = sorted(
+        tuple(r)
+        for r in ivf_index_topk(spark, path, queries, k=10).collect()
+    )
+    in_memory = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, QUERY_IDS, k=10, refine_iters=2).collect()
+    )
+    clear_centroid_cache()
+    assert from_index == in_memory

@@ -252,6 +252,47 @@ def test_ngram_prefix_filter_bounds_skewed_block(spark):
     assert n_cand4 < all_pairs / 50, (n_cand4, all_pairs)
 
 
+def test_kmeans_parallel_seeding(spark, sf_dir):
+    """VERDICT r3 #8: deterministic k-means|| seeding. (a) Bit-stable
+    across runs (md5-threshold sampling, decimal-exact cost sums,
+    deterministic greedy reduction). (b) On FAIR queries — ids
+    disjoint from the first-ids seed set, which otherwise aligns
+    cells with query neighborhoods by construction (measured at
+    sf0.1: 0.96 seed-coincident vs 0.33 disjoint) — recall must not
+    regress vs the default seeding."""
+    from minisql_engine_spark.operators.similarity import (
+        brute_force_topk,
+        clear_centroid_cache,
+        ivf_topk,
+        kmeans_parallel_seeds,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(tuple(r) for r in kmeans_parallel_seeds(emb).collect())
+    b = sorted(tuple(r) for r in kmeans_parallel_seeds(emb).collect())
+    assert a == b and len(a) == 16
+
+    qids = list(range(100, 116))  # disjoint from seed ids 0-15
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    recall = {}
+    for seed in ("first_ids", "kmeans_parallel"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, qids, k=10, refine_iters=2, seed=seed
+            ).collect()
+        }
+        clear_centroid_cache()
+        recall[seed] = len(truth & got) / len(truth)
+    # deterministic pipelines → these are exact numbers, not noise;
+    # the bar is non-regression with headroom for future data regen
+    assert recall["kmeans_parallel"] >= recall["first_ids"] - 0.05, recall
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     """LSH ANN must recover a reasonable share of true top-10
     neighbors for bucketed queries (and every hit it reports must be
