@@ -2501,6 +2501,87 @@ def q_ivf_index_search(spark, sf_dir):
 _IVF_BUILT: set[str] = set()
 
 
+# --- Round-5 additions: training-run composition operators ------------------
+# (§2.4 training-pipeline surface: after curation/dedup, a pretraining
+# job still needs the corpus laid out as fixed-length sequences and
+# mixed to per-source token targets — both here as pure window/explode
+# arithmetic, oracle-replayed exactly.)
+
+_PACK_CAP = 512  # tokens per training sequence
+
+
+@_register(
+    "sequence_packing",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    md5-sharded deterministic order and slice every 512 tokens —
+    the (sequence, document, token-range) assignment a pretraining
+    loader consumes. One shuffle (shard hash), per-shard window
+    cumsum, integer-exact slicing; shards pack independently so the
+    layout is embarrassingly parallel at 100 TB
+    (operators/packing.py)."""
+    from minisql_engine_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=_PACK_CAP
+    )
+
+
+def _packing_oracle() -> str:
+    from minisql_engine_spark.operators.packing import pack_sequences_sql
+
+    return pack_sequences_sql("documents", capacity=_PACK_CAP)
+
+
+_ORACLES["sequence_packing"] = _packing_oracle()
+
+
+#: 8 of the 20 corpus sources get weight (the rest must be dropped);
+#: 6 000 tokens ≈ half the sf0.01 corpus, so some allowances bind
+#: (cutoff + straddler semantics exercised) while heavy sources
+#: exhaust their data (keep-all semantics exercised).
+_MIX_WEIGHTS = {
+    "src0": 4.0,
+    "src1": 2.0,
+    "src2": 2.0,
+    "src3": 1.0,
+    "src4": 1.0,
+    "src7": 0.5,
+    "src12": 0.5,
+    "src19": 1.0,
+}
+_MIX_BUDGET = 6_000
+
+
+@_register(
+    "mixture_sample",
+    None,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget corpus mixture: deterministically select docs per
+    source in md5-priority order until each source's
+    floor(weight·budget) token allowance fills (straddler kept, audit
+    columns carried). Row-rate sampling misses token targets by the
+    doc-length spread; this is the composition step of a pretraining
+    mix (operators/mixture.py)."""
+    from minisql_engine_spark.operators.mixture import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
+def _mixture_oracle() -> str:
+    from minisql_engine_spark.operators.mixture import mixture_sample_sql
+
+    return mixture_sample_sql("documents", _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+_ORACLES["mixture_sample"] = _mixture_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -2528,12 +2609,19 @@ _ARCHIVED: frozenset[str] = frozenset(
         "set_ops",
         "pivot_status_by_segment",
         "scalar_date_interval",
+        # r5 second wave — hash-green r2/r3/r4, rotated to make room
+        # for sequence_packing + mixture_sample
+        "scan_star_cross",
+        "filter_predicates",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r5 additions — brand new operators, never driver-checked
+    "sequence_packing",
+    "mixture_sample",
     # r5 rotation — first driver rows for these
     "tfidf_keywords",
     "stats_histogram",

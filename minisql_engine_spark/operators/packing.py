@@ -1,0 +1,209 @@
+"""Sequence packing — concat-and-chunk documents into fixed
+token-budget training sequences.
+
+LLM pretraining does not feed documents; it feeds fixed-length token
+sequences. The standard transform (GPT-2/3, T5 "packing", Llama) is
+concat-and-chunk: lay documents end-to-end in a deterministic order and
+slice the stream every ``capacity`` tokens. A document whose tokens
+straddle a boundary contributes a piece to each adjacent sequence.
+This module computes the resulting (sequence, document, token-range)
+assignment relationally — no tokenizer loop, no driver state.
+
+Why not bin-packing (first-fit-decreasing)? FFD is inherently
+sequential per bin and non-associative — it cannot be expressed as a
+window/agg and would serialize at scale. Concat-and-chunk is what the
+large pipelines actually run (zero padding waste except the final
+sequence per shard), and it is pure window arithmetic:
+
+1. **Shard** each doc by a hex prefix of ``md5(seed:doc_id)`` — the
+   same decision-hash idiom as ``operators/sampling.py``, kept as a
+   STRING so both engines avoid hex→int conversion. ``shard_chars``
+   hex chars → ``16^shard_chars`` shards; at 100 TB use 3–4 chars
+   (4096–65536 shards) so each shard's window sort is a few GB.
+   Sequences are shard-local (cross-shard order is irrelevant to
+   training — shards map 1:1 to output files), so the ONLY shuffle is
+   the hash partition on ``shard``, and every shard packs
+   independently on its own executor. Nothing global, nothing on the
+   driver.
+2. **Offset** = exclusive running sum of token counts within the shard
+   (window ``sum - n_tokens``), ordered by ``doc_id`` for
+   reproducibility.
+3. **Slice**: doc spans sequences ``off div cap .. (off+n-1) div cap``
+   — an ``F.sequence`` explode of at most ``ceil(n/cap)+1`` rows per
+   doc; begin/end token offsets inside the doc are pure integer
+   arithmetic, exact in both engines (no doubles anywhere).
+
+Token counts use the whitespace tokenizer from ``operators/text.py``
+(portable regex semantics); swap ``token_count_col`` in for a real BPE
+count column when one exists upstream.
+
+Reference scope: the reference engine (sqlengine.py:1-753) has no
+corpus operators at all; this is a §2.4 training-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import _ws_tokens
+
+#: Portable DuckDB twin of the whitespace token count.
+WS_COUNT_SQL = (
+    "CAST(CASE WHEN trim({text}) = '' THEN 0"
+    " ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END AS BIGINT)"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Assign every document's tokens to fixed-``capacity`` training
+    sequences (concat-and-chunk; see module docstring).
+
+    Returns one row per (document, sequence) piece:
+    ``(shard, seq_id, doc_id, n_tokens, tok_begin, tok_end,
+    piece_tokens)`` where ``[tok_begin, tok_end)`` is the half-open
+    token range of the doc owned by shard-local sequence ``seq_id``.
+    Empty documents produce no rows. Deterministic for a given seed:
+    re-runs, re-partitions, and the SQL oracle agree byte-for-byte.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    cap = int(capacity)
+    did = F.col(id_col)
+    shard = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), did.cast("string"))),
+        1,
+        shard_chars,
+    )
+    base = docs.select(
+        did.alias("doc_id"),
+        shard.alias("shard"),
+        F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_off")
+    placed = base.select("*", off)
+
+    first_seq = F.expr(f"tok_off div {cap}")
+    last_seq = F.expr(f"(tok_off + n_tokens - 1) div {cap}")
+    pieces = placed.select(
+        "*",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq = F.col("seq_id")
+    tok_begin = F.greatest(F.lit(0).cast("bigint"), seq * cap - F.col("tok_off"))
+    tok_end = F.least(
+        F.col("n_tokens"), (seq + 1) * cap - F.col("tok_off")
+    )
+    return pieces.select(
+        "shard",
+        seq.alias("seq_id"),
+        "doc_id",
+        "n_tokens",
+        tok_begin.alias("tok_begin"),
+        tok_end.alias("tok_end"),
+        (tok_end - tok_begin).alias("piece_tokens"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+    shard_chars: int = 1,
+) -> str:
+    """DuckDB oracle twin of :func:`pack_sequences` — identical
+    integer arithmetic, window, and explode."""
+    cap = int(capacity)
+    n_tok = WS_COUNT_SQL.format(text=text_col)
+    return (
+        "WITH b AS ("
+        f" SELECT {id_col} AS doc_id,"
+        f"  substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1,"
+        f"   {shard_chars}) AS shard,"
+        f"  {n_tok} AS n_tokens"
+        f" FROM {table}),"
+        " o AS ("
+        "  SELECT doc_id, shard, n_tokens,"
+        "   sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+        "    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off"
+        "  FROM b WHERE n_tokens > 0),"
+        " s AS ("
+        "  SELECT doc_id, shard, n_tokens, tok_off,"
+        f"   unnest(range(CAST(tok_off // {cap} AS BIGINT),"
+        f"    CAST((tok_off + n_tokens - 1) // {cap} + 1 AS BIGINT)))"
+        "   AS seq_id"
+        "  FROM o)"
+        " SELECT shard, seq_id, doc_id, n_tokens,"
+        # sum() OVER yields HUGEINT in DuckDB — cast every derived
+        # integer back to BIGINT so the hash compare sees identical
+        # dtypes
+        f"  CAST(greatest(0, seq_id * {cap} - tok_off) AS BIGINT)"
+        "   AS tok_begin,"
+        f"  CAST(least(n_tokens, (seq_id + 1) * {cap} - tok_off)"
+        "   AS BIGINT) AS tok_end,"
+        f"  CAST(least(n_tokens, (seq_id + 1) * {cap} - tok_off)"
+        f"   - greatest(0, seq_id * {cap} - tok_off) AS BIGINT)"
+        "   AS piece_tokens"
+        " FROM s"
+    )
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-shard packing summary over :func:`pack_sequences` output:
+    ``(shard, n_seqs, n_docs, total_tokens, fill_ratio)``. Every
+    sequence except each shard's last is exactly full by
+    construction, so ``fill_ratio = total / (n_seqs · capacity)``
+    measures only the final-sequence remainder — the packing waste a
+    trainer would pad."""
+    cap = int(capacity)
+    return packed.groupBy("shard").agg(
+        (F.max("seq_id") + 1).alias("n_seqs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("piece_tokens").alias("total_tokens"),
+        (
+            F.sum("piece_tokens").cast("double")
+            / ((F.max("seq_id") + 1) * cap)
+        ).alias("fill_ratio"),
+    )
+
+
+def packing_stats_sql(
+    table: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+    shard_chars: int = 1,
+) -> str:
+    """DuckDB twin of :func:`packing_stats` composed over the
+    :func:`pack_sequences_sql` pipeline."""
+    cap = int(capacity)
+    inner = pack_sequences_sql(
+        table, cap, id_col, text_col, seed, shard_chars
+    )
+    return (
+        f"WITH packed AS ({inner})"
+        " SELECT shard,"
+        "  max(seq_id) + 1 AS n_seqs,"
+        "  count(DISTINCT doc_id) AS n_docs,"
+        "  CAST(sum(piece_tokens) AS BIGINT) AS total_tokens,"
+        f"  CAST(sum(piece_tokens) AS DOUBLE)"
+        f"   / ((max(seq_id) + 1) * {cap}) AS fill_ratio"
+        " FROM packed GROUP BY shard"
+    )

@@ -118,6 +118,12 @@ def test_aqe_skew_split_bounds_skewed_join(spark):
         # sub-second local noise)
         t_uni = _noop_time(uniform.join(small, "k"))
         t_skew = _noop_time(skewed.join(small, "k"))
+        if t_skew > 2.0 * t_uni + 0.5:
+            # under full-suite load a single GC pause can poison one
+            # side's min-of-2 — re-measure both before declaring a
+            # regression
+            t_uni = _noop_time(uniform.join(small, "k"), reps=3)
+            t_skew = _noop_time(skewed.join(small, "k"), reps=3)
         assert t_skew <= 2.0 * t_uni + 0.5, (t_skew, t_uni)
     finally:
         for k, v in saved.items():
@@ -135,6 +141,11 @@ def test_salted_join_bounds_skewed_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         t_uni = _noop_time(uniform.join(small, "k"))
         t_salt = _noop_time(salted_join(skewed, small, on="k", n_salts=8))
+        if t_salt > 2.0 * t_uni + 0.5:
+            t_uni = _noop_time(uniform.join(small, "k"), reps=3)
+            t_salt = _noop_time(
+                salted_join(skewed, small, on="k", n_salts=8), reps=3
+            )
         assert t_salt <= 2.0 * t_uni + 0.5, (t_salt, t_uni)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
