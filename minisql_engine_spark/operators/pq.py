@@ -3,12 +3,12 @@
 PQ (Jégou, Douze, Schmid — "Product Quantization for Nearest
 Neighbor Search", TPAMI 2011) is the memory-side ANN technique the
 IVF/LSH paths don't cover: split each D-dim vector into M contiguous
-sub-vectors, k-means each subspace into K codes, and store each vector as
-M small integers. A 64-dim float vector (256 B) becomes 8 codes
-(8 B) — a 32× compression that is what actually lets a 100 TB corpus'
-index fit in cluster memory. Queries never decompress: a per-query
-M×K table of subspace distances is broadcast, and each corpus
-vector's approximate distance is M table lookups summed
+sub-vectors, k-means each subspace into K codes, and store each
+vector as M small integers. A 64-dim float vector (256 B) becomes
+16 codes (16 B) — the compression that actually lets a 100 TB
+corpus' index fit in cluster memory. Queries never decompress: a
+per-query M×K table of subspace distances is broadcast, and each
+corpus vector's approximate distance is M table lookups summed
 (Asymmetric Distance Computation).
 
 Everything here is deterministic and SQL-replayable — the same
@@ -16,6 +16,13 @@ discipline as the IVF path (operators/similarity.py):
 
 * seeding: the K lowest-id vectors' m-th sub-vectors are subspace
   m's initial codebook (code = id-rank), trivially replayable;
+* training sample: codebooks are k-means'd over a deterministic
+  md5-hash sample of the corpus (``train_sample_rate`` — the
+  ``operators/sampling`` decision-hash idiom). Training on a sample
+  is how PQ is actually deployed (no one Lloyds 100 TB to fit 512
+  centroids); the sample is a pure row filter, so the oracle
+  replays the same subset byte-for-byte. Encoding always covers the
+  FULL corpus;
 * Lloyd refinement: assignment = argmin of ROUNDED (6 dp) squared
   L2, ties to the lower code; the centroid update sums components
   as DECIMAL(38,12) — exact and order-independent across any
@@ -28,13 +35,15 @@ So unlike typical ANN systems, the ENTIRE index — seeding, subspace
 k-means iterations, encoding, and the ADC ranking — is replayed by
 the DuckDB oracle and hash-compared, not spot-checked.
 
-Scale shape: codebooks are M·K rows (tiny, broadcast); corpus
-assignment/encoding is a broadcast join + hash ``min_by`` aggregate
-(map-side partial combine, no sort — the packed-long trick from
-``ivf_assignments``); ADC is a broadcast join of the code table
-against the (tiny) query distance tables followed by a partial-agg
-sum. Nothing shuffles anything proportional to corpus × queries, and
-nothing ever collects the corpus.
+Hot-path shape: sub-vectors live as ``sub_dim`` SCALAR double
+columns, not arrays — the scoring distance is plain codegen
+arithmetic (``round(nsv − 2·(s1·c1 + …) + ncv, 6)``) with the self
+dot-products hoisted below the join, so the corpus × codebook
+scoring rows never allocate an array or run an interpreted
+higher-order fold. Argmin is the packed-long ``min_by`` hash
+aggregate (no sort — the ``ivf_assignments`` trick). Codebooks are
+M·K rows, always broadcast; nothing shuffles corpus × queries, and
+nothing collects the corpus.
 
 Reference scope: the reference engine (sqlengine.py:1-753) has no
 vector operators; this is the §2.4 similarity-search scale path #4
@@ -47,12 +56,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .sampling import rate_threshold, sample_hash
 from .similarity import as_double_sql, dot_sql
 
 M_SUB = 8  # subspaces
 K_CODES = 16  # codes per subspace
 DIMS = 64  # embedding dimensionality
 N_ITER = 2  # Lloyd steps per subspace
+TRAIN_SEED = "pqtrain"
 
 
 def l2_sql(a: str, b: str) -> str:
@@ -60,7 +71,9 @@ def l2_sql(a: str, b: str) -> str:
     |a−b|² = a·a − 2·a·b + b·b keeps both engines on dot-product
     primitives (Spark: zip_with/aggregate fold; DuckDB:
     list_dot_product), with round(·, 6) absorbing fold-order noise
-    exactly like the cosine paths."""
+    exactly like the cosine paths. Used on full-dimension vectors in
+    the re-rank stage; the subspace hot path uses the scalar-column
+    form below."""
     return (
         f"round({dot_sql(a, a)} - 2 * {dot_sql(a, b)}"
         f" + {dot_sql(b, b)}, 6)"
@@ -73,6 +86,19 @@ _DUCK_L2 = (
 )
 
 
+def _s_cols(sub_dim: int, pre: str) -> list[str]:
+    return [f"{pre}{d}" for d in range(1, sub_dim + 1)]
+
+
+def _pair_dist_sql(sub_dim: int) -> str:
+    """Scalar-column pair distance: value-identical to :func:`l2_sql`
+    modulo the round-6 absorber (same ((nsv − 2d) + ncv)
+    association), but pure codegen arithmetic — no arrays, no
+    interpreted fold."""
+    cross = " + ".join(f"s{d} * c{d}" for d in range(1, sub_dim + 1))
+    return f"round(nsv - 2 * ({cross}) + ncv, 6)"
+
+
 def _subvectors(
     embeddings: DataFrame,
     id_col: str,
@@ -80,8 +106,11 @@ def _subvectors(
     m_sub: int,
     sub_dim: int,
 ) -> DataFrame:
-    """(id, m, sv): each vector split into ``m_sub`` contiguous
-    ``sub_dim``-wide double sub-vectors."""
+    """(id, m, s1..s{sub_dim}, nsv): each vector split into ``m_sub``
+    sub-vectors stored as scalar columns, with the self dot-product
+    ``nsv`` materialized once per (vector, subspace) — the
+    norms-below-the-join trick from ``cosine_pre``."""
+    nsq = " + ".join(f"s{d} * s{d}" for d in range(1, sub_dim + 1))
     return (
         embeddings.selectExpr(
             id_col, as_double_sql(vec_col) + " as _v"
@@ -93,12 +122,115 @@ def _subvectors(
             ).alias("m"),
             F.col("_v"),
         )
-        .select(
+        .selectExpr(
             id_col,
             "m",
-            F.expr(f"slice(_v, m * {sub_dim} + 1, {sub_dim})").alias("sv"),
+            *[
+                f"element_at(_v, m * {sub_dim} + {d}) as s{d}"
+                for d in range(1, sub_dim + 1)
+            ],
         )
+        .selectExpr("*", f"({nsq}) as nsv")
     )
+
+
+def _train_filter(id_col: str, rate: float):
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"train_sample_rate must be in (0, 1], got {rate}")
+    if rate == 1.0:
+        return F.lit(True)
+    return sample_hash(F.col(id_col), TRAIN_SEED) < F.lit(
+        rate_threshold(rate)
+    )
+
+
+def _scalar_codebooks(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m_sub: int,
+    sub_dim: int,
+    k_codes: int,
+    n_iter: int,
+    train_sample_rate: float,
+) -> DataFrame:
+    """(m, code, c1..c{sub_dim}, ncv) after ``n_iter`` Lloyd steps
+    over the deterministic training sample. Both the seed set and the
+    train sample filter the EMBEDDINGS first, below the subspace
+    explode — no training pass ever builds sub-vectors it won't
+    score."""
+    train = _subvectors(
+        embeddings.filter(_train_filter(id_col, train_sample_rate)),
+        id_col,
+        vec_col,
+        m_sub,
+        sub_dim,
+    )
+
+    wseed = Window.partitionBy("m").orderBy(id_col)
+    cb = (
+        _subvectors(
+            embeddings.orderBy(F.col(id_col)).limit(k_codes),
+            id_col,
+            vec_col,
+            m_sub,
+            sub_dim,
+        )
+        .withColumn("code", F.row_number().over(wseed) - 1)
+        .selectExpr(
+            "m",
+            "code",
+            *[f"s{d} as c{d}" for d in range(1, sub_dim + 1)],
+            "nsv as ncv",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    dist = F.expr(_pair_dist_sql(sub_dim))
+    # argmin via one packed long (hash agg, no sort): rounded d·1e6 is
+    # an exact integer, codes < 2³² break ties upward — min_by packed
+    # ≡ ORDER BY d, code LIMIT 1
+    packed = (
+        F.round(F.col("_d") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
+        + F.col("code").cast("long")
+    )
+    mean_cols = [
+        F.expr(
+            f"round(cast(sum(cast(s{d} as decimal(38,12))) as double)"
+            f" / count(*), 6) as c{d}"
+        )
+        for d in range(1, sub_dim + 1)
+    ]
+    ncv_sql = " + ".join(f"c{d} * c{d}" for d in range(1, sub_dim + 1))
+    for _ in range(n_iter):
+        scored = train.join(F.broadcast(cb), "m").withColumn("_d", dist)
+        best = scored.groupBy(id_col, "m").agg(
+            F.min_by("code", packed).alias("code")
+        )
+        members = train.join(best, [id_col, "m"])
+        cb = (
+            members.groupBy("m", "code")
+            .agg(*mean_cols)
+            .selectExpr("m", "code", *_s_cols(sub_dim, "c"), f"({ncv_sql}) as ncv")
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _decompose_codebooks(codebooks: DataFrame, sub_dim: int) -> DataFrame:
+    """Public (m, code, cv[, ncv]) form → scalar columns."""
+    if "c1" in codebooks.columns:
+        return codebooks
+    ncv_sql = " + ".join(f"c{d} * c{d}" for d in range(1, sub_dim + 1))
+    out = codebooks.selectExpr(
+        "m",
+        "code",
+        *[f"element_at(cv, {d}) as c{d}" for d in range(1, sub_dim + 1)],
+        *(["ncv"] if "ncv" in codebooks.columns else []),
+    )
+    if "ncv" not in codebooks.columns:
+        out = out.selectExpr("*", f"({ncv_sql}) as ncv")
+    return out
 
 
 def pq_codebooks(
@@ -109,57 +241,23 @@ def pq_codebooks(
     k_codes: int = K_CODES,
     dims: int = DIMS,
     n_iter: int = N_ITER,
+    train_sample_rate: float = 1.0,
 ) -> DataFrame:
     """(m, code, cv) codebooks: per-subspace k-means from the
     deterministic first-ids seed, ``n_iter`` Lloyd steps with
-    decimal-exact means (module docstring). All M subspaces train in
-    the SAME distributed job — the subspace id is just a grouping
-    key, so adding subspaces widens the agg, it doesn't add passes."""
+    decimal-exact means over the md5 training sample (module
+    docstring). All M subspaces train in the SAME distributed job —
+    the subspace id is just a grouping key, so adding subspaces
+    widens the agg, it doesn't add passes."""
     if dims % m_sub:
         raise ValueError(f"dims={dims} not divisible by m_sub={m_sub}")
     sub_dim = dims // m_sub
-    sub = _subvectors(embeddings, id_col, vec_col, m_sub, sub_dim)
-
-    seed_ids = embeddings.orderBy(F.col(id_col)).limit(k_codes).select(id_col)
-    wseed = Window.partitionBy("m").orderBy(id_col)
-    cb = (
-        sub.join(F.broadcast(seed_ids), id_col)
-        .withColumn("code", F.row_number().over(wseed) - 1)
-        .select("m", "code", F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
+    cb = _scalar_codebooks(
+        embeddings, id_col, vec_col, m_sub, sub_dim, k_codes, n_iter,
+        train_sample_rate,
     )
-
-    dist = F.expr(l2_sql("sv", "cv"))
-    # argmin via one packed long (hash agg, no sort): rounded d·1e6 is
-    # an exact integer, codes < 2³² break ties upward — min_by packed
-    # ≡ ORDER BY d, code LIMIT 1
-    packed = (
-        F.round(F.col("_d") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
-        + F.col("code").cast("long")
-    )
-    mean_cols = [
-        F.expr(
-            f"round(cast(sum(cast(element_at(sv, {d}) as"
-            f" decimal(38,12))) as double) / count(*), 6) as c{d}"
-        )
-        for d in range(1, sub_dim + 1)
-    ]
-    cv_col = F.expr(
-        "array(" + ", ".join(f"c{d}" for d in range(1, sub_dim + 1)) + ")"
-    ).alias("cv")
-    for _ in range(n_iter):
-        scored = sub.join(F.broadcast(cb), "m").withColumn("_d", dist)
-        best = scored.groupBy(id_col, "m").agg(
-            F.min_by("code", packed).alias("code")
-        )
-        members = sub.join(best, [id_col, "m"])
-        cb = (
-            members.groupBy("m", "code")
-            .agg(*mean_cols)
-            .select("m", "code", cv_col)
-            .localCheckpoint(eager=True)
-        )
-    return cb
+    cv = "array(" + ", ".join(_s_cols(sub_dim, "c")) + ") as cv"
+    return cb.selectExpr("m", "code", cv, "ncv")
 
 
 def pq_codes(
@@ -172,17 +270,23 @@ def pq_codes(
 ) -> DataFrame:
     """(id, m, code): every corpus vector encoded against the
     codebooks — broadcast join + packed-long ``min_by`` hash agg,
-    map-side partial combine, no sort."""
+    map-side partial combine, no sort, scalar codegen distance."""
     sub_dim = dims // m_sub
     sub = _subvectors(embeddings, id_col, vec_col, m_sub, sub_dim)
-    dist = F.expr(l2_sql("sv", "cv"))
+    return _encode(sub, codebooks, id_col, sub_dim)
+
+
+def _encode(
+    sub: DataFrame, codebooks: DataFrame, id_col: str, sub_dim: int
+) -> DataFrame:
+    cb = _decompose_codebooks(codebooks, sub_dim)
     packed = (
         F.round(F.col("_d") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
         + F.col("code").cast("long")
     )
     return (
-        sub.join(F.broadcast(codebooks), "m")
-        .withColumn("_d", dist)
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("_d", F.expr(_pair_dist_sql(sub_dim)))
         .groupBy(id_col, "m")
         .agg(F.min_by("code", packed).alias("code"))
     )
@@ -198,11 +302,12 @@ def pq_topk(
     k_codes: int = K_CODES,
     dims: int = DIMS,
     n_iter: int = N_ITER,
+    train_sample_rate: float = 1.0,
     rerank_factor: int | None = None,
 ) -> DataFrame:
-    """PQ-ADC approximate top-k: train codebooks, encode the corpus,
-    broadcast each query's M×K distance table, rank by the exact
-    decimal sum of M lookups. Returns
+    """PQ-ADC approximate top-k: train codebooks (on the hash
+    sample), encode the corpus, broadcast each query's M×K distance
+    table, rank by the exact decimal sum of M lookups. Returns
     ``(query_id, neighbor_id, adc_dist, rank)``.
 
     ``rerank_factor=r`` adds the standard refinement stage (Jégou
@@ -213,10 +318,12 @@ def pq_topk(
     M=16/K=32: recall@10 vs exact L2 goes 0.475 → 0.850 mean at r=5;
     see PLANS_r5.md)."""
     sub_dim = dims // m_sub
-    cb = pq_codebooks(
-        embeddings, id_col, vec_col, m_sub, k_codes, dims, n_iter
+    cb = _scalar_codebooks(
+        embeddings, id_col, vec_col, m_sub, sub_dim, k_codes, n_iter,
+        train_sample_rate,
     )
-    codes = pq_codes(embeddings, cb, id_col, vec_col, m_sub, dims)
+    sub = _subvectors(embeddings, id_col, vec_col, m_sub, sub_dim)
+    codes = _encode(sub, cb, id_col, sub_dim)
 
     qsub = _subvectors(
         embeddings.filter(F.col(id_col).isin(query_ids)),
@@ -227,14 +334,11 @@ def pq_topk(
     ).withColumnRenamed(id_col, "query_id")
     # per-query subspace distance tables: Q·M·K rows — contract-tiny,
     # broadcast against the code table
-    dtab = (
-        qsub.join(cb, "m")
-        .select(
-            "query_id",
-            "m",
-            "code",
-            F.expr(l2_sql("sv", "cv")).alias("_d"),
-        )
+    dtab = qsub.join(cb, "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.expr(_pair_dist_sql(sub_dim)).alias("_d"),
     )
     adc = (
         codes.join(F.broadcast(dtab), ["m", "code"])
@@ -298,30 +402,47 @@ def pq_topk_sql(
     k_codes: int = K_CODES,
     dims: int = DIMS,
     n_iter: int = N_ITER,
+    train_sample_rate: float = 1.0,
     rerank_factor: int | None = None,
 ) -> str:
     """DuckDB oracle replaying the ENTIRE PQ pipeline of
-    :func:`pq_topk` — seeding, every Lloyd step, encoding, ADC."""
+    :func:`pq_topk` — seeding, training sample, every Lloyd step,
+    encoding, ADC (and the re-rank when enabled). The oracle stays in
+    list form (``list_dot_product``) — same values through the
+    round-6 absorber, independent engine idioms."""
     sub_dim = dims // m_sub
     qlist = ", ".join(str(int(q)) for q in query_ids)
-    l2 = _DUCK_L2.format(a="s.sv", b="c.cv")
+    # hoisted-self-dot pair distance — value-identical to _DUCK_L2
+    # (same ((nsv − 2d) + ncv) association)
+    l2 = "round(s.nsv - 2 * list_dot_product(s.sv, c.cv) + c.ncv, 6)"
+    if train_sample_rate == 1.0:
+        train_where = ""
+    else:
+        thr = rate_threshold(train_sample_rate)
+        train_where = (
+            f" WHERE substr(md5('{TRAIN_SEED}:' ||"
+            f" CAST(vid AS VARCHAR)), 1, 8) < '{thr}'"
+        )
     ctes = [
         f"e AS (SELECT {id_col} AS vid,"
         f" CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
         "mm AS (SELECT unnest(range(0, " + str(m_sub) + ")) AS m)",
-        "sub AS (SELECT vid, m,"
-        f" list_slice(v, m * {sub_dim} + 1, m * {sub_dim} + {sub_dim})"
-        " AS sv FROM e CROSS JOIN mm)",
+        "sub AS (SELECT vid, m, sv,"
+        " list_dot_product(sv, sv) AS nsv FROM ("
+        "  SELECT vid, m,"
+        f"  list_slice(v, m * {sub_dim} + 1, m * {sub_dim} + {sub_dim})"
+        "  AS sv FROM e CROSS JOIN mm))",
+        f"train AS (SELECT * FROM sub{train_where})",
         f"seed AS (SELECT vid FROM e ORDER BY vid LIMIT {k_codes})",
         "cb0 AS (SELECT m, row_number() OVER (PARTITION BY m"
-        " ORDER BY vid) - 1 AS code, sv AS cv"
+        " ORDER BY vid) - 1 AS code, sv AS cv, nsv AS ncv"
         " FROM sub JOIN seed USING (vid))",
     ]
     for i in range(1, n_iter + 1):
         prev = f"cb{i - 1}"
         ctes.append(
             f"asg{i} AS (SELECT s.vid, s.m, c.code, {l2} AS d"
-            f" FROM sub s JOIN {prev} c USING (m))"
+            f" FROM train s JOIN {prev} c USING (m))"
         )
         ctes.append(
             f"best{i} AS (SELECT vid, m, code FROM ("
@@ -332,7 +453,7 @@ def pq_topk_sql(
         ctes.append(
             f"comp{i} AS (SELECT b.m, b.code, d.i AS dim,"
             f" s.sv[d.i] AS comp FROM best{i} b"
-            " JOIN sub s USING (vid, m),"
+            " JOIN train s USING (vid, m),"
             f" (SELECT unnest(range(1, {sub_dim + 1})) AS i) d)"
         )
         ctes.append(
@@ -341,8 +462,10 @@ def pq_topk_sql(
             f" / count(*), 6) AS mv FROM comp{i} GROUP BY m, code, dim)"
         )
         ctes.append(
-            f"cb{i} AS (SELECT m, code, list(mv ORDER BY dim) AS cv"
-            f" FROM mean{i} GROUP BY m, code)"
+            f"cb{i} AS (SELECT m, code, cv,"
+            " list_dot_product(cv, cv) AS ncv FROM ("
+            " SELECT m, code, list(mv ORDER BY dim) AS cv"
+            f" FROM mean{i} GROUP BY m, code))"
         )
     final = f"cb{n_iter}"
     ctes += [

@@ -272,3 +272,60 @@ def test_vocabulary_stats_partial_aggregation(spark, sf_dir):
     plan = plan_of(vocabulary_stats(load_table(spark, sf_dir, "documents")))
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
     assert "hashpartitioning(token" in plan
+
+
+def test_pack_sequences_single_shuffle_on_shard(spark, sf_dir):
+    """Sequence packing must shuffle exactly once (shard hash for the
+    per-shard window); the empty-doc filter sits below the exchange
+    so no zero-token row rides the shuffle."""
+    import re
+
+    from minisql_engine_spark.operators.packing import pack_sequences
+
+    plan = plan_of(pack_sequences(load_table(spark, sf_dir, "documents"), 512))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in plan
+    # empty-doc filter below the shuffle: in the numbered operator
+    # list the Filter is applied before (smaller id than) the Exchange
+    import re as _re
+
+    f_id = int(_re.search(r"^\((\d+)\) Filter", plan, _re.M).group(1))
+    e_id = int(_re.search(r"^\((\d+)\) Exchange", plan, _re.M).group(1))
+    assert f_id < e_id, plan
+    # scan reads only the two needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_mixture_single_shuffle_on_source(spark, sf_dir):
+    """Mixture sampling: one shuffle (source hash), unweighted
+    sources filtered below it."""
+    import re
+
+    from minisql_engine_spark.operators.mixture import mixture_sample
+
+    plan = plan_of(
+        mixture_sample(
+            load_table(spark, sf_dir, "documents"),
+            {"src0": 1.0, "src1": 1.0},
+            5000,
+        )
+    )
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_pq_encode_is_broadcast_join_hash_agg(spark, sf_dir):
+    """PQ corpus encoding must be a broadcast join of the (tiny)
+    codebooks plus a hash min_by aggregate — no SortAggregate, no
+    Window, no shuffle of the scored corpus×codebook rows beyond the
+    final (vec, m) agg."""
+    from minisql_engine_spark.operators.pq import pq_codebooks, pq_codes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(pq_codes(emb, pq_codebooks(emb)))
+    assert "BroadcastExchange" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -37,8 +37,12 @@ def emb(spark, sf_dir):
         dict(m_sub=8, k_codes=16),
         dict(m_sub=16, k_codes=32),
         dict(m_sub=16, k_codes=32, rerank_factor=5),
+        dict(
+            m_sub=16, k_codes=32, rerank_factor=5,
+            train_sample_rate=0.25,
+        ),
     ],
-    ids=["m8k16-adc", "m16k32-adc", "m16k32-rerank5"],
+    ids=["m8k16-adc", "m16k32-adc", "m16k32-rerank5", "m16k32-rr5-ts25"],
 )
 def test_pq_matches_oracle(emb, duck, kw):
     assert_matches_oracle(
