@@ -2309,6 +2309,104 @@ def q_stateful_stream(spark, sf_dir):
     )
 
 
+# --- Streaming dedup + stream-stream interval join (r5 rotation) -----------
+# (pytest-proven since r3 — tests/test_streaming.py replays both against
+# batch and oracle; these entries run the REAL streaming engine in the
+# driver gate like streaming_stateful_user_stats.)
+
+
+@_register(
+    "streaming_dedup",
+    # oracle = batch aggregate over each event ONCE: the streaming
+    # side reads the source TWICE (at-least-once replay) and must
+    # dedup back to exactly-once or the counts/sums double
+    "SELECT event_type, count(*) AS n_events,"
+    " CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS DOUBLE)"
+    "  / 1000.0 AS sum_value"
+    " FROM events GROUP BY event_type",
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup under at-least-once delivery: the event
+    stream is unioned with a second read of the same source (the
+    replayed-Kafka-offsets shape), piped through
+    ``dropDuplicatesWithinWatermark(event_id)`` (state evicted as the
+    watermark advances — the only shape that survives an unbounded
+    stream), and the deduped append output must aggregate to exactly
+    the batch numbers over each event once."""
+    import uuid as _uuid
+
+    from minisql_engine_spark.streaming import (
+        read_events_stream,
+        stream_dedup_events,
+    )
+
+    dup = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    ded = stream_dedup_events(dup, keys=("event_id",), within="10 minutes")
+    name = f"_sdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.round(F.col("value") * 1000, 0).cast("bigint")
+                ).cast("double")
+                / 1000.0
+            ).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "streaming_interval_join",
+    "WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts"
+    "  FROM events WHERE event_type = 'click'),"
+    " p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts"
+    "  FROM events WHERE event_type = 'purchase')"
+    " SELECT purchase_id, p.user_id, purchase_ts, click_id, click_ts,"
+    "  (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000"
+    "   AS lag_seconds"
+    " FROM p JOIN c ON p.user_id = c.user_id"
+    " AND click_ts <= purchase_ts"
+    " AND click_ts >= purchase_ts - INTERVAL 2 HOUR",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join run on the REAL streaming engine
+    (symmetric stateful join, watermark-bounded state, append mode —
+    a pair emits once both sides arrived): click→purchase attribution
+    within a 2-hour window, exact-microsecond lag arithmetic. The
+    memory-sink result must hash-equal the batch/SQL join."""
+    import uuid as _uuid
+
+    from minisql_engine_spark.streaming import (
+        attribution_join_events,
+        read_events_stream,
+    )
+
+    stream = attribution_join_events(read_events_stream(spark, sf_dir))
+    name = f"_sattr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 # --- Round-5 rotation: previously pytest-only operators ---------------------
 # (VERDICT r3 task 2 — these had DuckDB-oracle pytest coverage since r3
 # but never a driver CORRECTNESS row; six long-proven §2.1/§2.2 slots
@@ -2657,6 +2755,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         "scan_star_cross",
         "filter_predicates",
         "join_dup_keys",
+        # third wave — room for streaming_dedup + streaming_interval_join
+        "agg_all",
+        "distinct_order_limit",
     }
 )
 
@@ -2667,6 +2768,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "sequence_packing",
     "mixture_sample",
     "emb_pq_topk",
+    "streaming_dedup",
+    "streaming_interval_join",
     # r5 rotation — first driver rows for these
     "tfidf_keywords",
     "stats_histogram",
