@@ -508,3 +508,128 @@ def pq_topk_sql(
         "   ORDER BY l2_dist, neighbor_id) AS rank FROM exact)"
         f" WHERE rank <= {k}"
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = M_SUB,
+    k_codes: int = K_CODES,
+    dims: int = DIMS,
+    n_iter: int = N_ITER,
+    train_sample_rate: float = 1.0,
+    rerank_factor: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (Jégou's IVFADC — the billion-scale composition): the
+    inverted file bounds WHICH vectors each query scores (cell
+    equi-join, candidates ≈ n_probe·n/n_cells per query instead of
+    n), and PQ bounds the BYTES per scored vector (M codes instead
+    of the raw floats). At 100 TB both bounds are load-bearing: IVF
+    keeps the scored row count sub-linear, PQ keeps the scored state
+    RAM-resident.
+
+    Composes the verified pieces unchanged: cells from
+    ``similarity.ivf_centroids``/``ivf_assignments`` (first-ids
+    seeding), codebooks/codes/ADC from this module. With
+    ``n_probe == n_cells`` the candidate set is every pair, and the
+    ranking is IDENTICAL to :func:`pq_topk` — the property
+    ``tests/test_pq.py`` pins the composition with."""
+    from .similarity import ivf_assignments, ivf_centroids
+
+    sub_dim = dims // m_sub
+    cents = ivf_centroids(embeddings, id_col, vec_col, n_cells)
+    corpus_cells = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    query_cells = ivf_assignments(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        cents,
+        id_col,
+        vec_col,
+        n_probe=n_probe,
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    cb = _scalar_codebooks(
+        embeddings, id_col, vec_col, m_sub, sub_dim, k_codes, n_iter,
+        train_sample_rate,
+    )
+    sub = _subvectors(embeddings, id_col, vec_col, m_sub, sub_dim)
+    codes = _encode(sub, cb, id_col, sub_dim)
+    qsub = _subvectors(
+        embeddings.filter(F.col(id_col).isin(query_ids)),
+        id_col,
+        vec_col,
+        m_sub,
+        sub_dim,
+    ).withColumnRenamed(id_col, "query_id")
+    dtab = qsub.join(cb, "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.expr(_pair_dist_sql(sub_dim)).alias("_d"),
+    )
+    # ADC restricted to the IVF candidates: the code table joins the
+    # candidate pairs FIRST (equi-join on neighbor id), so the
+    # distance sum only ever touches probed-cell members
+    adc = (
+        cand.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.col("_d").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    ranked = adc.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+    if rerank_factor is None:
+        return ranked.filter(F.col("rank") <= k)
+    shortlist = ranked.filter(F.col("rank") <= k * rerank_factor).drop(
+        "rank"
+    )
+    vecs = embeddings.selectExpr(
+        id_col, as_double_sql(vec_col) + " as _fv"
+    )
+    qv = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_fv", "_qv")
+    )
+    nv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+        "_fv", "_nv"
+    )
+    exact = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.expr(l2_sql("_qv", "_nv")).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist"), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -126,3 +126,77 @@ def curate_corpus(
         "n_copies",
         "split",
     )
+
+
+def compose_training_set(
+    docs: DataFrame,
+    mixture_weights: dict[str, float],
+    token_budget: int,
+    capacity: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    langs: tuple[str, ...] | None = None,
+    redact: bool = True,
+    near_dups: bool = True,
+    seed: str = "curate",
+) -> DataFrame:
+    """The full path from raw documents to a pretraining batch
+    layout:
+
+        curate_corpus (quality → redaction → dedup → split)
+        → mixture_sample on the TRAIN split (per-source token
+          allowances in md5-priority order)
+        → pack_sequences (concat-and-chunk into ``capacity``-token
+          sequences)
+
+    Returns the packed (shard, seq_id, doc_id, tok_begin, tok_end,
+    piece_tokens) assignment over the selected train documents —
+    what a training loader consumes. Mixture/packing run on the
+    curated (redacted, deduped) text, and only the ``train`` split
+    is packed: val/test never leak into the token budget.
+    Deterministic end-to-end like every stage it composes."""
+    from .operators.mixture import mixture_sample
+    from .operators.packing import pack_sequences
+
+    curated = curate_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        langs=langs,
+        redact=redact,
+        near_dups=near_dups,
+        seed=seed,
+    )
+    # curate_corpus canonicalizes to one row per content hash; keep
+    # the curated text + the original source for mixture accounting
+    src = docs.select(
+        F.col(id_col).alias("_src_id"), F.col(source_col).alias("source")
+    )
+    train = (
+        curated.filter(F.col("split") == "train")
+        .join(src, F.col(id_col) == F.col("_src_id"))
+        .drop("_src_id")
+    )
+    selected = mixture_sample(
+        train,
+        mixture_weights,
+        token_budget,
+        source_col="source",
+        id_col=id_col,
+        text_col=text_col,
+        seed=f"{seed}:mix",
+    )
+    picked = train.join(
+        selected.select(F.col("doc_id").alias("_sel_id")),
+        F.col(id_col) == F.col("_sel_id"),
+    ).drop("_sel_id")
+    return pack_sequences(
+        picked,
+        capacity,
+        id_col=id_col,
+        text_col=text_col,
+        seed=f"{seed}:pack",
+    )

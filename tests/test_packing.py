@@ -185,3 +185,57 @@ def test_mixture_rejects_bad_weights(docs):
         mixture_sample(docs, {"src0": -1.0}, 100)
     with pytest.raises(ValueError):
         mixture_sample(docs, {"src0": 0.0}, 100)
+
+
+def test_compose_training_set_end_to_end(spark, docs):
+    """curate → mixture → pack: deterministic, only curated TRAIN
+    docs are packed, and every packed doc honors the mixture's
+    source weighting (unweighted sources absent)."""
+    from minisql_engine_spark.pipeline import (
+        compose_training_set,
+        curate_corpus,
+    )
+
+    weights = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+    packed = compose_training_set(
+        docs,
+        mixture_weights=weights,
+        token_budget=3000,
+        capacity=128,
+        min_tokens=10,
+        langs=None,
+        near_dups=False,
+    )
+    rows = packed.collect()
+    assert rows, "pipeline produced no sequences"
+    packed_ids = {r.doc_id for r in rows}
+
+    curated = curate_corpus(
+        docs, min_tokens=10, langs=None, near_dups=False
+    )
+    train_ids = {
+        r.doc_id
+        for r in curated.filter(F.col("split") == "train")
+        .select("doc_id")
+        .collect()
+    }
+    assert packed_ids <= train_ids
+    src_of = {
+        r.doc_id: r.source
+        for r in docs.select("doc_id", "source").collect()
+    }
+    assert {src_of[i] for i in packed_ids} <= set(weights)
+
+    again = {
+        tuple(r)
+        for r in compose_training_set(
+            docs,
+            mixture_weights=weights,
+            token_budget=3000,
+            capacity=128,
+            min_tokens=10,
+            langs=None,
+            near_dups=False,
+        ).collect()
+    }
+    assert again == {tuple(r) for r in rows}

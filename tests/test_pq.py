@@ -115,3 +115,55 @@ def test_pq_rerank_recall_beats_adc(emb):
     )
     assert r_rr >= r_adc
     assert r_rr >= 0.6, (r_adc, r_rr)
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(emb):
+    """With every cell probed the IVF candidate set is all pairs, so
+    IVF-PQ's ADC ranking must be IDENTICAL to plain PQ — pins the
+    composition to its parts."""
+    from minisql_engine_spark.operators.pq import ivf_pq_topk
+
+    full = ivf_pq_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=8, m_sub=16, k_codes=32
+    )
+    plain = pq_topk(emb, QIDS, k=10, m_sub=16, k_codes=32)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_ivf_pq_bounds_candidates_and_keeps_recall(emb):
+    """Partial probing must score strictly fewer pairs than all-pairs
+    while agreeing with plain PQ on most of the top-k (the IVF loss
+    at n_probe=half the cells stays small)."""
+    from minisql_engine_spark.operators.pq import ivf_pq_topk
+    from minisql_engine_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    n = emb.count()
+    cents = ivf_centroids(emb, n_cells=8)
+    corpus_cells = ivf_assignments(emb, cents, n_probe=1)
+    probe_cells = (
+        ivf_assignments(
+            emb.filter(F.col("vec_id").isin(QIDS)), cents, n_probe=4
+        )
+        .select("vec_id", "cell")
+    )
+    cand = corpus_cells.withColumnRenamed("vec_id", "nid").join(
+        probe_cells, "cell"
+    )
+    n_cand = cand.count()
+    assert n_cand < len(QIDS) * n, (n_cand, len(QIDS) * n)
+
+    part = ivf_pq_topk(
+        emb, QIDS, k=10, n_cells=8, n_probe=4, m_sub=16, k_codes=32
+    ).select("query_id", "neighbor_id").toPandas()
+    plain = pq_topk(emb, QIDS, k=10, m_sub=16, k_codes=32).select(
+        "query_id", "neighbor_id"
+    ).toPandas()
+    a = part.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    b = plain.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+    overlap = sum(len(a.get(q, set()) & b[q]) / len(b[q]) for q in b) / len(b)
+    assert overlap >= 0.5, overlap
