@@ -112,3 +112,94 @@ def test_distinct_and_group_by_vs_oracle(spark, t1):
         s, c = want.get(k, (0, 0))
         want[k] = (s + v, c + 1)
     assert grouped == want
+
+
+# --- sequence packing / mixture properties ---------------------------------
+
+DOC = st.tuples(
+    st.integers(min_value=0, max_value=200),  # doc_id (dedup below)
+    st.integers(min_value=0, max_value=40),  # token count
+)
+CORPUS = st.lists(DOC, min_size=0, max_size=25)
+
+
+def _doc_df(spark, corpus):
+    # synthesize text with exactly n tokens; dedup ids (last wins)
+    rows = list({d: n for d, n in corpus}.items())
+    data = [(d, " ".join(["w"] * n)) for d, n in rows]
+    if not data:
+        return spark.createDataFrame([], "doc_id long, text string"), {}
+    return (
+        spark.createDataFrame(data, "doc_id long, text string"),
+        dict(rows),
+    )
+
+
+@given(corpus=CORPUS, cap=st.integers(min_value=1, max_value=64))
+@SLOW
+def test_packing_partitions_every_token_exactly_once(spark, corpus, cap):
+    """For ANY corpus and capacity: pieces per doc are a disjoint
+    cover of [0, n_tokens); every sequence except each shard's last
+    holds exactly `cap` tokens; empty docs vanish."""
+    from minisql_engine_spark.operators.packing import pack_sequences
+
+    df, tokens = _doc_df(spark, corpus)
+    out = pack_sequences(df, cap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    expected_docs = {d for d, n in tokens.items() if n > 0}
+    assert set(by_doc) == expected_docs
+    for d, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r.tok_begin)
+        assert pieces[0].tok_begin == 0
+        assert pieces[-1].tok_end == tokens[d]
+        for a, b in zip(pieces, pieces[1:]):
+            assert a.tok_end == b.tok_begin  # contiguous, disjoint
+    per_seq: dict[tuple, int] = {}
+    last_seq: dict[str, int] = {}
+    for r in out:
+        per_seq[(r.shard, r.seq_id)] = (
+            per_seq.get((r.shard, r.seq_id), 0) + r.piece_tokens
+        )
+        last_seq[r.shard] = max(last_seq.get(r.shard, -1), r.seq_id)
+    for (shard, seq), tok in per_seq.items():
+        if seq < last_seq[shard]:
+            assert tok == cap, (shard, seq, tok)
+
+
+@given(
+    corpus=CORPUS,
+    budget=st.integers(min_value=1, max_value=500),
+    w0=st.floats(min_value=0.1, max_value=5.0),
+)
+@SLOW
+def test_mixture_budget_invariants(spark, corpus, budget, w0):
+    """For ANY corpus/budget/weights: every admitted doc started
+    under its source allowance, and tokens_kept per source is either
+    every doc of the source or overshoots by < one doc."""
+    from minisql_engine_spark.operators.mixture import mixture_sample
+
+    df, tokens = _doc_df(spark, corpus)
+    df = df.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    out = mixture_sample(df, {"even": w0, "odd": 1.0}, budget).collect()
+    for r in out:
+        assert r.cum_tokens - r.n_tokens < r.allowance_tokens
+    kept = {r.doc_id for r in out}
+    # maximality: any non-selected, non-empty doc of a source must
+    # imply that source's allowance is already at/over capacity
+    by_src: dict[str, int] = {}
+    for r in out:
+        by_src[r.source] = max(by_src.get(r.source, 0), r.cum_tokens)
+    for d, n in tokens.items():
+        if n <= 0 or d in kept:
+            continue
+        src = "even" if d % 2 == 0 else "odd"
+        allow = next(
+            (r.allowance_tokens for r in out if r.source == src), None
+        )
+        if allow is not None:
+            assert by_src.get(src, 0) >= allow
