@@ -5,6 +5,11 @@ from minisql_engine_spark.sources.parquet_catalog import (
     register_views,
 )
 from minisql_engine_spark.sources.csv_metadata import load_csv_database
+from minisql_engine_spark.sources.zorder import (
+    file_prune_fraction,
+    with_zvalue,
+    write_zordered,
+)
 from minisql_engine_spark.sources.writers import (
     read_jsonl,
     read_orc,
@@ -26,4 +31,7 @@ __all__ = [
     "write_jsonl",
     "write_orc",
     "write_parquet",
+    "with_zvalue",
+    "write_zordered",
+    "file_prune_fraction",
 ]
