@@ -2605,6 +2605,26 @@ _IVF_BUILT: set[str] = set()
 # mixed to per-source token targets — both here as pure window/explode
 # arithmetic, oracle-replayed exactly.)
 
+@_register(
+    "corpus_vocabulary",
+    "WITH toks AS (SELECT doc_id, unnest(string_split("
+    " regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+    "  AS token FROM documents WHERE trim(text) <> '')"
+    " SELECT token, CAST(count(*) AS BIGINT) AS tf,"
+    " CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq"
+    " FROM toks GROUP BY token",
+)
+def q_corpus_vocabulary(spark, sf_dir):
+    """Corpus vocabulary audit (§2.4 text-features): (token, tf,
+    doc_freq) over normalized whitespace tokens — the table every
+    tokenizer-training and df-based-filter step reads. One token
+    shuffle with map-side partial aggregation (plan-gated in
+    test_plans.py); pytest-oracled since r3, first driver row r5."""
+    from minisql_engine_spark.operators.text import vocabulary_stats
+
+    return vocabulary_stats(_t(spark, sf_dir, "documents"))
+
+
 _PACK_CAP = 512  # tokens per training sequence
 
 
@@ -2758,6 +2778,8 @@ _ARCHIVED: frozenset[str] = frozenset(
         # third wave — room for streaming_dedup + streaming_interval_join
         "agg_all",
         "distinct_order_limit",
+        # fourth — room for corpus_vocabulary (streaming keeps 4 rows)
+        "events_session_window",
     }
 )
 
@@ -2770,6 +2792,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "emb_pq_topk",
     "streaming_dedup",
     "streaming_interval_join",
+    "corpus_vocabulary",
     # r5 rotation — first driver rows for these
     "tfidf_keywords",
     "stats_histogram",
@@ -2788,7 +2811,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "grouping_sets",
     "multimodal_features",
     "events_fixed_windows",
-    "events_session_window",
     "subquery_suite",
     "udtf_chunk_documents",
     "udaf_weighted_avg",
@@ -2805,7 +2827,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _VERIFY_FIRST if n in _QUERIES]
+    # archived names win over a stale _VERIFY_FIRST listing
+    front = [
+        n for n in _VERIFY_FIRST if n in _QUERIES and n not in _ARCHIVED
+    ]
     back = [
         n
         for n in _QUERIES
