@@ -60,10 +60,11 @@ HEADLINE = (
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q18_large_orders",
-    # r5 additions: training-run composition + PQ ANN
+    # r5 additions: training-run composition + PQ ANN + vocab audit
     "sequence_packing",
     "mixture_sample",
     "emb_pq_topk",
+    "corpus_vocabulary",
 )
 
 
