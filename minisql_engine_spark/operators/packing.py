@@ -207,3 +207,40 @@ def packing_stats_sql(
         f"   / ((max(seq_id) + 1) * {cap}) AS fill_ratio"
         " FROM packed GROUP BY shard"
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    capacity: int,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize :func:`pack_sequences` output as the layout a
+    training job reads: parquet partitioned by ``shard`` (each shard
+    is one pruneable directory — the unit a data-loader worker
+    claims), rows sorted by (seq_id, tok_begin) within each file so a
+    sequential read replays sequences in order, plus a ``_manifest``
+    dataset (:func:`packing_stats` per shard: n_seqs, n_docs,
+    total_tokens, fill_ratio) for loader scheduling and budget
+    audits. One shuffle (the partitionBy write); the manifest is a
+    16-row-ish aggregate."""
+    (
+        packed.repartition("shard")
+        .sortWithinPartitions("shard", "seq_id", "tok_begin")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    (
+        packing_stats(packed, capacity)
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(path.rstrip("/") + "_manifest")
+    )
+
+
+def read_training_shard(spark, path: str, shard: str) -> DataFrame:
+    """One shard of a :func:`write_training_shards` layout — the
+    ``shard=`` partition filter prunes every other directory at the
+    source (verified via PartitionFilters in tests)."""
+    return spark.read.parquet(path).filter(F.col("shard") == shard)

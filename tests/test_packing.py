@@ -239,3 +239,36 @@ def test_compose_training_set_end_to_end(spark, docs):
         ).collect()
     }
     assert again == {tuple(r) for r in rows}
+
+
+def test_training_shard_export_roundtrip_and_pruning(spark, docs, tmp_path):
+    """Sharded export: lossless roundtrip, manifest ≡ packing_stats,
+    and a single-shard read partition-prunes at the source."""
+    from minisql_engine_spark.operators.packing import (
+        packing_stats,
+        read_training_shard,
+        write_training_shards,
+    )
+
+    packed = pack_sequences(docs, 256)
+    path = str(tmp_path / "shards")
+    write_training_shards(packed, path, 256)
+
+    back = spark.read.parquet(path)
+    cols = packed.columns
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+    manifest = spark.read.parquet(path + "_manifest")
+    assert sorted(map(tuple, manifest.collect())) == sorted(
+        map(tuple, packing_stats(packed, 256).collect())
+    )
+
+    a_shard = packed.select("shard").first().shard
+    one = read_training_shard(spark, path, a_shard)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(shard" in plan, plan[:1500]
+    expected = packed.filter(F.col("shard") == a_shard).count()
+    assert one.count() == expected
