@@ -127,11 +127,49 @@ def default_image_decoder():
 
 
 def decode_audio(payload: bytes) -> "object":
-    """STUB — see ``decode_image``."""
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; wire soundfile/librosa here in production"
-    )
+    """Decode a WAV/PCM audio payload into an (n_frames, n_channels)
+    int16 array using ONLY the stdlib ``wave`` module — a REAL
+    decoder with zero optional dependencies (compressed formats
+    would need soundfile/librosa; inject a custom decoder for
+    those). Raises ``NotImplementedError`` for non-WAV bytes so the
+    injectable-codec contract matches ``decode_image``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            f"payload is not an uncompressed WAV ({e}); wire "
+            "soundfile/librosa (or inject a decoder) for compressed "
+            "audio"
+        ) from None
+    if width == 2:
+        arr = np.frombuffer(frames, dtype=np.int16)
+    elif width == 1:
+        # WAV 8-bit is unsigned; center to the int16 contract
+        arr = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+        ) * 256
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width} (1/2 bytes handled)"
+        )
+    return arr.reshape(-1, n_ch)
+
+
+def wav_audio_stats(payload: bytes) -> tuple[int, float]:
+    """Real-codec drop-in for ``extract_features``'s AUDIO decoder
+    slot: (n_samples, mean_sample) from :func:`decode_audio` — the
+    same ``bytes -> (count, mean)`` contract as the deterministic
+    fake."""
+    arr = decode_audio(payload)
+    return int(arr.size), (float(arr.mean()) if arr.size else 0.0)
 
 
 def _fake_decode_stats(payload: bytes) -> tuple[int, float]:

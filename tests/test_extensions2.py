@@ -329,6 +329,49 @@ def test_real_png_decodes_through_extract_features(spark, sf_dir):
     assert abs(out[0]["mean_byte"] - float(arr.mean())) < 1e-9
 
 
+def test_real_wav_decodes_through_extract_features(spark, sf_dir):
+    """decode_audio is a REAL stdlib-wave decoder (no optional deps):
+    synthesize a 2-channel 16-bit WAV, check shape/values, then run
+    it through the SAME Arrow pipeline via wav_audio_stats."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import (
+        PAYLOAD_SCHEMA,
+        decode_audio,
+        extract_features,
+        wav_audio_stats,
+    )
+
+    samples = np.arange(-8, 8, dtype=np.int16).reshape(-1, 2)  # 8×2
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+
+    arr = decode_audio(wav)
+    assert arr.shape == (8, 2)
+    assert (arr == samples).all()
+
+    rows = [(1, "audio", 0, 0, bytearray(wav))]
+    payloads = spark.createDataFrame(rows, PAYLOAD_SCHEMA)
+    out = extract_features(payloads, decoder=wav_audio_stats).collect()
+    assert len(out) == 1
+    assert out[0]["n_bytes"] == samples.size
+    assert abs(out[0]["mean_byte"] - float(samples.mean())) < 1e-9
+
+    # non-WAV bytes keep the injectable-codec contract
+    import pytest as _pt2
+
+    with _pt2.raises(NotImplementedError):
+        decode_audio(b"not a wav file")
+
+
 def test_jsonl_roundtrip_with_explicit_schema(spark, sf_dir):
     """JSONL write → schema-explicit read must preserve rows and
     types; a corrupt line must land in _corrupt_record, not poison
