@@ -424,3 +424,75 @@ def char_entropy_sql(
         f" FROM (SELECT DISTINCT {id_col} FROM {table}) d"
         f" LEFT JOIN per ON d.{id_col} = per.{id_col}"
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """(gram, count, doc_freq): corpus-wide word n-gram count table
+    over normalized tokens — the language-model statistics surface
+    (`vocabulary_stats` is the n=1 case; trigram repetition in
+    ``text_metrics`` is per-doc, this is per-corpus).
+
+    Plan: the gram array builds map-side with the same
+    ``transform(sequence)`` idiom as the repetition metric, then ONE
+    shuffle on gram with partial aggregation — identical scale shape
+    to ``vocabulary_stats``; Zipf-hot grams collapse in the map-side
+    combine. ``min_count`` prunes the long tail AFTER the agg (a
+    HAVING, not a scan filter — the tail must be counted to be
+    known)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _ws_tokens(_norm_text(F.col(text_col)))
+    nt = F.size(toks)
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(0), nt - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + j + 1) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    out = exploded.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("count"),
+        F.countDistinct(id_col).cast("bigint").alias("doc_freq"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out
+
+
+def ngram_counts_sql(
+    table: str = "documents",
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> str:
+    """DuckDB twin of :func:`ngram_counts` (list-comprehension gram
+    build, same normalization)."""
+    norm = (
+        f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    )
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    having = f" HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    return (
+        f"WITH t AS (SELECT {id_col} AS doc_id,"
+        f" string_split({norm}, ' ') AS tk FROM {table}"
+        f" WHERE trim({text_col}) <> ''),"
+        f" g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= {n} THEN"
+        f"  [{joined} for i in range(1, len(tk) - {n} + 2)]"
+        "  ELSE [] END) AS gram FROM t)"
+        " SELECT gram, CAST(count(*) AS BIGINT) AS count,"
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq"
+        f" FROM g GROUP BY gram{having}"
+    )

@@ -202,3 +202,35 @@ def test_exact_quantiles_grouped_oracle(spark, duck, sf_dir):
     assert_matches_oracle(
         out, duck.execute(oracle).fetchdf(), "grouped_quantiles"
     )
+
+
+@pytest.mark.parametrize("n,mc", [(1, 1), (2, 1), (3, 2)])
+def test_ngram_counts_oracle(spark, duck, sf_dir, n, mc):
+    from minisql_engine_spark.operators.text import (
+        ngram_counts,
+        ngram_counts_sql,
+    )
+
+    out = ngram_counts(
+        load_table(spark, sf_dir, "documents"), n, min_count=mc
+    )
+    oracle = duck.execute(ngram_counts_sql(n=n, min_count=mc)).fetchdf()
+    assert_matches_oracle(out, oracle, f"ngram n={n}")
+
+
+def test_ngram_counts_edges(spark):
+    from minisql_engine_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "short"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.gram: (r["count"], r.doc_freq)
+        for r in ngram_counts(df, 3).collect()
+    }
+    # docs shorter than n and empty/NULL docs contribute nothing;
+    # the one trigram appears once per doc that holds it
+    assert rows == {"a b c": (2, 2)}
+    with pytest.raises(ValueError):
+        ngram_counts(df, 0)
