@@ -73,7 +73,6 @@ def mixture_sample(
     dropped. Returns ``(source, doc_id, n_tokens, cum_tokens,
     allowance_tokens)`` for every selected doc."""
     allow = _allowances(weights, int(token_budget))
-    alloc = F.lit(None).cast("bigint")
     expr = None
     for s in sorted(allow):
         cond = F.col(source_col) == s
