@@ -149,18 +149,28 @@ def decode_audio(payload: bytes) -> "object":
             "soundfile/librosa (or inject a decoder) for compressed "
             "audio"
         ) from None
-    if width == 2:
-        arr = np.frombuffer(frames, dtype=np.int16)
-    elif width == 1:
-        # WAV 8-bit is unsigned; center to the int16 contract
-        arr = (
-            np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
-        ) * 256
-    else:
+    try:
+        if width == 2:
+            arr = np.frombuffer(frames, dtype=np.int16)
+        elif width == 1:
+            # WAV 8-bit is unsigned; center to the int16 contract
+            arr = (
+                np.frombuffer(frames, dtype=np.uint8).astype(np.int16)
+                - 128
+            ) * 256
+        else:
+            raise NotImplementedError(
+                f"unsupported WAV sample width {width} (1/2 bytes handled)"
+            )
+        return arr.reshape(-1, n_ch)
+    except ValueError as e:
+        # truncated data chunk / frame count not divisible by the
+        # channel count — undecodable bytes keep the same contract
+        # as a bad container, they must not fail the Arrow UDF batch
         raise NotImplementedError(
-            f"unsupported WAV sample width {width} (1/2 bytes handled)"
-        )
-    return arr.reshape(-1, n_ch)
+            f"corrupt WAV payload ({e}); inject a tolerant decoder "
+            "to handle truncated audio"
+        ) from None
 
 
 def wav_audio_stats(payload: bytes) -> tuple[int, float]:

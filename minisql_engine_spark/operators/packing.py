@@ -223,20 +223,26 @@ def write_training_shards(
     dataset (:func:`packing_stats` per shard: n_seqs, n_docs,
     total_tokens, fill_ratio) for loader scheduling and budget
     audits. One shuffle (the partitionBy write); the manifest is a
-    16-row-ish aggregate."""
-    (
-        packed.repartition("shard")
-        .sortWithinPartitions("shard", "seq_id", "tok_begin")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    (
-        packing_stats(packed, capacity)
-        .coalesce(1)
-        .write.mode(mode)
-        .parquet(path.rstrip("/") + "_manifest")
-    )
+    16-row-ish aggregate. The packed table is persisted across the
+    two actions so the packing pipeline (scan → shard shuffle →
+    window → explode) runs once, not once per write."""
+    packed = packed.persist()
+    try:
+        (
+            packed.repartition("shard")
+            .sortWithinPartitions("shard", "seq_id", "tok_begin")
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        (
+            packing_stats(packed, capacity)
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(path.rstrip("/") + "_manifest")
+        )
+    finally:
+        packed.unpersist()
 
 
 def read_training_shard(spark, path: str, shard: str) -> DataFrame:

@@ -99,6 +99,27 @@ def _pair_dist_sql(sub_dim: int) -> str:
     return f"round(nsv - 2 * ({cross}) + ncv, 6)"
 
 
+#: code-id bit width of the packed argmin ordering (codes < 2^20,
+#: far above any real K)
+_CODE_BITS = 20
+
+
+def _packed_argmin() -> "F.Column":
+    """Argmin ordering as ONE long (hash agg, no sort): rounded
+    d·1e6 in the high bits, the code id in the low ``_CODE_BITS`` —
+    ``min_by(code, packed)`` ≡ ``ORDER BY d, code LIMIT 1``. The
+    packing is exact while d·1e6 < 2^(63−_CODE_BITS), i.e. squared
+    sub-vector L2 below ~4.4e6 (sub-vector components up to ~±700)
+    — any normalized or bounded embedding family; normalize first
+    for wilder magnitudes, or the multiplication overflows (raises
+    under ANSI rather than mis-ranking silently)."""
+    return (
+        F.round(F.col("_d") * 1e6).cast("long")
+        * F.lit(1 << _CODE_BITS).cast("long")
+        + F.col("code").cast("long")
+    )
+
+
 def _subvectors(
     embeddings: DataFrame,
     id_col: str,
@@ -187,13 +208,7 @@ def _scalar_codebooks(
     )
 
     dist = F.expr(_pair_dist_sql(sub_dim))
-    # argmin via one packed long (hash agg, no sort): rounded d·1e6 is
-    # an exact integer, codes < 2³² break ties upward — min_by packed
-    # ≡ ORDER BY d, code LIMIT 1
-    packed = (
-        F.round(F.col("_d") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
-        + F.col("code").cast("long")
-    )
+    packed = _packed_argmin()
     mean_cols = [
         F.expr(
             f"round(cast(sum(cast(s{d} as decimal(38,12))) as double)"
@@ -280,15 +295,11 @@ def _encode(
     sub: DataFrame, codebooks: DataFrame, id_col: str, sub_dim: int
 ) -> DataFrame:
     cb = _decompose_codebooks(codebooks, sub_dim)
-    packed = (
-        F.round(F.col("_d") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
-        + F.col("code").cast("long")
-    )
     return (
         sub.join(F.broadcast(cb), "m")
         .withColumn("_d", F.expr(_pair_dist_sql(sub_dim)))
         .groupBy(id_col, "m")
-        .agg(F.min_by("code", packed).alias("code"))
+        .agg(F.min_by("code", _packed_argmin()).alias("code"))
     )
 
 
@@ -350,6 +361,23 @@ def pq_topk(
             .alias("adc_dist")
         )
     )
+    return _rank_and_rerank(
+        adc, embeddings, query_ids, k, rerank_factor, id_col, vec_col
+    )
+
+
+def _rank_and_rerank(
+    adc: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of :func:`pq_topk` / :func:`ivf_pq_topk`: rank the
+    (query_id, neighbor_id, adc_dist) table; with ``rerank_factor``,
+    shortlist k·r by ADC then re-rank by exact full-dimension L2."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist"), F.col("neighbor_id")
     )
@@ -594,42 +622,6 @@ def ivf_pq_topk(
             .alias("adc_dist")
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist"), F.col("neighbor_id")
-    )
-    ranked = adc.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    )
-    if rerank_factor is None:
-        return ranked.filter(F.col("rank") <= k)
-    shortlist = ranked.filter(F.col("rank") <= k * rerank_factor).drop(
-        "rank"
-    )
-    vecs = embeddings.selectExpr(
-        id_col, as_double_sql(vec_col) + " as _fv"
-    )
-    qv = (
-        vecs.filter(F.col(id_col).isin(query_ids))
-        .withColumnRenamed(id_col, "query_id")
-        .withColumnRenamed("_fv", "_qv")
-    )
-    nv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
-        "_fv", "_nv"
-    )
-    exact = (
-        shortlist.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "adc_dist",
-            F.expr(l2_sql("_qv", "_nv")).alias("l2_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("l2_dist"), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
+    return _rank_and_rerank(
+        adc, embeddings, query_ids, k, rerank_factor, id_col, vec_col
     )

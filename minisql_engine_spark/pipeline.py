@@ -175,10 +175,17 @@ def compose_training_set(
     src = docs.select(
         F.col(id_col).alias("_src_id"), F.col(source_col).alias("source")
     )
+    # persisted: `train` feeds BOTH the mixture selection and the
+    # picked-docs join below — without the persist the whole curation
+    # lineage (quality/redaction/dedup shuffles) evaluates twice per
+    # action. Caller-visible laziness is preserved (the cache fills
+    # on first use); at 100 TB you would checkpoint the curated
+    # corpus to parquet here instead.
     train = (
         curated.filter(F.col("split") == "train")
         .join(src, F.col(id_col) == F.col("_src_id"))
         .drop("_src_id")
+        .persist()
     )
     selected = mixture_sample(
         train,

@@ -62,13 +62,21 @@ def with_zvalue(
         raise ValueError(
             f"{bits} bits × {n} cols = {bits * n} exceeds a signed BIGINT"
         )
+    # NaN-proof bounds: Spark's max() orders NaN above every double,
+    # so one NaN row would poison hi (every rank becomes NaN→0 and
+    # the dimension silently stops clustering). NaNs are excluded
+    # from the bounds and cluster with NULLs at the curve origin.
+    def _finite(c: str):
+        x = F.col(c).cast("double")
+        return F.when(~F.isnan(x), x)
+
     stats = df.agg(
         *[
-            F.min(F.col(c).cast("double")).alias(f"_zlo_{i}")
+            F.min(_finite(c)).alias(f"_zlo_{i}")
             for i, c in enumerate(cols)
         ],
         *[
-            F.max(F.col(c).cast("double")).alias(f"_zhi_{i}")
+            F.max(_finite(c)).alias(f"_zhi_{i}")
             for i, c in enumerate(cols)
         ],
     )
@@ -78,7 +86,7 @@ def with_zvalue(
         lo, hi = F.col(f"_zlo_{i}"), F.col(f"_zhi_{i}")
         x = F.col(c).cast("double")
         scaled = F.when(
-            x.isNull() | (hi <= lo), F.lit(0).cast("long")
+            x.isNull() | F.isnan(x) | (hi <= lo), F.lit(0).cast("long")
         ).otherwise(F.floor((x - lo) / (hi - lo) * top).cast("long"))
         ranks.append(F.least(F.lit(top).cast("long"), scaled))
     z = F.lit(0).cast("long")
@@ -148,6 +156,10 @@ def file_prune_fraction(
                     fmin = s.min if fmin is None else min(fmin, s.min)
                 if s.max is not None:
                     fmax = s.max if fmax is None else max(fmax, s.max)
-        if fmin is not None and (fmax < lo or fmin > hi):
+        if (
+            fmin is not None
+            and fmax is not None
+            and (fmax < lo or fmin > hi)
+        ):
             skipped += 1
     return skipped / len(files)
