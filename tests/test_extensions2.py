@@ -519,3 +519,27 @@ def test_multimodal_frame_sampling_partitions_payload(spark, sf_dir):
         else:
             assert len(rows) == 1 and rows[0]["frame_bytes"] == payload
     assert set(by_doc) == set(orig)
+
+
+def test_truncated_wav_keeps_codec_contract(spark):
+    """A WAV with a truncated data chunk (odd byte count at width=2)
+    must surface NotImplementedError — the injectable-codec
+    contract — not a raw numpy ValueError that fails the Arrow
+    batch."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pytest as _pt3
+
+    from minisql_engine_spark.operators.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.arange(8, dtype=np.int16).tobytes())
+    truncated = buf.getvalue()[:-1]  # odd data-chunk length
+    with _pt3.raises(NotImplementedError):
+        decode_audio(truncated)

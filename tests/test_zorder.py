@@ -107,3 +107,17 @@ def test_zvalue_rejects_bad_args(spark, sf_dir):
         with_zvalue(orders, [])
     with pytest.raises(ValueError):
         with_zvalue(orders, ["o_custkey"] * 4, bits=16)
+
+
+def test_zvalue_nan_does_not_poison_dimension(spark):
+    """One NaN row must not zero the whole dimension's ranks (Spark
+    max() ranks NaN above every double): finite rows keep a real
+    spread, the NaN row clusters at the origin with NULLs."""
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, float("nan"), 6.0), (3, 100.0, 7.0)],
+        "id long, a double, b double",
+    )
+    rows = {r.id: r._z for r in with_zvalue(df, ["a", "b"], bits=8).collect()}
+    assert rows[3] > rows[1]  # finite spread survives on dimension a
+    # NaN row ranks 0 on a; only its b-dimension bits differ from id=1's
+    assert rows[2] != rows[3]
