@@ -203,3 +203,58 @@ def test_mixture_budget_invariants(spark, corpus, budget, w0):
         )
         if allow is not None:
             assert by_src.get(src, 0) >= allow
+
+
+# --- Z-order interleave property -------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@SLOW
+def test_zvalue_matches_reference_morton(spark, vals):
+    """with_zvalue must equal an independent pure-Python Morton
+    interleave of the min-max-scaled ranks, for ANY 2-column input."""
+    from minisql_engine_spark.sources.zorder import with_zvalue
+
+    bits = 8
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(vals)],
+        "id long, a long, b long",
+    )
+    got = {
+        r.id: r._z
+        for r in with_zvalue(df, ["a", "b"], bits=bits).collect()
+    }
+
+    top = (1 << bits) - 1
+    los = [min(v[d] for v in vals) for d in range(2)]
+    his = [max(v[d] for v in vals) for d in range(2)]
+
+    def rank(x, d):
+        lo, hi = los[d], his[d]
+        if hi <= lo:
+            return 0
+        import math
+
+        return min(top, math.floor((x - lo) / (hi - lo) * top))
+
+    def morton(a, b):
+        z = 0
+        for bit in range(bits):
+            z += ((rank(a, 0) >> bit) & 1) << (bit * 2)
+            z += ((rank(b, 1) >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    expected = {
+        i: morton(a, b) for i, (a, b) in enumerate(vals)
+    }
+    assert got == expected
