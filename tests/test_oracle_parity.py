@@ -70,3 +70,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema.fieldNames()
+
+
+def test_bench_headline_names_resolve():
+    """bench.py skips unknown names with `continue` — a rename or
+    rotation typo would silently drop a query from the series."""
+    import bench
+
+    avail = set(entrymod.queries()) | set(entrymod.archived_queries())
+    missing = [n for n in bench.HEADLINE if n not in avail]
+    assert not missing, missing
+
+
+def test_rotation_lists_reference_real_entries():
+    """_ARCHIVED and _VERIFY_FIRST silently no-op for unknown names
+    (set intersection / `if n in _QUERIES` guards) — pin every name
+    to a real registration."""
+    regs = set(entrymod._QUERIES)
+    assert set(entrymod._ARCHIVED) <= regs, (
+        set(entrymod._ARCHIVED) - regs
+    )
+    assert set(entrymod._VERIFY_FIRST) <= regs, (
+        set(entrymod._VERIFY_FIRST) - regs
+    )
+    # archived names must not ALSO hold a driver slot
+    assert not (set(entrymod._ARCHIVED) & set(entrymod.queries()))
