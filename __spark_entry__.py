@@ -1488,10 +1488,7 @@ def q_emb_near_dups(spark, sf_dir):
     )
 
 
-_COS = (
-    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b}))), 6)"
-)
+from minisql_engine_spark.operators.similarity import DUCK_COS as _COS
 
 # Lloyd-refinement CTE chain mirroring ivf_refined_centroids: the
 # decimal-exact (order-independent) per-dimension means let the oracle
@@ -1501,36 +1498,12 @@ _IVF_REFINE_ITERS = 2
 
 
 def _ivf_refine_ctes(n_iter: int) -> str:
-    ctes = [
-        " cents0 AS (SELECT vec_id AS cell, v AS cv FROM e"
-        "   ORDER BY vec_id LIMIT 16)"
-    ]
-    for i in range(1, n_iter + 1):
-        cos = _COS.format(a="e.v", b=f"c.cv")
-        ctes.append(
-            f" asg{i} AS (SELECT e.vec_id, c.cell, {cos} AS sim"
-            f"   FROM e CROSS JOIN cents{i - 1} c)"
-        )
-        ctes.append(
-            f" best{i} AS (SELECT vec_id, cell FROM ("
-            f"   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
-            f"    ORDER BY sim DESC, cell) AS r FROM asg{i}) WHERE r = 1)"
-        )
-        ctes.append(
-            f" comp{i} AS (SELECT b.cell, d.i AS dim, e.v[d.i] AS comp"
-            f"   FROM best{i} b JOIN e USING (vec_id),"
-            f"   (SELECT unnest(range(1, 65)) AS i) d)"
-        )
-        ctes.append(
-            f" mean{i} AS (SELECT cell, dim,"
-            f"   round(CAST(sum(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)"
-            f"    / count(*), 6) AS m FROM comp{i} GROUP BY cell, dim)"
-        )
-        ctes.append(
-            f" cents{i} AS (SELECT cell, list(m ORDER BY dim) AS cv"
-            f"   FROM mean{i} GROUP BY cell)"
-        )
-    return ",".join(ctes)
+    # shared with operators/semdedup.py — one source for the replay
+    from minisql_engine_spark.operators.similarity import (
+        ivf_refine_ctes_sql,
+    )
+
+    return ivf_refine_ctes_sql(n_iter)
 
 
 _IVF_ORACLE = (
@@ -2743,6 +2716,125 @@ def _pq_oracle() -> str:
 _ORACLES["emb_pq_topk"] = _pq_oracle()
 
 
+# --- Round-5 session-3 additions: retrieval + LM quality scoring ------------
+# (§2.4 curation surface: lexical search over the corpus and CCNet-style
+# perplexity bucketing — both exact relational formulations with full
+# DuckDB oracles; see operators/retrieval.py and operators/lm_score.py
+# for the scale notes.)
+
+#: fixed literal query set — same pairs feed the Spark side and the
+#: oracle, so the driver check replays the identical retrieval run
+_BM25_QUERIES = [
+    ("q1", "hash join spark"),
+    ("q2", "window sort order"),
+    ("q3", "customer query fast scan"),
+]
+
+
+@_register(
+    "bm25_retrieval",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-10 per query over the documents corpus
+    (Lucene-style positive idf, k1=1.2/b=0.75). Tokens explode once;
+    tf/dl share one hash aggregate; the query-term set broadcast-
+    restricts df/score work before any corpus-wide join; top-k is a
+    WindowGroupLimit — nothing quadratic (operators/retrieval.py)."""
+    from minisql_engine_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10
+    )
+
+
+def _bm25_oracle() -> str:
+    from minisql_engine_spark.operators.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(_BM25_QUERIES, k=10)
+
+
+_ORACLES["bm25_retrieval"] = _bm25_oracle()
+
+
+@_register(
+    "lm_perplexity_buckets",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_lm_perplexity_buckets(spark, sf_dir):
+    """Unigram-LM perplexity scoring + head/middle/tail tercile
+    buckets (the CCNet quality-filter stage). Corpus-trained
+    Laplace-smoothed model, so the whole operator is exact and
+    oracle-replayed; buckets come from a broadcast single-row
+    percentile join, NOT a global ntile window
+    (operators/lm_score.py)."""
+    from minisql_engine_spark.operators.lm_score import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _lm_ppl_oracle() -> str:
+    from minisql_engine_spark.operators.lm_score import lm_perplexity_sql
+
+    return lm_perplexity_sql()
+
+
+_ORACLES["lm_perplexity_buckets"] = _lm_ppl_oracle()
+
+
+@_register(
+    "semantic_dedup",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (the engine's Lloyd-refined IVF index), exact-cosine pair search
+    ONLY within cells (max_block_size guard → SRP-LSH on collapse),
+    connected-components group resolution, min-id keep rule. The
+    whole pipeline — Lloyd iterations, argmax assignment, pair
+    search, closure — is replayed by the oracle
+    (operators/semdedup.py)."""
+    from minisql_engine_spark.operators.semdedup import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_oracle() -> str:
+    from minisql_engine_spark.operators.semdedup import semantic_dedup_sql
+
+    return semantic_dedup_sql()
+
+
+_ORACLES["semantic_dedup"] = _semdedup_oracle()
+
+
+@_register(
+    "dsir_importance",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): Laplace-smoothed
+    hashed unigram+bigram distributions for the target (lang='en')
+    vs the raw pool; every document scored by Σ log-probability
+    ratio. Features explode once, two ≤256-group aggregates, one
+    broadcast λ join, one per-doc aggregate — the domain-selection
+    stage of a pretraining pipeline (operators/dsir.py)."""
+    from minisql_engine_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _dsir_oracle() -> str:
+    from minisql_engine_spark.operators.dsir import dsir_weights_sql
+
+    return dsir_weights_sql("lang = 'en'")
+
+
+_ORACLES["dsir_importance"] = _dsir_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -2780,12 +2872,25 @@ _ARCHIVED: frozenset[str] = frozenset(
         "distinct_order_limit",
         # fourth — room for corpus_vocabulary (streaming keeps 4 rows)
         "events_session_window",
+        # fifth (r5 session 3) — room for bm25_retrieval +
+        # lm_perplexity_buckets + semantic_dedup; all archived names
+        # hash-green r1–r4
+        "filter_comparators_nulls",
+        "join_left_outer",
+        "group_by_agg",
+        # sixth — room for dsir_importance
+        "subquery_suite",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r5 session-3 additions — brand new operators, never driver-checked
+    "bm25_retrieval",
+    "lm_perplexity_buckets",
+    "semantic_dedup",
+    "dsir_importance",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

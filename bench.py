@@ -65,6 +65,11 @@ HEADLINE = (
     "mixture_sample",
     "emb_pq_topk",
     "corpus_vocabulary",
+    # r5 session 3: retrieval + LM quality scoring + semantic dedup
+    "bm25_retrieval",
+    "lm_perplexity_buckets",
+    "semantic_dedup",
+    "dsir_importance",
 )
 
 
@@ -113,6 +118,10 @@ def main() -> None:
         clear_clustering_cache,
     )
     from minisql_engine_spark.operators.dedup import clear_simhash_cache
+    from minisql_engine_spark.operators.retrieval import (
+        clear_retrieval_cache,
+    )
+    from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
 
     timings: dict[str, float] = {}
@@ -135,6 +144,8 @@ def main() -> None:
         clear_simhash_cache()
         clear_centroid_cache()
         clear_clustering_cache()
+        clear_semdedup_cache()
+        clear_retrieval_cache()
 
     # entry flagship on the bench SF as well
     best = float("inf")

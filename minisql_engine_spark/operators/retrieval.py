@@ -1,0 +1,225 @@
+"""Okapi BM25 full-text retrieval, exact and oracle-verifiable.
+
+The reference engine (``sqlengine.py:1-753``) has no text-retrieval
+surface at all; this module adds the standard lexical-search operator a
+training-data pipeline needs (mining documents for a topic, building
+retrieval eval sets, hard-negative selection). Same design stance as
+``operators/tfidf.py``: a relational formulation with exact per-term
+statistics instead of a hashed/approximate library path, so the DuckDB
+oracle can replay every number.
+
+Scoring (Lucene-style positive idf; k1/b the classic defaults):
+
+    idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+    score(q, d) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1)
+                             / (tf(t,d) + k1·(1 - b + b·dl(d)/avgdl))
+
+N and avgdl count only documents with ≥1 token (an empty document can
+never match and would only dilute avgdl with zeros that DuckDB's
+``avg`` over a join would not see).
+
+Plan shape (scale notes):
+  * tokens explode ONCE; (doc, token) tf is one hash aggregate with
+    map-side partials; dl = Σ tf reuses that aggregate instead of a
+    second pass over the exploded rows.
+  * the query-term set is tiny by construction (a handful of queries ×
+    a few terms) → broadcast semi-join restricts tf to matching terms
+    BEFORE df/score work, so corpus-wide per-token stats are computed
+    only for terms someone asked about.
+  * N / avgdl ride a single-row aggregate cross-joined in (a
+    BroadcastNestedLoopJoin of one row — no driver collect).
+  * final score is one (query, doc) hash aggregate + WindowGroupLimit
+    top-k per query. Nothing is quadratic; the only corpus-sized
+    shuffles are the tf aggregate and the dl reuse.
+
+Float policy: round(score, 6) at the edge absorbs libm ulp skew
+between Spark and DuckDB ``ln`` (the package-wide rule, see
+``operators/tfidf.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
+
+K1 = 1.2
+B = 0.75
+
+_TF_CACHE: list = []
+
+
+def clear_retrieval_cache() -> None:
+    """Release persisted tf tables from prior calls."""
+    while _TF_CACHE:
+        try:
+            _TF_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame | list[tuple[str, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — BM25 top-``k`` documents per
+    query, rank 1 = best; ties broken by ``doc_id`` ascending so the
+    result is deterministic and oracle-comparable.
+
+    ``queries`` is a DataFrame with (query_id, query_text) or a list
+    of such pairs (built into a broadcast-sized local relation).
+    """
+    spark = docs.sparkSession
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            list(queries), "query_id string, query_text string"
+        )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    # tf feeds FOUR consumers (dl, stats, the restricted tf_q, and
+    # the final score join); without materialization Spark re-executes
+    # the corpus explode+aggregate once per consumer (measured: 11
+    # exchanges, ~4 document scans). Persist it — the (doc, token)
+    # aggregate is the retrieval index, and multi-consumer reuse IS
+    # the usage pattern (same lifecycle rule as the IVF centroid and
+    # simhash caches; release via clear_retrieval_cache).
+    tf = tf.persist()
+    _TF_CACHE.append(tf)
+    # dl reuses the tf aggregate (no second pass over exploded rows)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    # N + avgdl in ONE single-row aggregate, cross-joined (1-row BNLJ)
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+
+    # query term SET (BM25 ignores duplicate query terms)
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(_ws_tokens(_norm_text(F.col("query_text"))))
+        ).alias("token"),
+    )
+    qtoken_set = qterms.select("token").distinct()
+
+    # restrict tf to asked-about terms BEFORE computing df
+    tf_q = tf.join(F.broadcast(qtoken_set), "token")
+    df_t = tf_q.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_corpus") - F.col("df")).cast("double") + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    sat = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.col("dl").cast("double")
+                / F.col("avgdl")
+            )
+        )
+    )
+
+    scored = (
+        tf_q.join(F.broadcast(df_t), "token")
+        .join(F.broadcast(qterms), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int"))
+    )
+
+
+def bm25_topk_sql(
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` — identical statistics,
+    identical formula, round(6) at the edge. ``queries`` must be the
+    same literal pairs passed to the Spark side."""
+    qvals = ", ".join(
+        "({0}, {1})".format(_sql_str(qid), _sql_str(qtext))
+        for qid, qtext in queries
+    )
+    return (
+        f"WITH q(query_id, query_text) AS (VALUES {qvals}),"
+        f" toks AS (SELECT {id_col}, unnest(string_split("
+        f"  regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'),"
+        f"  ' ')) AS token FROM {table} WHERE trim({text_col}) <> ''),"
+        f" tf AS (SELECT {id_col}, token,"
+        f"  CAST(count(*) AS BIGINT) AS tf FROM toks"
+        f"  GROUP BY {id_col}, token),"
+        f" dl AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS dl"
+        f"  FROM tf GROUP BY {id_col}),"
+        " stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,"
+        "  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl"
+        "  FROM dl),"
+        " qterms AS (SELECT DISTINCT query_id, unnest(string_split("
+        "  regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),"
+        "  ' ')) AS token FROM q),"
+        " tf_q AS (SELECT tf.* FROM tf"
+        "  WHERE token IN (SELECT token FROM qterms)),"
+        " df_t AS (SELECT token, CAST(count(*) AS BIGINT) AS df"
+        "  FROM tf_q GROUP BY token),"
+        f" scored AS (SELECT qterms.query_id, tf_q.{id_col},"
+        "  round(sum("
+        "   ln(1.0 + (CAST(stats.n_corpus - df_t.df AS DOUBLE) + 0.5)"
+        "        / (CAST(df_t.df AS DOUBLE) + 0.5))"
+        f"   * (CAST(tf_q.tf AS DOUBLE) * {k1 + 1.0!r}"
+        f"      / (CAST(tf_q.tf AS DOUBLE) + {k1!r}"
+        f"         * ({1.0 - b!r} + {b!r} * CAST(dl.dl AS DOUBLE)"
+        "            / stats.avgdl)))"
+        "  ), 6) AS score"
+        "  FROM tf_q JOIN df_t ON tf_q.token = df_t.token"
+        "  JOIN qterms ON tf_q.token = qterms.token"
+        f"  JOIN dl ON tf_q.{id_col} = dl.{id_col}"
+        "  CROSS JOIN stats"
+        f"  GROUP BY qterms.query_id, tf_q.{id_col})"
+        f" SELECT query_id, {id_col}, score, CAST(rank AS INT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"  ORDER BY score DESC, {id_col}) AS rank FROM scored)"
+        f" WHERE rank <= {k}"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"

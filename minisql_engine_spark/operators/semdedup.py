@@ -1,0 +1,172 @@
+"""SemDeDup — semantic deduplication by cluster-then-compare.
+
+Implements the SemDeDup recipe (Abbas et al. 2023, public preprint:
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): k-means-cluster the embedding space, compare pairs
+ONLY within a cluster, drop all but one member of each semantic-
+duplicate group. Clustering is what makes the operator scale — the
+pair search is block-quadratic within cells of ~n/k vectors instead of
+corpus-quadratic, and the cells are exactly the IVF index this engine
+already maintains.
+
+Composition (every stage an existing verified operator):
+
+  1. ``ivf_refined_centroids`` — deterministic Lloyd-refined k-means
+     (decimal-exact means, oracle-replayable).
+  2. ``ivf_assignments`` (n_probe=1) — sort-free packed-long argmax
+     assignment of every vector to its cell.
+  3. ``embedding_near_dups`` blocked by cell — exact rounded cosine ≥
+     threshold within each cell, with the ``max_block_size`` guard:
+     an over-sized cell (k-means collapse on skewed data) routes
+     through SRP-LSH buckets instead of going quadratic.
+  4. ``connected_components`` — min-label propagation resolves
+     duplicate GROUPS (A≈B, B≈C ⇒ one group even if A·C < t).
+
+Output is the keep/drop roster a curation pipeline consumes:
+(vec_id, cell, component, is_kept) for EVERY vector — non-duplicates
+form their own singleton component and are kept.
+
+Scale notes: the only corpus-sized shuffles are the assignment
+aggregate and the within-cell pair join; centroids stay broadcast;
+the CC loop runs on the (small) duplicate-pair edge set, not the
+corpus. At 100 TB the cell count rises with the corpus (n_cells ≈
+√n keeps cells bounded) — n_cells is a parameter, not a constant.
+
+The paper keeps the member FARTHEST from the cell centroid; that
+choice needs a tie-broken distance rank per group and adds a join
+against the centroid table without changing any plan shape. This
+implementation keeps the MIN-id member (the package-wide canonical
+rule, same as ``dedup_clusters``) so the decision is deterministic
+and oracle-replayable without float-distance tie hazards; swap the
+rule by re-ranking ``component`` members if paper-exact selection is
+needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.clustering import connected_components
+from minisql_engine_spark.operators.similarity import (
+    DUCK_COS,
+    N_CELLS,
+    embedding_near_dups,
+    ivf_assignments,
+    ivf_refined_centroids,
+    ivf_refine_ctes_sql,
+)
+
+_SEM_CACHE: list = []
+
+
+def clear_semdedup_cache() -> None:
+    """Release persisted assignment tables from prior calls."""
+    while _SEM_CACHE:
+        try:
+            _SEM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = N_CELLS,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 10_000,
+    dims: int = 64,
+) -> DataFrame:
+    """(vec_id, cell, component, is_kept) for every embedding —
+    semantic-duplicate groups resolved within k-means cells; the
+    min-id member of each group is kept."""
+    cents = ivf_refined_centroids(
+        embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
+        dims=dims,
+    )
+    assign = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(id_col, "cell")
+    # assignment feeds the pair search AND the final roster — persist
+    # so the Lloyd subtree executes once (released via
+    # clear_semdedup_cache, same lifecycle as the centroid cache)
+    assign = assign.persist()
+    _SEM_CACHE.append(assign)
+
+    blocked = embeddings.select(id_col, vec_col).join(assign, id_col)
+    pairs = embedding_near_dups(
+        blocked,
+        block_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_block_size=max_block_size,
+        dims=dims,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return assign.join(
+        comp.select(F.col("id").alias(id_col), "component"),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("component"), F.col(id_col).cast("long")).alias(
+            "component"
+        ),
+        (
+            F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+            == F.col(id_col).cast("long")
+        ).alias("is_kept"),
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.4,
+    n_cells: int = N_CELLS,
+    n_iter: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`semantic_dedup` — replays the
+    Lloyd iterations (shared :func:`ivf_refine_ctes_sql` chain), the
+    argmax assignment, the within-cell rounded-cosine pair search,
+    and the connected-components closure as a recursive CTE.
+
+    Valid only when no cell exceeds the Spark side's
+    ``max_block_size`` (the oracle is always all-pairs); the driver
+    corpus satisfies this by construction."""
+    cos_assign = DUCK_COS.format(a="e.v", b="c.cv")
+    cos_pair = DUCK_COS.format(a="ea.v", b="eb.v")
+    return (
+        f"WITH RECURSIVE e AS (SELECT {id_col} AS vec_id,"
+        f" CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),"
+        + ivf_refine_ctes_sql(n_iter, n_cells, dims)
+        + f", cents AS (SELECT * FROM cents{n_iter}),"
+        " asg AS (SELECT e.vec_id, c.cell,"
+        f" {cos_assign} AS sim FROM e CROSS JOIN cents c),"
+        " assign AS (SELECT vec_id, cell FROM ("
+        "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+        "    ORDER BY sim DESC, cell) AS r FROM asg) WHERE r = 1),"
+        " pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        "   FROM assign a JOIN assign b ON a.cell = b.cell"
+        "    AND a.vec_id < b.vec_id"
+        "   JOIN e ea ON ea.vec_id = a.vec_id"
+        "   JOIN e eb ON eb.vec_id = b.vec_id"
+        f"   WHERE {cos_pair} >= {threshold!r}),"
+        " nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs"
+        "   UNION SELECT id_b FROM pairs)),"
+        " e2 AS (SELECT id_a AS s, id_b AS t FROM pairs"
+        "   UNION SELECT id_b, id_a FROM pairs),"
+        " reach(id, r) AS (SELECT id, id FROM nodes"
+        "   UNION SELECT e2.t, reach.r FROM reach JOIN e2 ON e2.s = reach.id),"
+        " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+        " SELECT a.vec_id, a.cell,"
+        "  CAST(COALESCE(c.component, a.vec_id) AS BIGINT) AS component,"
+        "  COALESCE(c.component, a.vec_id) = a.vec_id AS is_kept"
+        " FROM assign a LEFT JOIN comp c ON c.id = a.vec_id"
+    )

@@ -95,6 +95,60 @@ def score_sql(a: str, b: str, na: str, nb: str) -> str:
     return f"round({dot_sql(a, b)} / ({na} * {nb}), 6)"
 
 
+# --- DuckDB oracle-side twins -----------------------------------------------
+# (The Spark-dialect strings above feed F.expr; these feed the DuckDB
+# oracle. Kept here so every consumer — the driver entry's IVF oracle,
+# semdedup's oracle — replays the IDENTICAL formulas from one source.)
+
+#: DuckDB rounded cosine between two DOUBLE[] expressions.
+DUCK_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def ivf_refine_ctes_sql(
+    n_iter: int, n_cells: int = 16, dims: int = 64
+) -> str:
+    """DuckDB CTE chain replaying :func:`ivf_refined_centroids` from
+    the ``first_ids`` seed: requires an ``e(vec_id, v DOUBLE[])`` CTE
+    upstream, defines ``cents0`` … ``cents{n_iter}``. Each iteration
+    assigns every vector to its nearest centroid by rounded cosine and
+    recomputes decimal-exact per-dimension means — the same
+    order-independent arithmetic the Spark side uses, so the refined
+    index replays bit-for-bit."""
+    ctes = [
+        " cents0 AS (SELECT vec_id AS cell, v AS cv FROM e"
+        f"   ORDER BY vec_id LIMIT {n_cells})"
+    ]
+    for i in range(1, n_iter + 1):
+        cos = DUCK_COS.format(a="e.v", b="c.cv")
+        ctes.append(
+            f" asg{i} AS (SELECT e.vec_id, c.cell, {cos} AS sim"
+            f"   FROM e CROSS JOIN cents{i - 1} c)"
+        )
+        ctes.append(
+            f" best{i} AS (SELECT vec_id, cell FROM ("
+            f"   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+            f"    ORDER BY sim DESC, cell) AS r FROM asg{i}) WHERE r = 1)"
+        )
+        ctes.append(
+            f" comp{i} AS (SELECT b.cell, d.i AS dim, e.v[d.i] AS comp"
+            f"   FROM best{i} b JOIN e USING (vec_id),"
+            f"   (SELECT unnest(range(1, {dims + 1})) AS i) d)"
+        )
+        ctes.append(
+            f" mean{i} AS (SELECT cell, dim,"
+            f"   round(CAST(sum(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)"
+            f"    / count(*), 6) AS m FROM comp{i} GROUP BY cell, dim)"
+        )
+        ctes.append(
+            f" cents{i} AS (SELECT cell, list(m ORDER BY dim) AS cv"
+            f"   FROM mean{i} GROUP BY cell)"
+        )
+    return ",".join(ctes)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],

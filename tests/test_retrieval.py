@@ -1,0 +1,116 @@
+"""BM25 retrieval and unigram-LM perplexity — oracle parity + edges."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from minisql_engine_spark.operators.lm_score import (
+    lm_perplexity,
+    lm_perplexity_sql,
+)
+from minisql_engine_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_sql,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+QUERIES = [
+    ("q1", "hash join spark"),
+    ("q2", "window sort order"),
+    ("q3", "customer query fast scan"),
+]
+
+
+def test_bm25_oracle_corpus(spark, duck, sf_dir):
+    out = bm25_topk(load_table(spark, sf_dir, "documents"), QUERIES, k=10)
+    assert_matches_oracle(
+        out, duck.execute(bm25_topk_sql(QUERIES, k=10)).df(), "bm25"
+    )
+
+
+def test_bm25_edges(spark, duck):
+    """Empty/NULL docs never match; unknown query terms score nothing;
+    duplicate query terms count once; ties break by doc_id."""
+    rows = [
+        (1, "alpha beta beta"),
+        (2, "alpha alpha alpha beta"),
+        (3, ""),
+        (4, None),
+        (5, "gamma"),
+        (6, "alpha beta beta"),  # exact tie with doc 1
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.register(
+        "_bm", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    qs = [("qa", "beta beta zzz-unknown"), ("qb", "nosuchterm")]
+    out = bm25_topk(sdf, qs, k=3)
+    oracle = bm25_topk_sql(qs, k=3, table="_bm")
+    assert_matches_oracle(out, duck.execute(oracle).df(), "bm25-edges")
+    got = {
+        (r.query_id, r.doc_id): r.rank for r in out.collect()
+    }
+    # qb matches nothing at all
+    assert not any(q == "qb" for q, _ in got)
+    # tie between doc 1 and doc 6 broken by id: 1 outranks 6
+    assert got[("qa", 1)] < got[("qa", 6)]
+
+
+def test_bm25_idf_orders_rarity(spark):
+    """A doc matching a rare term outscores one matching a common
+    term with identical tf/length — the idf ordering property."""
+    rows = [(i, "common filler") for i in range(1, 9)]
+    rows += [(9, "rare filler"), (10, "other words here")]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_topk(sdf, [("q", "rare common")], k=10).collect()
+    score = {r.doc_id: r.score for r in out}
+    assert score[9] > score[1]
+
+
+def test_lm_perplexity_oracle_corpus(spark, duck, sf_dir):
+    out = lm_perplexity(load_table(spark, sf_dir, "documents"))
+    assert_matches_oracle(
+        out, duck.execute(lm_perplexity_sql()).df(), "lm-ppl"
+    )
+
+
+def test_lm_perplexity_edges(spark, duck):
+    """Empty/NULL docs drop; single-token corpus has ppl = smoothed
+    uniform; buckets split head/middle/tail on terciles."""
+    rows = [
+        (1, "a a a a"),
+        (2, "a b c d"),
+        (3, "b b a a"),
+        (4, ""),
+        (5, None),
+        (6, "z z z q"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.register("_lm", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = lm_perplexity(sdf)
+    assert_matches_oracle(
+        out, duck.execute(lm_perplexity_sql(table="_lm")).df(), "lm-edges"
+    )
+    rows_out = {r.doc_id: r for r in out.collect()}
+    assert set(rows_out) == {1, 2, 3, 6}  # empty + NULL dropped
+    assert {r.bucket for r in rows_out.values()} <= {
+        "head",
+        "middle",
+        "tail",
+    }
+    # doc 1 repeats the corpus's most frequent token — lowest ppl
+    assert rows_out[1].ppl == min(r.ppl for r in rows_out.values())
+    assert rows_out[1].bucket == "head"
+
+
+def test_lm_perplexity_uniform_single_doc(spark):
+    """One doc, all-distinct tokens: p = 2/(n+V) each, ppl exact."""
+    sdf = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id bigint, text string"
+    )
+    row = lm_perplexity(sdf).collect()[0]
+    # c(t)=1, T=4, V=4 → p = 2/8 = 0.25 → H = 2 bits → ppl = 4
+    assert row.xent_bits == pytest.approx(2.0)
+    assert row.ppl == pytest.approx(4.0)

@@ -1,0 +1,70 @@
+"""SemDeDup cluster-then-compare semantic dedup — oracle parity,
+group resolution, and the keep-rule contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from minisql_engine_spark.operators.semdedup import (
+    semantic_dedup,
+    semantic_dedup_sql,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+
+def test_semdedup_oracle_corpus(spark, duck, sf_dir):
+    out = semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    assert_matches_oracle(
+        out, duck.execute(semantic_dedup_sql()).df(), "semdedup"
+    )
+
+
+def test_semdedup_covers_corpus_and_keeps_one_per_group(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb).toPandas()
+    # every vector gets a roster row
+    assert len(out) == emb.count()
+    # exactly one kept member per component, and it is the min id
+    g = out.groupby("component")
+    assert (g["is_kept"].sum() == 1).all()
+    kept = out[out.is_kept].set_index("component")["vec_id"]
+    mins = g["vec_id"].min()
+    assert (kept.sort_index() == mins.sort_index()).all()
+
+
+def test_semdedup_transitive_groups(spark, duck):
+    """A≈B and B≈C land in ONE component even when A·C is below
+    threshold — the connected-components semantics the paper's
+    per-cluster dedup needs."""
+    import math
+
+    def vec(theta):
+        # unit vectors in a 2-D subspace of the 4-dim space
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1, vec(0.00), 0),
+        (2, vec(0.50), 0),   # cos(1,2)=.878, cos(2,3)=.878, cos(1,3)=.540
+        (3, vec(1.00), 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),  # orthogonal — singleton
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    duck.register(
+        "_sem",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    out = semantic_dedup(
+        sdf, threshold=0.8, n_cells=1, n_iter=1, dims=4
+    )
+    oracle = semantic_dedup_sql(
+        threshold=0.8, n_cells=1, n_iter=1, dims=4, table="_sem"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).df(), "semdedup-tri")
+    got = {r.vec_id: (r.component, r.is_kept) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)   # transitive via 2
+    assert got[4] == (4, True)    # orthogonal singleton survives
