@@ -70,6 +70,7 @@ HEADLINE = (
     "lm_perplexity_buckets",
     "semantic_dedup",
     "dsir_importance",
+    "duplicate_spans",
 )
 
 

@@ -447,7 +447,11 @@ def ngram_counts(
     known)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = _ws_tokens(_norm_text(F.col(text_col)))
+    # tokens materialized BEFORE the lambda indexes them — an inlined
+    # tokenize expression re-evaluates per element inside transform()
+    # (no CSE across lambda boundaries; the O(n²·len) trap measured
+    # on the DSIR bigram build, operators/dsir._features)
+    toks = F.col("_ng_toks")
     nt = F.size(toks)
     grams = F.when(
         nt >= n,
@@ -460,8 +464,9 @@ def ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = df.select(
-        F.col(id_col), F.explode(grams).alias("gram")
-    )
+        F.col(id_col),
+        _ws_tokens(_norm_text(F.col(text_col))).alias("_ng_toks"),
+    ).select(F.col(id_col), F.explode(grams).alias("gram"))
     out = exploded.groupBy("gram").agg(
         F.count("*").cast("bigint").alias("count"),
         F.countDistinct(id_col).cast("bigint").alias("doc_freq"),
