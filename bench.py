@@ -71,6 +71,7 @@ HEADLINE = (
     "semantic_dedup",
     "dsir_importance",
     "duplicate_spans",
+    "quality_rules",
 )
 
 
