@@ -2891,6 +2891,31 @@ def _quality_rules_oracle() -> str:
 _ORACLES["quality_rules"] = _quality_rules_oracle()
 
 
+@_register(
+    "llm_curation_funnel",
+    None,  # filled below — built from the pipeline's SQL twin
+)
+def q_llm_curation_funnel(spark, sf_dir):
+    """End-to-end modern LLM curation funnel: Gopher quality gate →
+    duplicate-span cutting → CCNet perplexity buckets → DSIR
+    importance selection, audited as one per-stage-count row. Every
+    stage is a verified operator; the composition persists the
+    cleaned corpus across its three consumers, and the oracle chains
+    the five SQL twins as MATERIALIZED CTEs (pipeline.py)."""
+    from minisql_engine_spark.pipeline import llm_curation_funnel
+
+    return llm_curation_funnel(_t(spark, sf_dir, "documents"))
+
+
+def _llm_funnel_oracle() -> str:
+    from minisql_engine_spark.pipeline import llm_curation_funnel_sql
+
+    return llm_curation_funnel_sql()
+
+
+_ORACLES["llm_curation_funnel"] = _llm_funnel_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -2941,6 +2966,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         "tpch_q14_promo_effect",
         # eighth — room for quality_rules
         "window_suite",
+        # ninth — room for llm_curation_funnel (as-of keeps the
+        # temporal-join family's driver row)
+        "range_join_bands",
     }
 )
 
@@ -2954,6 +2982,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "dsir_importance",
     "duplicate_spans",
     "quality_rules",
+    "llm_curation_funnel",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

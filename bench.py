@@ -72,6 +72,7 @@ HEADLINE = (
     "dsir_importance",
     "duplicate_spans",
     "quality_rules",
+    "llm_curation_funnel",
 )
 
 
@@ -123,6 +124,7 @@ def main() -> None:
     from minisql_engine_spark.operators.retrieval import (
         clear_retrieval_cache,
     )
+    from minisql_engine_spark.pipeline import clear_llm_pipeline_cache
     from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
 
@@ -148,6 +150,7 @@ def main() -> None:
         clear_clustering_cache()
         clear_semdedup_cache()
         clear_retrieval_cache()
+        clear_llm_pipeline_cache()
 
     # entry flagship on the bench SF as well
     best = float("inf")

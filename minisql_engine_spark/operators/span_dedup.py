@@ -187,6 +187,9 @@ def cut_spans_sql(
     """DuckDB oracle twin of :func:`cut_spans` applied to
     :func:`duplicate_spans` of the same table — token positions
     anti-joined against span ranges, re-joined in position order."""
+    # join-based formulation (an earlier correlated NOT EXISTS +
+    # per-row string_agg subquery version was nested-loop in DuckDB:
+    # ~70 s at sf0.01 vs <1 s for this shape)
     spans = duplicate_spans_sql(k, min_count, table, id_col, text_col)
     return (
         f"WITH sp AS ({spans}),"
@@ -196,17 +199,18 @@ def cut_spans_sql(
         f" pos AS (SELECT {id_col}, t,"
         "  unnest(range(1, len(t) + 1)) AS i FROM tk),"
         f" keep AS (SELECT p.{id_col}, p.i, p.t[p.i] AS tok"
-        "  FROM pos p WHERE NOT EXISTS (SELECT 1 FROM sp"
-        f"   WHERE sp.{id_col} = p.{id_col}"
-        "    AND p.i - 1 >= sp.span_start AND p.i - 1 < sp.span_end))"
+        f"  FROM pos p LEFT JOIN sp ON sp.{id_col} = p.{id_col}"
+        "   AND p.i - 1 >= sp.span_start AND p.i - 1 < sp.span_end"
+        f"  WHERE sp.{id_col} IS NULL),"
+        f" agg AS (SELECT {id_col},"
+        "  string_agg(tok, ' ' ORDER BY i) AS kept_text,"
+        "  CAST(count(*) AS BIGINT) AS n_kept"
+        f"  FROM keep GROUP BY {id_col})"
         f" SELECT tk.{id_col},"
-        "  COALESCE((SELECT string_agg(tok, ' ' ORDER BY i)"
-        f"   FROM keep WHERE keep.{id_col} = tk.{id_col}), '')"
-        f"  AS {text_col},"
-        "  CAST(len(tk.t) - (SELECT count(*) FROM keep"
-        f"   WHERE keep.{id_col} = tk.{id_col}) AS BIGINT)"
+        f"  COALESCE(agg.kept_text, '') AS {text_col},"
+        "  CAST(len(tk.t) - COALESCE(agg.n_kept, 0) AS BIGINT)"
         "  AS n_cut_tokens"
-        " FROM tk"
+        f" FROM tk LEFT JOIN agg USING ({id_col})"
     )
 
 

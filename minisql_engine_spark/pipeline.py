@@ -207,3 +207,204 @@ def compose_training_set(
         text_col=text_col,
         seed=f"{seed}:pack",
     )
+
+
+_LLM_CACHE: list = []
+
+
+def clear_llm_pipeline_cache() -> None:
+    """Release the persisted cleaned-corpus table."""
+    while _LLM_CACHE:
+        try:
+            _LLM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _llm_stages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    target_lang: str,
+    span_k: int,
+) -> dict[str, DataFrame]:
+    """Build every stage of the LLM funnel ONCE (shared by the roster
+    and the audit): the cleaned corpus is persisted because three
+    consumers read it (LM scoring join, DSIR explode, audit sums)."""
+    from .operators.dsir import dsir_weights
+    from .operators.lm_score import lm_perplexity
+    from .operators.quality_rules import quality_rule_report
+    from .operators.span_dedup import cut_spans, duplicate_spans
+
+    kept = docs.join(
+        quality_rule_report(docs, id_col, text_col)
+        .filter("passes_all")
+        .select(id_col),
+        id_col,
+    )
+    cleaned = (
+        cut_spans(kept, duplicate_spans(kept, k=span_k), id_col, text_col)
+        .join(docs.select(id_col, lang_col), id_col)
+        .persist()
+    )
+    _LLM_CACHE.append(cleaned)
+    ppl = lm_perplexity(cleaned, id_col, text_col)
+    survivors = cleaned.join(
+        ppl.filter(F.col("bucket") != "tail").select(
+            id_col, "n_tokens_lm", "ppl", "bucket"
+        ),
+        id_col,
+    )
+    weights = dsir_weights(
+        survivors, F.col(lang_col) == target_lang, id_col, text_col
+    )
+    final = survivors.join(
+        weights.filter("selected").select(id_col, "avg_logw"), id_col
+    ).select(
+        id_col, text_col, lang_col, "n_tokens_lm", "ppl", "bucket",
+        "avg_logw",
+    )
+    return {
+        "kept": kept,
+        "cleaned": cleaned,
+        "survivors": survivors,
+        "final": final,
+    }
+
+
+def curate_llm_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    span_k: int = 10,
+) -> DataFrame:
+    """The modern LLM-pretraining funnel, composed from the r5
+    session-3 operators — per-document roster of every survivor:
+
+        quality_rules gate (named Gopher rules, attributable drops)
+        → duplicate_spans + cut_spans (repeated boilerplate removed;
+          fully-duplicated documents become empty and fall out)
+        → lm_perplexity (CCNet buckets; the 'tail' tercile drops)
+        → dsir_weights (hashed-n-gram importance vs the target
+          domain; only positively-weighted documents survive)
+
+    Returns (doc_id, text [cleaned], lang, n_tokens_lm, ppl, bucket,
+    avg_logw) for selected documents. Deterministic end-to-end and
+    fully DuckDB-replayable (``llm_curation_funnel_sql`` chains the
+    five operators' oracle twins as CTEs).
+
+    Cross-stage decisions this composition owns:
+    * Span-cut AFTER the quality gate — rule verdicts describe the
+      document as ingested, and cutting first would re-score text the
+      gate never saw.
+    * Perplexity on the CLEANED text — boilerplate is low-perplexity
+      filler that drags the head/tail thresholds if left in.
+    * DSIR last: importance weighting assumes its pool already looks
+      like training data; scoring junk wastes the budget.
+
+    The cleaned corpus is persisted (three consumers; release via
+    ``clear_llm_pipeline_cache``). At 100 TB checkpoint it to parquet
+    between stages instead.
+    """
+    return _llm_stages(
+        docs, id_col, text_col, lang_col, target_lang, span_k
+    )["final"]
+
+
+def llm_curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    span_k: int = 10,
+) -> DataFrame:
+    """One-row per-stage funnel audit of :func:`curate_llm_corpus`:
+    (n_input, n_quality_pass, n_span_cut_tokens, n_ppl_kept,
+    n_selected, final_tokens) — the monitoring row a curation run
+    records per batch. Every count derives from the SAME stage plans
+    as the roster (the cleaned table is persisted, so the audit adds
+    cheap aggregates, not recomputation)."""
+    s = _llm_stages(docs, id_col, text_col, lang_col, target_lang, span_k)
+    n_input = docs.agg(F.count("*").cast("bigint").alias("n_input"))
+    n_quality = s["kept"].agg(
+        F.count("*").cast("bigint").alias("n_quality_pass")
+    )
+    cut_stats = s["cleaned"].agg(
+        F.coalesce(F.sum("n_cut_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_span_cut_tokens")
+    )
+    n_ppl = s["survivors"].agg(
+        F.count("*").cast("bigint").alias("n_ppl_kept")
+    )
+    fin = s["final"].agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
+        .cast("bigint")
+        .alias("final_tokens"),
+    )
+    return (
+        n_input.crossJoin(n_quality)
+        .crossJoin(cut_stats)
+        .crossJoin(n_ppl)
+        .crossJoin(fin)
+    )
+
+
+def llm_curation_funnel_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+    span_k: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`llm_curation_funnel` — the five
+    operators' SQL twins chained as CTEs (DuckDB supports nested WITH
+    inside CTE bodies), replaying the identical funnel."""
+    from .operators.dsir import dsir_weights_sql
+    from .operators.lm_score import lm_perplexity_sql
+    from .operators.quality_rules import quality_rule_report_sql
+    from .operators.span_dedup import cut_spans_sql
+
+    qr = quality_rule_report_sql(table, id_col, text_col)
+    cs = cut_spans_sql(k=span_k, table="kept", id_col=id_col,
+                       text_col=text_col)
+    lm = lm_perplexity_sql("cleaned", id_col, text_col)
+    ds = dsir_weights_sql(
+        f"{lang_col} = '{target_lang}'", "survivors", id_col, text_col
+    )
+    # every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, so the multi-consumer stages (kept, cleaned,
+    # survivors) would re-run their whole upstream once per mention
+    # (measured 32 s -> ~2 s at sf0.01) — the oracle-side analog of
+    # the Spark side's persist()
+    return (
+        f"WITH kept AS MATERIALIZED (SELECT d.* FROM {table} d JOIN ({qr}) q"
+        f"  ON d.{id_col} = q.{id_col} AND q.passes_all),"
+        f" cleaned0 AS MATERIALIZED ({cs}),"
+        f" cleaned AS MATERIALIZED (SELECT c.{id_col}, c.{text_col},"
+        f"  c.n_cut_tokens, k.{lang_col}"
+        f"  FROM cleaned0 c JOIN kept k USING ({id_col})),"
+        f" ppl AS MATERIALIZED ({lm}),"
+        f" survivors AS MATERIALIZED (SELECT cleaned.{id_col}, cleaned.{text_col},"
+        f"  cleaned.{lang_col}, ppl.n_tokens_lm"
+        f"  FROM cleaned JOIN ppl USING ({id_col})"
+        "  WHERE ppl.bucket <> 'tail'),"
+        f" ds AS MATERIALIZED ({ds}),"
+        f" final AS MATERIALIZED (SELECT s.* FROM survivors s JOIN ds"
+        f"  USING ({id_col}) WHERE ds.selected)"
+        " SELECT"
+        f"  (SELECT CAST(count(*) AS BIGINT) FROM {table}) AS n_input,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_quality_pass,"
+        "  (SELECT CAST(COALESCE(sum(n_cut_tokens), 0) AS BIGINT)"
+        "   FROM cleaned0) AS n_span_cut_tokens,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS n_ppl_kept,"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM final) AS n_selected,"
+        "  (SELECT CAST(COALESCE(sum(n_tokens_lm), 0) AS BIGINT)"
+        "   FROM final) AS final_tokens"
+    )
