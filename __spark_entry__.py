@@ -2916,6 +2916,37 @@ def _llm_funnel_oracle() -> str:
 _ORACLES["llm_curation_funnel"] = _llm_funnel_oracle()
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WITHIN_S = 604_800  # 7 days from the anchor signup
+
+
+@_register(
+    "event_funnel",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_event_funnel(spark, sf_dir):
+    """Windowed ordered event funnel (signup→view→click→purchase
+    within 7 days of the first signup): per-user earliest completion
+    of each stage, strict in-order progress, greedy-minimum witness
+    (optimal for existence — see operators/funnel.py). One
+    conditional min-aggregate per step, each filter pushed to the
+    scan; nothing quadratic."""
+    from minisql_engine_spark.operators.funnel import event_funnel
+
+    return event_funnel(
+        _t(spark, sf_dir, "events"), _FUNNEL_STEPS, _FUNNEL_WITHIN_S
+    )
+
+
+def _event_funnel_oracle() -> str:
+    from minisql_engine_spark.operators.funnel import event_funnel_sql
+
+    return event_funnel_sql(_FUNNEL_STEPS, _FUNNEL_WITHIN_S)
+
+
+_ORACLES["event_funnel"] = _event_funnel_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -2969,6 +3000,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         # ninth — room for llm_curation_funnel (as-of keeps the
         # temporal-join family's driver row)
         "range_join_bands",
+        # tenth — room for event_funnel (rollup/cube/pivot stay
+        # pytest-verified via archived parity)
+        "grouping_sets",
     }
 )
 
@@ -2983,6 +3017,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "duplicate_spans",
     "quality_rules",
     "llm_curation_funnel",
+    "event_funnel",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

@@ -73,6 +73,7 @@ HEADLINE = (
     "duplicate_spans",
     "quality_rules",
     "llm_curation_funnel",
+    "event_funnel",
 )
 
 

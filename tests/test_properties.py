@@ -258,3 +258,59 @@ def test_zvalue_matches_reference_morton(spark, vals):
         i: morton(a, b) for i, (a, b) in enumerate(vals)
     }
     assert got == expected
+
+
+# --- duplicate_spans vs a brute-force Python reference ----------------------
+# Docs drawn from a 3-letter alphabet force heavy gram repetition, so
+# every path (marking, island merge, maximality) is exercised.
+
+DOC = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=14
+)
+CORPUS_SPANS = st.lists(DOC, min_size=1, max_size=5)
+
+
+def _brute_spans(texts: list[list[str]], k: int, min_count: int):
+    """Independent reimplementation of the duplicate-span definition:
+    count k-gram occurrences corpus-wide, mark window starts whose
+    gram repeats, union-merge overlapping/adjacent [i, i+k) windows."""
+    grams = Counter()
+    for toks in texts:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    out = set()
+    for d, toks in enumerate(texts):
+        marked = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] >= min_count
+        ]
+        spans = []
+        for i in marked:
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + k)
+            else:
+                spans.append([i, i + k])
+        for s, e in spans:
+            out.add((d, s, e, e - s))
+    return out
+
+
+@SLOW
+@given(
+    corpus=CORPUS_SPANS,
+    k=st.integers(min_value=1, max_value=4),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+def test_duplicate_spans_match_bruteforce(spark, corpus, k, min_count):
+    from minisql_engine_spark.operators.span_dedup import duplicate_spans
+
+    rows = [(d, " ".join(toks)) for d, toks in enumerate(corpus)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(
+            sdf, k=k, min_count=min_count
+        ).collect()
+    }
+    assert got == _brute_spans(corpus, k, min_count)
