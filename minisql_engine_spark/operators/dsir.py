@@ -90,6 +90,11 @@ def dsir_weights(
     Column defining the target corpus (e.g. ``F.col("lang") ==
     "en"``); all documents are scored, target ones included (their
     weights are the sanity check — they should skew positive)."""
+    if not 1 <= digits <= 4:
+        # >4 hex digits = >65 536 buckets: the λ table stops being
+        # broadcast-tiny and the plan's shape changes out from under
+        # the caller; the paper's 10⁴ buckets sit inside this range
+        raise ValueError(f"digits must be in [1, 4], got {digits}")
     n_buckets = 16 ** digits
     feats = docs.select(
         F.col(id_col),

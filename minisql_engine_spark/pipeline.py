@@ -250,12 +250,16 @@ def _llm_stages(
     )
     _LLM_CACHE.append(cleaned)
     ppl = lm_perplexity(cleaned, id_col, text_col)
+    # survivors also multi-consumer (DSIR explode, the final join,
+    # the audit count) — without this the whole LM-scoring subtree
+    # re-executes per consumer (measured ~3× on the funnel bench)
     survivors = cleaned.join(
         ppl.filter(F.col("bucket") != "tail").select(
             id_col, "n_tokens_lm", "ppl", "bucket"
         ),
         id_col,
-    )
+    ).persist()
+    _LLM_CACHE.append(survivors)
     weights = dsir_weights(
         survivors, F.col(lang_col) == target_lang, id_col, text_col
     )

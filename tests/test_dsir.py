@@ -59,6 +59,18 @@ def test_dsir_separates_target_like_text(spark, duck):
     assert got[1].avg_logw > 0 and got[2].avg_logw > 0
 
 
+def test_dsir_rejects_unbroadcastable_bucket_space(spark):
+    import pytest
+
+    sdf = spark.createDataFrame(
+        [(1, "a", "t")], "doc_id bigint, text string, pool string"
+    )
+    with pytest.raises(ValueError):
+        dsir_weights(sdf, F.col("pool") == "t", digits=5)
+    with pytest.raises(ValueError):
+        dsir_weights(sdf, F.col("pool") == "t", digits=0)
+
+
 def test_dsir_weight_is_length_normalized_consistently(spark):
     """avg_logw of a doc repeated 3× ≈ avg_logw of the original —
     the per-feature mean removes the length bias of the raw sum."""

@@ -68,7 +68,7 @@ def test_order_limit_is_take_ordered(spark, sf_dir):
 
 
 def test_group_by_has_partial_aggregation(spark, sf_dir):
-    q = entrymod.queries()["group_by_agg"]
+    q = entrymod.archived_queries()["group_by_agg"]
     plan = plan_of(q(spark, sf_dir))
     # two HashAggregate phases (partial + final) around one exchange
     assert plan.count("HashAggregate") >= 2
@@ -84,7 +84,7 @@ def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
 
 
 def test_semi_join_for_in_subquery(spark, sf_dir):
-    q = entrymod.queries()["subquery_suite"]
+    q = entrymod.archived_queries()["subquery_suite"]
     plan = plan_of(q(spark, sf_dir))
     assert "LeftSemi" in plan
 
