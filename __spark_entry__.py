@@ -2947,6 +2947,37 @@ def _event_funnel_oracle() -> str:
 _ORACLES["event_funnel"] = _event_funnel_oracle()
 
 
+@_register(
+    "editsim_pairs",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_editsim_pairs(spark, sf_dir):
+    """Edit-distance similarity join (entity resolution): all
+    customer-name pairs within Levenshtein 1 via SymSpell symmetric
+    deletes — deletion-neighborhood candidate join + exact verify,
+    recall 1.0 by construction. The oracle is an independent
+    all-pairs scan, so the hash match empirically confirms the
+    neighborhood-intersection guarantee (operators/editsim.py)."""
+    from minisql_engine_spark.operators.editsim import (
+        edit_distance_pairs,
+    )
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", 1, id_col="c_custkey"
+    )
+
+
+def _editsim_oracle() -> str:
+    from minisql_engine_spark.operators.editsim import (
+        edit_distance_pairs_sql,
+    )
+
+    return edit_distance_pairs_sql("customer", "c_name", 1, "c_custkey")
+
+
+_ORACLES["editsim_pairs"] = _editsim_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3003,6 +3034,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         # tenth — room for event_funnel (rollup/cube/pivot stay
         # pytest-verified via archived parity)
         "grouping_sets",
+        # eleventh — room for editsim_pairs (pandas-UDF family keeps
+        # pandas_group_features + udtf_chunk_documents rows)
+        "udaf_weighted_avg",
     }
 )
 
@@ -3018,6 +3052,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "quality_rules",
     "llm_curation_funnel",
     "event_funnel",
+    "editsim_pairs",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

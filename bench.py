@@ -74,6 +74,7 @@ HEADLINE = (
     "quality_rules",
     "llm_curation_funnel",
     "event_funnel",
+    "editsim_pairs",
 )
 
 
