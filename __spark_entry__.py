@@ -2978,6 +2978,34 @@ def _editsim_oracle() -> str:
 _ORACLES["editsim_pairs"] = _editsim_oracle()
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_register(
+    "stats_corr",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_stats_corr(spark, sf_dir):
+    """Order-independent exact Pearson correlation matrix over the
+    lineitem measures: the five sufficient sums aggregate as
+    DECIMAL(38,12) (commutative — a double `corr` varies in the last
+    ulp with partition order) and r evaluates in double from the
+    exact inputs. One single-row aggregate shared by every pair;
+    zero-variance pairs yield NULL (operators/stats.py)."""
+    from minisql_engine_spark.operators.stats import exact_corr
+
+    return exact_corr(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _stats_corr_oracle() -> str:
+    from minisql_engine_spark.operators.stats import exact_corr_sql
+
+    return exact_corr_sql("lineitem", _CORR_COLS)
+
+
+_ORACLES["stats_corr"] = _stats_corr_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3037,6 +3065,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         # eleventh — room for editsim_pairs (pandas-UDF family keeps
         # pandas_group_features + udtf_chunk_documents rows)
         "udaf_weighted_avg",
+        # twelfth — room for stats_corr (the dedup family keeps five
+        # richer rows: minhash, simhash, ngram, semantic, spans)
+        "dedup_exact",
     }
 )
 
@@ -3053,6 +3084,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "llm_curation_funnel",
     "event_funnel",
     "editsim_pairs",
+    "stats_corr",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

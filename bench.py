@@ -75,6 +75,7 @@ HEADLINE = (
     "llm_curation_funnel",
     "event_funnel",
     "editsim_pairs",
+    "stats_corr",
 )
 
 

@@ -234,3 +234,39 @@ def test_ngram_counts_edges(spark):
     assert rows == {"a b c": (2, 2)}
     with pytest.raises(ValueError):
         ngram_counts(df, 0)
+
+
+def test_exact_corr_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.stats import (
+        exact_corr,
+        exact_corr_sql,
+    )
+    from minisql_engine_spark.sources.parquet_catalog import load_table
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = exact_corr(load_table(spark, sf_dir, "lineitem"), cols)
+    assert_matches_oracle(
+        out, duck.execute(exact_corr_sql("lineitem", cols)).df(), "corr"
+    )
+
+
+def test_exact_corr_known_values(spark):
+    from minisql_engine_spark.operators.stats import exact_corr
+
+    rows = [
+        (1.0, 2.0, -1.0, 5.0),
+        (2.0, 4.0, -2.0, 5.0),
+        (3.0, 6.0, -3.0, None),
+        (4.0, 8.0, -4.0, 5.0),
+    ]
+    sdf = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r.col_a, r.col_b): (r.n, r.r)
+        for r in exact_corr(sdf, ["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")] == (4, 1.0)    # perfectly correlated
+    assert got[("a", "c")] == (4, -1.0)   # perfectly anti-correlated
+    # d constant on its non-NULL rows → zero variance → NULL r,
+    # and the NULL row drops pair-wise (n=3)
+    assert got[("a", "d")][0] == 3
+    assert got[("a", "d")][1] is None
