@@ -3006,6 +3006,34 @@ def _stats_corr_oracle() -> str:
 _ORACLES["stats_corr"] = _stats_corr_oracle()
 
 
+@_register(
+    "rolling_features",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_rolling_features(spark, sf_dir):
+    """Per-event trailing time-window features (5 m / 1 h count,
+    exact-decimal sum, mean) — RANGE frames over integer
+    microseconds, every column sharing ONE WindowExec pass; tied
+    timestamps see identical value-based frames in both engines
+    (operators/timeseries.py)."""
+    from minisql_engine_spark.operators.timeseries import (
+        rolling_event_features,
+    )
+
+    return rolling_event_features(_t(spark, sf_dir, "events"))
+
+
+def _rolling_oracle() -> str:
+    from minisql_engine_spark.operators.timeseries import (
+        rolling_event_features_sql,
+    )
+
+    return rolling_event_features_sql()
+
+
+_ORACLES["rolling_features"] = _rolling_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3068,6 +3096,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         # twelfth — room for stats_corr (the dedup family keeps five
         # richer rows: minhash, simhash, ngram, semantic, spans)
         "dedup_exact",
+        # thirteenth — room for rolling_features (streaming windows
+        # keep their three live rows; this is the batch tumbling twin)
+        "events_fixed_windows",
     }
 )
 
@@ -3085,6 +3116,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "event_funnel",
     "editsim_pairs",
     "stats_corr",
+    "rolling_features",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

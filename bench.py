@@ -76,6 +76,7 @@ HEADLINE = (
     "event_funnel",
     "editsim_pairs",
     "stats_corr",
+    "rolling_features",
 )
 
 

@@ -142,3 +142,92 @@ def resample_forward_fill_sql(
         "  o._obs IS NOT NULL AS is_observed"
         " FROM grid g LEFT JOIN obs o ON o._k = g._k AND o._slot = g._slot"
     )
+
+
+def rolling_event_features(
+    events: DataFrame,
+    window_s: tuple[int, ...] = (300, 3600),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event trailing time-window features — the feature-
+    engineering staple (fraud/abuse/rate signals): for each event and
+    each ``w`` in ``window_s``, the count / exact sum / mean of
+    ``val_col`` over that user's events in ``[ts − w, ts]``
+    (inclusive both ends, the RANGE-frame convention).
+
+    Exactness: the windowed sum accumulates DECIMAL(38,12) (a double
+    sum would depend on frame iteration order within timestamp ties),
+    divides in double, rounds to 6 — the package policy. RANGE frames
+    are value-based, so rows tied on (user, ts) see identical frames
+    in both engines regardless of sort nondeterminism.
+
+    Plan: ONE window partition (hash-shuffle on user, sort by time)
+    shared by every (window × aggregate) column — Spark evaluates all
+    frames in a single WindowExec pass; nothing else shuffles. Frame
+    bounds are integer microseconds over ``unix_micros``.
+    """
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    out_cols = [F.col(id_col), F.col(user_col), F.col(ts_col)]
+    for w in window_s:
+        win = (
+            Window.partitionBy(user_col)
+            .orderBy(us)
+            .rangeBetween(-int(w) * 1_000_000, 0)
+        )
+        cnt = F.count(F.col(val_col)).over(win)
+        ssum = F.sum(
+            F.col(val_col).cast("decimal(38,12)")
+        ).over(win)
+        tag = _wtag(w)
+        out_cols += [
+            cnt.cast("bigint").alias(f"n_{tag}"),
+            F.round(ssum.cast("double"), 6).alias(f"sum_{tag}"),
+            F.round(
+                ssum.cast("double") / cnt.cast("double"), 6
+            ).alias(f"avg_{tag}"),
+        ]
+    return events.select(*out_cols)
+
+
+def rolling_event_features_sql(
+    window_s: tuple[int, ...] = (300, 3600),
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`rolling_event_features` — RANGE
+    frames over ``epoch_us`` with the same decimal accumulation."""
+    cols = [id_col, user_col, ts_col]
+    for w in window_s:
+        tag = _wtag(w)
+        frame = (
+            f"OVER (PARTITION BY {user_col} ORDER BY epoch_us({ts_col})"
+            f" RANGE BETWEEN {int(w) * 1_000_000} PRECEDING"
+            " AND CURRENT ROW)"
+        )
+        cols += [
+            f"CAST(count({val_col}) {frame} AS BIGINT) AS n_{tag}",
+            f"round(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
+            f" {frame} AS DOUBLE), 6) AS sum_{tag}",
+            f"round(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
+            f" {frame} AS DOUBLE)"
+            f" / CAST(count({val_col}) {frame} AS DOUBLE), 6)"
+            f" AS avg_{tag}",
+        ]
+    return f"SELECT {', '.join(cols)} FROM {table}"
+
+
+def _wtag(w: int) -> str:
+    """300 → '5m', 3600 → '1h', 90 → '90s'."""
+    if w % 3600 == 0:
+        return f"{w // 3600}h"
+    if w % 60 == 0:
+        return f"{w // 60}m"
+    return f"{w}s"

@@ -61,3 +61,70 @@ def test_forward_fill_semantics(spark):
     assert out[(1, 3)] == (30.0, True)
     assert out[(2, 5)] == (50.0, True)
     assert len(out) == 5  # key 2 has a single-slot span
+
+
+class TestRollingFeatures:
+    def test_oracle_corpus(self, spark, duck, sf_dir):
+        from minisql_engine_spark.operators.timeseries import (
+            rolling_event_features,
+            rolling_event_features_sql,
+        )
+        from minisql_engine_spark.sources.parquet_catalog import load_table
+        from tests.conftest import assert_matches_oracle
+
+        out = rolling_event_features(load_table(spark, sf_dir, "events"))
+        assert_matches_oracle(
+            out,
+            duck.execute(rolling_event_features_sql()).df(),
+            "rolling",
+        )
+
+    def test_ties_and_nulls(self, spark, duck):
+        """Rows tied on (user, ts) share one frame; NULL values drop
+        from count/sum; an all-NULL frame yields NULL sum and avg."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from minisql_engine_spark.operators.timeseries import (
+            rolling_event_features,
+            rolling_event_features_sql,
+        )
+        from tests.conftest import assert_matches_oracle
+
+        b = dt.datetime(2024, 5, 1)
+        rows = [
+            (1, b, 1, 10.0),
+            (2, b, 1, 20.0),                       # tie with event 1
+            (3, b + dt.timedelta(seconds=200), 1, None),
+            (4, b + dt.timedelta(seconds=400), 1, 5.0),
+            (5, b, 2, None),                       # all-NULL user
+        ]
+        sdf = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        duck.register(
+            "_rl",
+            pd.DataFrame(
+                rows, columns=["event_id", "ts", "user_id", "value"]
+            ),
+        )
+        out = rolling_event_features(sdf, window_s=(300,))
+        assert_matches_oracle(
+            out,
+            duck.execute(
+                rolling_event_features_sql(window_s=(300,), table="_rl")
+            ).df(),
+            "rolling-edge",
+        )
+        got = {r.event_id: r for r in out.collect()}
+        # tied rows both see the full tie group
+        assert got[1].n_5m == 2 and got[2].n_5m == 2
+        assert got[1].sum_5m == 30.0
+        # NULL value drops from the frame's count
+        assert got[3].n_5m == 2
+        # 400 s later: events at t=0 left the 300 s frame; the NULL at
+        # t=200 contributes nothing
+        assert got[4].n_5m == 1 and got[4].sum_5m == 5.0
+        assert got[5].n_5m == 0 and got[5].sum_5m is None
+        assert got[5].avg_5m is None
