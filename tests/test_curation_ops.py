@@ -244,13 +244,19 @@ def test_exact_corr_oracle(spark, duck, sf_dir):
     from minisql_engine_spark.sources.parquet_catalog import load_table
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    out = exact_corr(load_table(spark, sf_dir, "lineitem"), cols)
-    assert_matches_oracle(
-        out, duck.execute(exact_corr_sql("lineitem", cols)).df(), "corr"
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    for mode in ("complete", "pairwise"):
+        out = exact_corr(li, cols, mode=mode)
+        assert_matches_oracle(
+            out,
+            duck.execute(exact_corr_sql("lineitem", cols, mode=mode)).df(),
+            f"corr-{mode}",
+        )
 
 
 def test_exact_corr_known_values(spark):
+    import pytest as _pytest
+
     from minisql_engine_spark.operators.stats import exact_corr
 
     rows = [
@@ -260,13 +266,22 @@ def test_exact_corr_known_values(spark):
         (4.0, 8.0, -4.0, 5.0),
     ]
     sdf = spark.createDataFrame(rows, "a double, b double, c double, d double")
-    got = {
+    # pairwise: each pair keeps its own non-NULL rows
+    pw = {
+        (r.col_a, r.col_b): (r.n, r.r)
+        for r in exact_corr(sdf, ["a", "b", "c", "d"], mode="pairwise").collect()
+    }
+    assert pw[("a", "b")] == (4, 1.0)     # perfectly correlated
+    assert pw[("a", "c")] == (4, -1.0)    # perfectly anti-correlated
+    # d constant on its non-NULL rows → zero variance → NULL r,
+    # and the NULL row drops pair-wise (n=3)
+    assert pw[("a", "d")] == (3, None)
+    # complete: the row with NULL d drops from EVERY pair
+    cm = {
         (r.col_a, r.col_b): (r.n, r.r)
         for r in exact_corr(sdf, ["a", "b", "c", "d"]).collect()
     }
-    assert got[("a", "b")] == (4, 1.0)    # perfectly correlated
-    assert got[("a", "c")] == (4, -1.0)   # perfectly anti-correlated
-    # d constant on its non-NULL rows → zero variance → NULL r,
-    # and the NULL row drops pair-wise (n=3)
-    assert got[("a", "d")][0] == 3
-    assert got[("a", "d")][1] is None
+    assert cm[("a", "b")] == (3, 1.0)
+    assert cm[("a", "d")] == (3, None)
+    with _pytest.raises(ValueError):
+        exact_corr(sdf, ["a", "b"], mode="bogus")
