@@ -327,3 +327,84 @@ def exact_corr_sql(
             f" FROM ({base})"
         )
     return " UNION ALL ".join(selects)
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    group_by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """All input columns plus ``<col>_w`` — values clipped to the
+    exact [p_lo, p_hi] quantiles (optionally per group): the standard
+    outlier treatment before training a regressor / computing means
+    on heavy-tailed measures. NULLs pass through NULL.
+
+    Plan: ONE percentile aggregate (per group — sort-based,
+    spillable, the ``exact_quantiles`` shape) joined back — broadcast
+    when ungrouped (single row), hash join on the group key
+    otherwise; the clip itself is a map-side ``least/greatest``.
+    Quantile arithmetic is the verified-portable interpolation shared
+    with :func:`exact_quantiles`, so the oracle reproduces every clip
+    bound bit-for-bit."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    out_col = out_col or f"{col}_w"
+    bounds_cols = [
+        F.expr(f"percentile({col}, {p_lo!r})").alias("_blo"),
+        F.expr(f"percentile({col}, {p_hi!r})").alias("_bhi"),
+    ]
+    # explicit NULL guard: both engines' least/greatest IGNORE NULL
+    # arguments (a NULL value would silently clip to the lower bound)
+    clip = F.when(
+        F.col(col).isNotNull(),
+        F.round(
+            F.least(
+                F.greatest(F.col(col).cast("double"), F.col("_blo")),
+                F.col("_bhi"),
+            ),
+            6,
+        ),
+    ).alias(out_col)
+    if group_by is None:
+        bounds = df.agg(*bounds_cols)
+        return df.crossJoin(F.broadcast(bounds)).select(
+            *df.columns, clip
+        )
+    bounds = df.groupBy(group_by).agg(*bounds_cols)
+    return df.join(bounds, group_by).select(*df.columns, clip)
+
+
+def winsorize_sql(
+    table: str,
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    group_by: str | None = None,
+    out_col: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`winsorize`."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}, {p_hi}")
+    out_col = out_col or f"{col}_w"
+    if group_by is None:
+        return (
+            f"WITH b AS (SELECT quantile_cont({col}, {p_lo!r}) AS blo,"
+            f" quantile_cont({col}, {p_hi!r}) AS bhi FROM {table})"
+            f" SELECT {table}.*,"
+            f" CASE WHEN {col} IS NOT NULL THEN"
+            f" round(least(greatest(CAST({col} AS DOUBLE), blo), bhi), 6)"
+            f" END AS {out_col} FROM {table} CROSS JOIN b"
+        )
+    return (
+        f"WITH b AS (SELECT {group_by},"
+        f" quantile_cont({col}, {p_lo!r}) AS blo,"
+        f" quantile_cont({col}, {p_hi!r}) AS bhi FROM {table}"
+        f" GROUP BY {group_by})"
+        f" SELECT {table}.*,"
+        f" CASE WHEN {col} IS NOT NULL THEN"
+        f" round(least(greatest(CAST({col} AS DOUBLE), blo), bhi), 6)"
+        f" END AS {out_col} FROM {table} JOIN b USING ({group_by})"
+    )
