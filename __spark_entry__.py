@@ -3034,6 +3034,86 @@ def _rolling_oracle() -> str:
 _ORACLES["rolling_features"] = _rolling_oracle()
 
 
+@_register(
+    "winsorize_clip",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization of the event values: clip to the exact
+    [p05, p95] quantiles of each event_type — ONE percentile
+    aggregate joined back, map-side least/greatest clip, the standard
+    heavy-tail treatment before any mean-based feature
+    (operators/stats.py)."""
+    from minisql_engine_spark.operators.stats import winsorize
+
+    return winsorize(
+        _t(spark, sf_dir, "events"),
+        "value",
+        0.05,
+        0.95,
+        group_by="event_type",
+    )
+
+
+def _winsorize_oracle() -> str:
+    from minisql_engine_spark.operators.stats import winsorize_sql
+
+    return winsorize_sql("events", "value", 0.05, 0.95, group_by="event_type")
+
+
+_ORACLES["winsorize_clip"] = _winsorize_oracle()
+
+
+@_register(
+    "frequent_tokens",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_frequent_tokens(spark, sf_dir):
+    """Exact heavy hitters (tokens with ≥ 1/200 of corpus mass) via a
+    map-side SpaceSaving candidate sketch + exact recount: the only
+    shuffle carries candidate tokens, never the Zipf vocabulary tail.
+    The sketch-free DuckDB oracle proves the candidate pass lost
+    nothing (operators/heavy_hitters.py)."""
+    from minisql_engine_spark.operators.heavy_hitters import frequent_tokens
+
+    return frequent_tokens(_t(spark, sf_dir, "documents"), 200)
+
+
+def _frequent_tokens_oracle() -> str:
+    from minisql_engine_spark.operators.heavy_hitters import (
+        frequent_tokens_sql,
+    )
+
+    return frequent_tokens_sql("documents", 200)
+
+
+_ORACLES["frequent_tokens"] = _frequent_tokens_oracle()
+
+
+@_register(
+    "jl_projection",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64→16 dims: the matrix is
+    DERIVED from md5 of the dimension pair (no RNG state, no stored
+    blob — any executor and the oracle regenerate it), the signed sums
+    accumulate DECIMAL(38,12) so the aggregate is order-independent
+    (operators/projection.py)."""
+    from minisql_engine_spark.operators.projection import jl_project
+
+    return jl_project(_t(spark, sf_dir, "embeddings"), 16)
+
+
+def _jl_oracle() -> str:
+    from minisql_engine_spark.operators.projection import jl_project_sql
+
+    return jl_project_sql("embeddings", 16, 64)
+
+
+_ORACLES["jl_projection"] = _jl_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3099,6 +3179,14 @@ _ARCHIVED: frozenset[str] = frozenset(
         # thirteenth — room for rolling_features (streaming windows
         # keep their three live rows; this is the batch tumbling twin)
         "events_fixed_windows",
+        # fourteenth (r5 session 4) — room for winsorize_clip +
+        # frequent_tokens + jl_projection; all three rotated names are
+        # hash-green r1–r4 and their families keep richer driver rows
+        # (joins: asof/editsim/bucketed; TPC-H: q1/q3/q7/q8/q10/q18;
+        # arrays: every embedding operator explodes arrays)
+        "join_semi_anti",
+        "tpch_q5_local_supplier_volume",
+        "array_explode_dim_stats",
     }
 )
 
@@ -3117,6 +3205,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "editsim_pairs",
     "stats_corr",
     "rolling_features",
+    # r5 session-4 additions — brand new operators, never driver-checked
+    "winsorize_clip",
+    "frequent_tokens",
+    "jl_projection",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

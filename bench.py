@@ -77,6 +77,10 @@ HEADLINE = (
     "editsim_pairs",
     "stats_corr",
     "rolling_features",
+    # r5 session 4: outlier clipping + heavy hitters + JL projection
+    "winsorize_clip",
+    "frequent_tokens",
+    "jl_projection",
 )
 
 
