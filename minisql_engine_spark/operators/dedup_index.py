@@ -1,0 +1,145 @@
+"""Incremental exact-dedup index: dedup new batches against a
+persisted corpus without re-reading the corpus text.
+
+A production pipeline does not re-dedup 100 TB every time a crawl
+batch lands; it keeps a *key index* — one 32-hex md5 of the normalized
+content per distinct document ever admitted — and each new batch is
+
+1. deduplicated **within itself** (the `exact_dedup` min-id rule),
+2. anti-joined against the index (drop anything the corpus has seen),
+3. its surviving keys **appended** to the index.
+
+The index stores keys only: at 100 TB of text that is ~0.1% of the
+corpus bytes, and the anti-join shuffles 32-hex strings, never
+documents. The index is laid out as parquet directory-partitioned by
+the first hex character of the key (16 uniform partitions by
+construction — md5 is uniform): a batch's anti-join prunes nothing
+(all partitions are hit) but appends touch only the partitions their
+keys land in, and the layout is the stepping stone to the bucketed
+layout (`sources/bucketing.py`) a fixed cluster would use to make the
+join's index side shuffle-free. Appends write new files; nothing is
+rewritten (object-store-friendly, no read-modify-write races within a
+single writer).
+
+Determinism: admission is order-dependent *across* batches by design
+(the first batch to present a content wins — that is what "incremental"
+means), but within a batch the min-id rule makes survivors exact and
+reproducible, and `test_dedup_index.py` pins the invariant that any
+batch sequence admits exactly one representative per distinct content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _norm
+
+#: Partition column: first hex char of the key — 16 uniform buckets.
+_PART = "key_prefix"
+
+
+def _keyed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Batch rows + their content key (the `exact_dedup` md5-of-_NORM
+    rule, so index keys and one-shot dedup keys are interchangeable)."""
+    return df.withColumn("content_hash", F.md5(_norm(F.col(text_col))))
+
+
+def _index_keys(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def init_dedup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Create the index from an initial corpus: one row per distinct
+    content key. One hash-aggregate (map-side partial) then a
+    partitioned write."""
+    keys = (
+        _keyed(df, id_col, text_col)
+        .select("content_hash")
+        .distinct()
+        .withColumn(_PART, F.substring("content_hash", 1, 1))
+    )
+    keys.write.mode("overwrite").partitionBy(_PART).parquet(path)
+
+
+def dedup_against_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The batch's admissible rows: in-batch dedup (min-id per key)
+    then an anti-join against the stored keys. Returns the original
+    batch columns plus ``content_hash``; does NOT mutate the index —
+    call :func:`append_to_index` with the result once the batch is
+    durably admitted (two-step so a failed downstream write never
+    poisons the index)."""
+    spark = df.sparkSession
+    keyed = _keyed(df, id_col, text_col)
+    in_batch = (
+        keyed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    seen = _index_keys(spark, path).select("content_hash")
+    return in_batch.join(seen, "content_hash", "left_anti")
+
+
+def append_to_index(survivors: DataFrame, path: str) -> None:
+    """Append the admitted keys (the `dedup_against_index` output) to
+    the index — new files only, partition-local."""
+    (
+        survivors.select("content_hash")
+        .distinct()
+        .withColumn(_PART, F.substring("content_hash", 1, 1))
+        .write.mode("append")
+        .partitionBy(_PART)
+        .parquet(path)
+    )
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(n_keys, n_partitions): index health — distinct keys and live
+    hex partitions (16 once any realistic volume has flowed)."""
+    keys = _index_keys(spark, path)
+    return keys.agg(
+        F.countDistinct("content_hash").cast("bigint").alias("n_keys"),
+        F.countDistinct(_PART).cast("bigint").alias("n_partitions"),
+    )
+
+
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the index with one file per partition and duplicate
+    keys collapsed (concurrent historical appends can have raced the
+    same key in — harmless for correctness since the anti-join only
+    asks existence, but compaction keeps lookups one-file-per-bucket).
+
+    Writes to a sibling temp dir then swaps, so a crash mid-compact
+    never leaves a half index."""
+    tmp = path.rstrip("/") + ".compact-tmp"
+    (
+        _index_keys(spark, path)
+        .select("content_hash", _PART)
+        .distinct()
+        .repartition(_PART)
+        .write.mode("overwrite")
+        .partitionBy(_PART)
+        .parquet(tmp)
+    )
+    import shutil
+
+    bak = path.rstrip("/") + ".compact-old"
+    shutil.move(path, bak)
+    shutil.move(tmp, path)
+    shutil.rmtree(bak)

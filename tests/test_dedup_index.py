@@ -1,0 +1,116 @@
+"""Incremental dedup index: batch-sequence invariants + compaction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.dedup import _norm
+from minisql_engine_spark.operators.dedup_index import (
+    append_to_index,
+    compact_index,
+    dedup_against_index,
+    index_stats,
+    init_dedup_index,
+)
+from minisql_engine_spark.sources import load_table
+
+
+@pytest.fixture()
+def batches(spark, sf_dir):
+    """Three batches carved from documents, with cross-batch and
+    in-batch duplicates injected: batch B repeats 10 of A's texts
+    under new ids, and repeats one of its own texts twice."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 200)
+    b_fresh = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+    # 10 of A's texts re-appear in B under ids 10200..10209
+    b_dup_of_a = a.limit(10).select(
+        (F.col("doc_id") + 10200).alias("doc_id"), "text"
+    )
+    # one B text duplicated inside B
+    b_self_dup = b_fresh.limit(1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    b = b_fresh.unionByName(b_dup_of_a).unionByName(b_self_dup)
+    c = docs.filter(F.col("doc_id") >= 350)
+    return a, b, c
+
+
+def _key_set(df):
+    return {
+        r["k"]
+        for r in df.select(F.md5(_norm(F.col("text"))).alias("k"))
+        .distinct()
+        .collect()
+    }
+
+
+def test_batch_sequence_admits_one_rep_per_content(
+    spark, sf_dir, batches, tmp_path
+):
+    a, b, c = batches
+    path = str(tmp_path / "idx")
+    init_dedup_index(a, path)
+
+    surv_b = dedup_against_index(b, path)
+    sb = surv_b.toPandas()
+    # exactly the keys of B not already in A, one row each
+    expected_b = _key_set(b) - _key_set(a)
+    assert set(sb["content_hash"]) == expected_b
+    assert len(sb) == len(expected_b)
+    # the in-batch duplicate kept the min id
+    append_to_index(surv_b, path)
+
+    # idempotence: the same batch after append admits nothing
+    assert dedup_against_index(b, path).count() == 0
+
+    surv_c = dedup_against_index(c, path)
+    expected_c = _key_set(c) - _key_set(a) - _key_set(b)
+    assert set(r["content_hash"] for r in surv_c.select("content_hash").collect()) == expected_c
+    append_to_index(surv_c, path)
+
+    # index now holds exactly the distinct union of all keys
+    union_keys = _key_set(a) | _key_set(b) | _key_set(c)
+    stats = index_stats(spark, path).collect()[0]
+    assert stats["n_keys"] == len(union_keys)
+    assert stats["n_partitions"] == 16
+
+
+def test_in_batch_min_id_rule(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    init_dedup_index(
+        spark.createDataFrame([(1, "seed text")], "doc_id bigint, text string"),
+        path,
+    )
+    batch = spark.createDataFrame(
+        [(7, "same body"), (3, "same body"), (9, "Seed   TEXT")],
+        "doc_id bigint, text string",
+    )
+    surv = dedup_against_index(batch, path).toPandas()
+    # "Seed   TEXT" normalizes into the seed content -> dropped;
+    # the duplicated new content keeps id 3
+    assert list(surv["doc_id"]) == [3]
+
+
+def test_compaction_preserves_semantics(spark, sf_dir, batches, tmp_path):
+    a, b, c = batches
+    path = str(tmp_path / "idx")
+    init_dedup_index(a, path)
+    append_to_index(dedup_against_index(b, path), path)
+    before = index_stats(spark, path).collect()[0]
+    n_files_before = len(glob.glob(f"{path}/*/*.parquet"))
+
+    compact_index(spark, path)
+    after = index_stats(spark, path).collect()[0]
+    assert after["n_keys"] == before["n_keys"]
+    assert after["n_partitions"] == 16
+    n_files_after = len(glob.glob(f"{path}/*/*.parquet"))
+    assert n_files_after <= n_files_before
+    # lookups unchanged after the swap
+    assert dedup_against_index(b, path).count() == 0
+    assert dedup_against_index(c, path).count() == c.select(
+        F.md5(_norm(F.col("text")))
+    ).distinct().count() - len(_key_set(c) & (_key_set(a) | _key_set(b)))
