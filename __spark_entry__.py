@@ -3114,6 +3114,36 @@ def _jl_oracle() -> str:
 _ORACLES["jl_projection"] = _jl_oracle()
 
 
+@_register(
+    "bpe_train_merges",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer training: ONE corpus aggregation to the
+    (word, freq) vocabulary, then 12 merge rounds on the vocabulary
+    only — each round a pair-count aggregate plus a sentinel-string
+    ``replace`` (greedy left-to-right, BPE's pairing rule, identical
+    built-in semantics in both engines). The DuckDB oracle replays the
+    ENTIRE training as 12 unrolled materialized CTE stages, so the
+    learned merge table is hash-verified end-to-end
+    (operators/bpe.py)."""
+    from minisql_engine_spark.operators.bpe import (
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    return bpe_train(bpe_word_counts(_t(spark, sf_dir, "documents")), 12)
+
+
+def _bpe_oracle() -> str:
+    from minisql_engine_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents", 12)
+
+
+_ORACLES["bpe_train_merges"] = _bpe_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3187,6 +3217,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         "join_semi_anti",
         "tpch_q5_local_supplier_volume",
         "array_explode_dim_stats",
+        # fifteenth — room for bpe_train_merges (the similarity family
+        # keeps cosine/ivf/pq/lsh driver rows + semantic_dedup)
+        "emb_near_dups",
     }
 )
 
@@ -3209,6 +3242,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "winsorize_clip",
     "frequent_tokens",
     "jl_projection",
+    "bpe_train_merges",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

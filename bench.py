@@ -78,9 +78,11 @@ HEADLINE = (
     "stats_corr",
     "rolling_features",
     # r5 session 4: outlier clipping + heavy hitters + JL projection
+    # + BPE tokenizer training
     "winsorize_clip",
     "frequent_tokens",
     "jl_projection",
+    "bpe_train_merges",
 )
 
 

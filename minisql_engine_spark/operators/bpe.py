@@ -1,0 +1,265 @@
+"""BPE tokenizer training and application at corpus scale.
+
+Byte-pair-encoding merge learning [Sennrich et al., ACL'16] is the
+tokenizer-induction step of an LLM data pipeline. Its scale structure
+matters more than its loop: ONE corpus-sized aggregation builds the
+(word, freq) table, and every merge iteration after that runs on the
+*vocabulary*, which is orders of magnitude smaller than the corpus —
+exactly how production trainers work. This module keeps the vocabulary
+distributed (it can be 10⁸ rows over 100 TB), so nothing collects.
+
+Representation trick that makes the whole thing relational: a word's
+current symbol sequence is stored as a single string with every symbol
+wrapped in a ``\\x1f`` sentinel — ``"low"`` → ``␟l␟␟o␟␟w␟``. Applying
+merge (a,b) is then plain ``replace(syms, '␟a␟␟b␟', '␟ab␟')``:
+built-in ``replace`` scans left-to-right and never rematches inside a
+replacement in BOTH Spark and DuckDB (probed: ``␟a␟×4`` with merge
+(a,a) → ``␟aa␟␟aa␟``), which is precisely BPE's greedy left-to-right
+pairing. No regex in the loop, no lambda fold, no Python in the hot
+path — and because every step is engine-portable SQL, an ``n_merges``-
+unrolled chain of CTEs replays the ENTIRE training in DuckDB, so the
+learned merge table is hash-verifiable end-to-end.
+
+Tie-breaking is pinned (pair count desc, then left asc, right asc —
+binary collation in both engines) so training is deterministic on any
+cluster and any partitioning: pair counts are integer sums, not
+floats, and the top-1 selection is a total order.
+
+Scale notes: per-iteration cost is two vocabulary-sized passes (pair
+explode + replace); the working table is persisted and
+``localCheckpoint``-ed every few rounds to keep the lineage flat (the
+``clustering.py`` iteration pattern). ``bpe_apply`` replays the merge
+list as chained ``replace`` columns — plan depth = n_merges, fine for
+the tens-of-merges regime this demonstrates; a production apply with
+30k merges would compile the merge table into a trie UDF instead
+(documented trade, not a silent cliff).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _norm_text, _ws_tokens
+
+#: Symbol sentinel. Stripped from input words first (a control char
+#: has no tokenization value), so it can never be confused for text.
+SEP = "\x1f"
+
+_WRAP_SQL = (
+    # every codepoint wrapped: "low" -> ␟l␟␟o␟␟w␟  ('.' never matches
+    # a newline, but words are whitespace tokens so none exists)
+    "regexp_replace(replace({w}, '{s}', ''), '(.)', '{s}{repl}{s}')"
+)
+
+
+def _wrap_spark(word: str) -> str:
+    return _WRAP_SQL.format(w=word, s=SEP, repl="$1")
+
+
+def _wrap_duck(word: str) -> str:
+    # DuckDB (RE2) backrefs are \1 and need the 'g' flag for all-occurrence
+    return (
+        _WRAP_SQL.format(w=word, s=SEP, repl="\\1").rstrip(")")
+        + ", 'g')"
+    )
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq, syms): the corpus compressed to its vocabulary —
+    the ONE corpus-sized aggregation in BPE training. ``syms`` starts
+    as the sentinel-wrapped character sequence."""
+    words = df.select(
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
+    return wc.select(
+        "word",
+        "freq",
+        F.expr(_wrap_spark("word")).alias("syms"),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent symbol pairs weighted by word
+    freq. The symbol array is materialized as a named column before
+    the transform lambda (the lambda-inlining O(n²) lesson)."""
+    arr = words.select(
+        "freq",
+        F.split(
+            F.expr(f"substring(syms, 2, length(syms) - 2)"), SEP + SEP
+        ).alias("_a"),
+    )
+    n = F.size("_a")
+    pairs = arr.select(
+        "freq",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("_a", i).alias("lhs"),
+                        F.element_at("_a", i + 1).alias("rhs"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<lhs:string,rhs:string>>")
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(rank, lhs, rhs, cnt): the learned merge table, rank 1 =
+    first merge. Stops early if no adjacent pair remains. The input is
+    the :func:`bpe_word_counts` output (or anything with freq+syms)."""
+    if n_merges < 1:
+        raise ValueError(f"need n_merges >= 1, got {n_merges}")
+    spark = word_counts.sparkSession
+    words = word_counts.select("freq", "syms").persist()
+    words.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, cnt = top[0]["lhs"], top[0]["rhs"], top[0]["cnt"]
+            merges.append((rank, left, right, int(cnt)))
+            pat = f"{SEP}{left}{SEP}{SEP}{right}{SEP}"
+            rep = f"{SEP}{left}{right}{SEP}"
+            nxt = words.select(
+                "freq",
+                F.replace(
+                    F.col("syms"), F.lit(pat), F.lit(rep)
+                ).alias("syms"),
+            )
+            if rank % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, cnt bigint"
+    )
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """All input columns + ``out_col`` (array<string>): the document
+    tokenized by the learned merges — per word, chars are wrapped then
+    every merge replays in rank order as chained built-in ``replace``
+    (greedy left-to-right, identical to the training semantics).
+    Map-side only, whole-stage codegen; two transforms so the merge
+    chain evaluates ONCE per word (the lambda-inlining lesson: the
+    split stage references its input twice, so the expensive chain
+    must live in its own materialized pass)."""
+    word_expr = (
+        f"regexp_replace(replace(x, '{SEP}', ''), '(.)', '{SEP}$1{SEP}')"
+    )
+    for left, right in merges:
+        pat = f"{SEP}{_sq(left)}{SEP}{SEP}{_sq(right)}{SEP}"
+        rep = f"{SEP}{_sq(left)}{_sq(right)}{SEP}"
+        word_expr = f"replace({word_expr}, '{pat}', '{rep}')"
+    toked = df.withColumns(
+        {
+            "_w": _ws_tokens(_norm_text(F.col(text_col))),
+        }
+    ).withColumn("_m", F.expr(f"transform(_w, x -> {word_expr})"))
+    return toked.withColumn(
+        out_col,
+        F.expr(
+            "flatten(transform(_m, s ->"
+            f" split(substring(s, 2, length(s) - 2), '{SEP}{SEP}')))"
+        ),
+    ).drop("_w", "_m")
+
+
+def bpe_train_sql(
+    table: str = "documents",
+    n_merges: int = 12,
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle: the ENTIRE training unrolled — n_merges chained
+    CTE stages, each = pair count → deterministic top-1 → replace.
+    Guards: if a stage has no pairs, its top CTE is empty and the
+    coalesced replace pattern can never match (the stage no-ops and
+    contributes no merge row). Every CTE is AS MATERIALIZED: DuckDB
+    inlines plain CTEs per reference and each stage references its
+    predecessor ~4 times, so un-materialized the words0 scan would
+    expand ~4^n_merges-fold (the llm_curation_funnel oracle lesson)."""
+    s = SEP
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    parts = [
+        f"words0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq,"
+        f" {_wrap_duck('word')} AS syms"
+        f" FROM (SELECT unnest(string_split({norm}, ' ')) AS word"
+        f"   FROM {table} WHERE trim({text_col}) <> '')"
+        " GROUP BY word)"
+    ]
+    for i in range(1, n_merges + 1):
+        p, w = f"pairs{i}", f"words{i}"
+        prev = f"words{i - 1}"
+        # adjacent pairs via list comprehension (1-based; range
+        # excludes the end, so j runs 1..len-1 → pairs (j, j+1));
+        # the pair travels as one ␟␟-joined string and splits back in
+        # the top-1 CTE (symbols can never contain the sentinel)
+        parts.append(
+            f" {p} AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt"
+            f"  FROM (SELECT freq, unnest("
+            f"   [a[j] || '{s}{s}' || a[j+1] for j in range(1, len(a))])"
+            f"   AS pair FROM (SELECT freq,"
+            f"    string_split(substring(syms, 2, length(syms) - 2),"
+            f"    '{s}{s}') AS a FROM {prev}))"
+            f"  GROUP BY pair)"
+        )
+        parts.append(
+            f" top{i} AS MATERIALIZED (SELECT string_split(pair, '{s}{s}')[1] AS lhs,"
+            f"  string_split(pair, '{s}{s}')[2] AS rhs, cnt FROM {p}"
+            f"  ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        parts.append(
+            f" {w} AS MATERIALIZED (SELECT freq, replace(syms,"
+            f"  coalesce((SELECT '{s}' || lhs || '{s}{s}' || rhs || '{s}'"
+            f"   FROM top{i}), '{s}{s}'),"
+            f"  coalesce((SELECT '{s}' || lhs || rhs || '{s}'"
+            f"   FROM top{i}), '{s}{s}'))"
+            f"  AS syms FROM {prev})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS rank, lhs, rhs, cnt FROM top{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT * FROM ({unions}) ORDER BY rank"
+    )

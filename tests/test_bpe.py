@@ -1,0 +1,154 @@
+"""BPE training/apply: oracle parity, Python-reference equality,
+greedy-merge semantics, and training↔apply consistency."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.bpe import (
+    SEP,
+    bpe_apply,
+    bpe_train,
+    bpe_train_sql,
+    bpe_word_counts,
+)
+from minisql_engine_spark.sources import load_table
+
+from tests.conftest import assert_matches_oracle
+
+
+def _ref_train(word_freqs: dict[str, int], n_merges: int):
+    """Reference BPE trainer: dict/Counter implementation of the same
+    spec (count desc, then (lhs, rhs) lexicographic; greedy
+    left-to-right merge application)."""
+    words: dict[str, tuple[tuple[str, ...], int]] = {
+        w: (tuple(w.replace(SEP, "")), f) for w, f in word_freqs.items()
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, lhs, rhs, cnt))
+        new = {}
+        for w, (syms, f) in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = (tuple(out), f)
+        words = new
+    return merges, words
+
+
+def _word_freqs(duck, sf_dir) -> dict[str, int]:
+    rows = duck.sql(
+        "SELECT word, count(*) AS f FROM (SELECT unnest(string_split("
+        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word"
+        " FROM documents WHERE trim(text) <> '') GROUP BY word"
+    ).fetchall()
+    return {w: f for w, f in rows}
+
+
+def test_bpe_train_oracle(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_train(bpe_word_counts(docs), 10)
+    oracle = duck.sql(bpe_train_sql("documents", 10)).df()
+    assert_matches_oracle(out, oracle, "bpe_train")
+
+
+def test_bpe_train_matches_python_reference(spark, duck, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train(bpe_word_counts(docs), 8).collect()
+    ]
+    expected, _ = _ref_train(_word_freqs(duck, sf_dir), 8)
+    assert got == expected
+
+
+def test_greedy_left_to_right_overlap(spark):
+    """'aaaa' with merge (a,a) → [aa, aa]; 'aaa' → [aa, a] — BPE's
+    left-to-right non-overlapping pairing, byte for byte."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id bigint, text string"
+    )
+    out = bpe_apply(docs, [("a", "a")]).select("bpe_tokens").first()
+    assert out["bpe_tokens"] == ["aa", "aa", "aa", "a"]
+
+
+def test_training_state_equals_apply(spark, sf_dir):
+    """Tokenizing the training corpus with the learned merge list
+    reproduces the trainer's final symbol state — the consistency
+    property that makes the merge table a faithful tokenizer."""
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    wc = bpe_word_counts(docs)
+    merges_df = bpe_train(wc, 6)
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.collect()]
+    # apply to each distinct WORD (as its own doc) and compare with a
+    # reference replay over the same words
+    words = [r["word"] for r in wc.select("word").collect()]
+    applied = bpe_apply(
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "i bigint, text string"
+        ),
+        merges,
+    ).select("i", "bpe_tokens")
+    got = {
+        words[r["i"]]: tuple(r["bpe_tokens"]) for r in applied.collect()
+    }
+    # what we assert is apply ≡ the reference fold of the SAME merge
+    # list over the same word set
+    state = {w: tuple(w) for w in words}
+    for lhs, rhs in merges:
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    assert got == state
+
+
+def test_sentinel_stripped(spark):
+    docs = spark.createDataFrame(
+        [(1, f"ab{SEP}ab abab")], "doc_id bigint, text string"
+    )
+    out = bpe_apply(docs, [("a", "b"), ("ab", "ab")]).first()
+    assert out["bpe_tokens"] == ["abab", "abab"]
+
+
+def test_early_stop(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(bpe_word_counts(docs), 5)
+    assert merges.count() == 0  # all words are single symbols
+
+
+def test_n_merges_validation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        bpe_train(bpe_word_counts(docs), 0)
