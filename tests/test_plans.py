@@ -330,3 +330,61 @@ def test_pq_encode_is_broadcast_join_hash_agg(spark, sf_dir):
     assert "SortAggregate" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_frequent_tokens_bounded_shuffle(spark, sf_dir):
+    """Heavy hitters: the candidate pass is map-side Python (Arrow),
+    the recount joins candidates BROADCAST + LeftSemi (the shuffle
+    carries only candidate tokens), and aggregation keeps map-side
+    partials. No sort-based aggregate anywhere."""
+    from minisql_engine_spark.operators.heavy_hitters import frequent_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(frequent_tokens(docs, 200))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
+    assert "partial_count" in plan
+
+
+def test_jl_projection_broadcast_sign_matrix(spark, sf_dir):
+    """The derived sign matrix broadcasts; the signed sums carry
+    map-side partials; exactly ONE hash-partition exchange (the
+    (vec_id, j) aggregate — the trailing range exchange is the
+    presentation orderBy)."""
+    from minisql_engine_spark.operators.projection import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(jl_project(emb, 16))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_winsorize_grouped_single_percentile_pass(spark, sf_dir):
+    """Grouped winsorize: ONE percentile aggregate (sort-buffer
+    ObjectHashAggregate is the documented percentile shape) joined
+    back on the group key; the clip is a map-side projection."""
+    from minisql_engine_spark.operators.stats import winsorize
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(winsorize(ev, "value", 0.05, 0.95, group_by="event_type"))
+    assert plan.count("percentile") >= 2  # lo + hi in one agg pass
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bpe_pair_counts_partial_agg_no_sort(spark, sf_dir):
+    """One BPE iteration's pair count: explode over the vocabulary,
+    hash aggregate with partials, no sort-based agg — the per-round
+    cost is vocabulary-sized, never corpus-sized."""
+    from minisql_engine_spark.operators.bpe import (
+        _pair_counts,
+        bpe_word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(_pair_counts(bpe_word_counts(docs)))
+    assert "partial_sum" in plan
+    assert "SortAggregate" not in plan
