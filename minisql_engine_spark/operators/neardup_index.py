@@ -1,0 +1,178 @@
+"""Incremental MinHash near-dup index: admit new batches against a
+persisted signature index without re-reading corpus text.
+
+The near-duplicate twin of :mod:`dedup_index`: where that module asks
+"has this EXACT content been admitted?", this one asks "is anything
+ALREADY ADMITTED within MinHash-estimated Jaccard ``t`` of this doc?"
+— the admission rule streaming crawl pipelines actually run (a batch
+doc near-duplicating the corpus is dropped; the corpus is never
+re-clustered).
+
+What persists is the *signature index*, not text: per admitted doc its
+``num_hashes`` MinHash components (32-hex strings — the engine-portable
+lexicographic-min-md5 family shared with ``minhash_lsh_dedup``). Band
+keys are DERIVED from signatures at read time (md5 of each band's
+slice — recomputing 16 md5s beats storing + maintaining a second
+table). Admission is the standard two stage:
+
+1. **candidates** — batch band keys ⋈ index band keys on (band, key):
+   the only corpus-sized join, bounded by LSH bucket collisions, never
+   |batch|×|corpus|;
+2. **verify** — estimated Jaccard = fraction of agreeing signature
+   components, computed pair-restricted from the two signature rows.
+   A batch doc with any verified neighbor ≥ ``threshold`` is rejected.
+
+In-batch near-dups resolve first (min-id representative per LSH
+cluster via the existing ``minhash_lsh_dedup`` machinery would be the
+full treatment; here the batch is assumed exact-deduped — compose with
+``dedup_index`` upstream — and only CROSS-batch similarity is decided,
+keeping each operator single-purpose).
+
+Scale: the index stores ``num_hashes`` hex strings per admitted doc
+(~0.5 KB/doc at 16 hashes — ~0.05% of a 1 MB doc). Admission shuffles
+band keys (md5-uniform, no skew) and verifies only collided pairs. At
+a fixed cluster the index parquet would be bucketed by doc_id so the
+verify join's index side never reshuffles (`sources/bucketing.py`);
+the directory layout here keeps appends object-store-friendly
+(new files only, no rewrite).
+
+Determinism: first-batch-wins across batches (the definition of
+incremental admission); within a batch the decision depends only on
+the persisted index, so re-running a batch is idempotent — every doc
+either re-collides with the neighbor that rejected it or (if admitted)
+collides with its own signatures at estimated Jaccard 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    BAND_SIZE,
+    NUM_HASHES,
+    lsh_band_keys,
+    minhash_signatures,
+)
+
+
+def _sig_cols(num_hashes: int) -> list[str]:
+    return [f"sig_{i}" for i in range(num_hashes)]
+
+
+def init_neardup_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> None:
+    """Create the signature index from an initial corpus."""
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes
+    ).withColumnRenamed(id_col, "indexed_id")
+    sigs.write.mode("overwrite").parquet(path)
+
+
+def _est_jaccard(num_hashes: int) -> F.Column:
+    """Fraction of agreeing components between the batch row's sig_i
+    and the index row's isig_i."""
+    agree = sum(
+        F.when(F.col(f"sig_{i}") == F.col(f"isig_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))
+
+
+def neardup_against_index(
+    df: DataFrame,
+    path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(batch columns…, content signature columns): the batch rows
+    with NO indexed neighbor at estimated Jaccard ≥ ``threshold``.
+    Does not mutate the index; pass the result to
+    :func:`append_to_neardup_index` once durably admitted (the same
+    two-step contract as ``dedup_index``)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes
+    ).persist()
+    sigs.count()
+    try:
+        index = spark.read.parquet(path)
+        isigs = index.select(
+            "indexed_id",
+            *[
+                F.col(f"sig_{i}").alias(f"isig_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        batch_bands = lsh_band_keys(
+            sigs, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+        )
+        index_bands = lsh_band_keys(
+            index.withColumnRenamed("indexed_id", "_iid"),
+            id_col="_iid",
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
+        candidates = (
+            batch_bands.join(index_bands, ["band", "band_key"])
+            .select(id_col, F.col("_iid").alias("indexed_id"))
+            .distinct()
+        )
+        rejected = (
+            candidates.join(sigs, id_col)
+            .join(isigs, "indexed_id")
+            .filter(_est_jaccard(num_hashes) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        # LEFT join: a doc with no shingles (empty/short text) has no
+        # signature row — it carries NULL sigs, is never rejected
+        # (nothing to collide with), and append skips indexing it.
+        admitted = df.join(
+            sigs.select(id_col, *_sig_cols(num_hashes), "n_sh"),
+            id_col,
+            "left",
+        ).join(rejected, id_col, "left_anti")
+        # materialize before unpersist releases the signature cache
+        out = admitted.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+    return out
+
+
+def append_to_neardup_index(
+    admitted: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> None:
+    """Append admitted docs' signatures (new files only); shingle-less
+    docs (NULL sigs) are admitted but have nothing to index."""
+    (
+        admitted.filter(F.col("sig_0").isNotNull())
+        .select(
+            F.col(id_col).alias("indexed_id"),
+            *_sig_cols(num_hashes),
+            "n_sh",
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def neardup_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(n_docs,): indexed corpus size."""
+    return (
+        spark.read.parquet(path)
+        .agg(F.countDistinct("indexed_id").cast("bigint").alias("n_docs"))
+    )

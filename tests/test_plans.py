@@ -348,19 +348,19 @@ def test_frequent_tokens_bounded_shuffle(spark, sf_dir):
     assert "partial_count" in plan
 
 
-def test_jl_projection_broadcast_sign_matrix(spark, sf_dir):
-    """The derived sign matrix broadcasts; the signed sums carry
-    map-side partials; exactly ONE hash-partition exchange (the
-    (vec_id, j) aggregate — the trailing range exchange is the
-    presentation orderBy)."""
+def test_jl_projection_is_map_side_projection(spark, sf_dir):
+    """A projection is per-row arithmetic: the signs are plan
+    constants, so the plan must be Project + posexplode with ZERO
+    joins, ZERO aggregates, and no shuffle beyond the presentation
+    orderBy's range exchange (absent with sort=False)."""
     from minisql_engine_spark.operators.projection import jl_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    plan = plan_of(jl_project(emb, 16))
-    assert "BroadcastHashJoin" in plan
-    assert "partial_sum" in plan
-    assert "SortAggregate" not in plan
-    assert plan.count("hashpartitioning") == 1
+    plan = plan_of(jl_project(emb, 16, sort=False))
+    assert "Generate" in plan  # the posexplode to long format
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert "Exchange" not in plan
 
 
 def test_winsorize_grouped_single_percentile_pass(spark, sf_dir):
