@@ -263,3 +263,36 @@ def bpe_train_sql(
         + ", ".join(parts)
         + f" SELECT * FROM ({unions}) ORDER BY rank"
     )
+
+
+def bpe_tokenize_corpus(
+    df: DataFrame,
+    n_merges: int = 32,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(tokenized_docs, merge_table): train BPE on the corpus and
+    tokenize it in one call. The returned docs carry
+
+    * ``bpe_tokens`` — array<string> subword tokens,
+    * ``bpe_text``  — the tokens space-joined, and
+    * ``n_bpe_tokens`` — the count,
+
+    and because subword tokens never contain whitespace, every
+    whitespace-token operator downstream (``pack_sequences``,
+    ``mixture_sample``, token-budget accounting) runs on
+    ``text_col="bpe_text"`` unchanged — its "words" ARE the learned
+    subwords. That is the composition contract: tokenizer-aware
+    training-set assembly without a second token-counting code path.
+    """
+    merges_df = bpe_train(bpe_word_counts(df, text_col=text_col), n_merges)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    toked = bpe_apply(df, merges, text_col=text_col)
+    toked = toked.withColumns(
+        {
+            "bpe_text": F.array_join("bpe_tokens", " "),
+            "n_bpe_tokens": F.size("bpe_tokens").cast("bigint"),
+        }
+    )
+    return toked, merges_df

@@ -152,3 +152,42 @@ def test_n_merges_validation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         bpe_train(bpe_word_counts(docs), 0)
+
+
+def test_tokenize_corpus_composes_with_packing(spark, sf_dir):
+    """bpe_text feeds pack_sequences unchanged: the packed token
+    budget is exactly the BPE token count, and every doc's packed
+    pieces cover [0, n_bpe_tokens)."""
+    from minisql_engine_spark.operators.bpe import bpe_tokenize_corpus
+    from minisql_engine_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    toked, merges_df = bpe_tokenize_corpus(docs, n_merges=8)
+    assert merges_df.count() == 8
+    packed = pack_sequences(toked, 128, text_col="bpe_text")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in toked.select(
+            "doc_id", F.col("n_bpe_tokens").alias("n")
+        ).collect()
+    }
+    covered = (
+        packed.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tok_end") - F.col("tok_begin")).alias("tot"),
+            F.min("tok_begin").alias("lo"),
+            F.max("tok_end").alias("hi"),
+        )
+        .collect()
+    )
+    assert covered, "nothing packed"
+    for r in covered:
+        assert r["lo"] == 0
+        assert r["hi"] == counts[r["doc_id"]]
+        assert r["tot"] == counts[r["doc_id"]]
+    # subword token counts differ from whitespace counts (merges fire)
+    ws = docs.select(F.size(F.split(F.trim("text"), r"\s+")).alias("w")).agg(
+        F.sum("w")
+    ).collect()[0][0]
+    bpe_total = sum(counts.values())
+    assert bpe_total > ws  # chars merged only 8 times: still > word count
