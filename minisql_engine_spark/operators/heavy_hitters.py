@@ -98,7 +98,11 @@ def frequent_tokens(
 
     ``sketch_size`` defaults to ``2k``; any value ≥ k+1 preserves the
     superset guarantee (see module docstring), the margin just trades
-    candidate-set size against sketch update cost.
+    candidate-set size against sketch update cost. Practical range:
+    k up to ~10⁵ — beyond that the per-partition sketch (m entries)
+    and the broadcast candidate set (≤ partitions·m rows) stop being
+    "small"; a 1/k that fine is vocabulary accounting, which is what
+    ``vocabulary_stats`` (full groupBy) is for.
     """
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")

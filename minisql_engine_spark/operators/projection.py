@@ -91,6 +91,8 @@ def jl_project(
     if not first:
         raise ValueError("empty input — cannot infer vector dimension")
     dim = first[0]["d"]
+    if not dim or dim < 1:
+        raise ValueError(f"cannot project empty/NULL vectors (d={dim})")
     scale = float(d_out) ** 0.5
 
     def elem(i: int) -> str:

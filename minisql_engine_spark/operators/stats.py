@@ -408,3 +408,90 @@ def winsorize_sql(
         f" round(least(greatest(CAST({col} AS DOUBLE), blo), bhi), 6)"
         f" END AS {out_col} FROM {table} JOIN b USING ({group_by})"
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.5,
+    group_by: str | None = None,
+) -> DataFrame:
+    """All input columns + ``(med, mad, is_outlier)`` — the robust
+    (median / median-absolute-deviation) outlier flag, optionally per
+    group: the heavy-tail-safe alternative to z-scores for curation
+    audits (mean/stddev are themselves dragged by the outliers they
+    should catch; the median/MAD breakdown point is 50%).
+
+    ``is_outlier ⇔ |x − med| > k · MAD`` with the exact interpolated
+    median both engines share (see :func:`exact_quantiles`); k = 3.5
+    is the conventional consistency-scaled cutoff. Plan: TWO
+    percentile aggregates (the median, then the median of absolute
+    deviations — MAD is inherently two-pass) joined back, broadcast
+    when ungrouped; the flag itself is a map-side projection. NULLs
+    flag NULL. A zero-MAD group (>50% identical values) flags any
+    deviation from the median, the standard degenerate-MAD rule.
+    """
+    x = F.col(col).cast("double")
+    med_agg = F.expr(f"percentile({col}, 0.5)").alias("_med")
+    if group_by is None:
+        med = df.agg(med_agg)
+        with_med = df.crossJoin(F.broadcast(med))
+    else:
+        med = df.groupBy(group_by).agg(med_agg)
+        with_med = df.join(med, group_by)
+    dev = with_med.withColumn("_adev", F.abs(x - F.col("_med")))
+    mad_agg = F.expr("percentile(_adev, 0.5)").alias("_mad")
+    if group_by is None:
+        mad = dev.agg(mad_agg)
+        scored = dev.crossJoin(F.broadcast(mad))
+    else:
+        mad = dev.groupBy(group_by).agg(mad_agg)
+        scored = dev.join(mad, group_by)
+    return scored.select(
+        *df.columns,
+        F.round(F.col("_med"), 6).alias("med"),
+        F.round(F.col("_mad"), 6).alias("mad"),
+        F.when(
+            x.isNotNull(),
+            F.when(F.col("_mad") > 0, F.abs(x - F.col("_med")) > k * F.col("_mad"))
+            .otherwise(F.abs(x - F.col("_med")) > 0),
+        ).alias("is_outlier"),
+    )
+
+
+def mad_outliers_sql(
+    table: str,
+    col: str,
+    k: float = 3.5,
+    group_by: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`mad_outliers` — same two
+    percentile passes, same degenerate-MAD rule."""
+    x = f"CAST({col} AS DOUBLE)"
+    if group_by is None:
+        return (
+            f"WITH m AS (SELECT quantile_cont({col}, 0.5) AS _med FROM {table}),"
+            f" d AS (SELECT {table}.*, _med, abs({x} - _med) AS _adev"
+            f"  FROM {table} CROSS JOIN m),"
+            " md AS (SELECT quantile_cont(_adev, 0.5) AS _mad FROM d)"
+            f" SELECT d.* EXCLUDE (_med, _adev),"
+            " round(_med, 6) AS med, round(_mad, 6) AS mad,"
+            f" CASE WHEN {col} IS NOT NULL THEN"
+            f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
+            f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
+            " FROM d CROSS JOIN md"
+        )
+    return (
+        f"WITH m AS (SELECT {group_by}, quantile_cont({col}, 0.5) AS _med"
+        f"  FROM {table} GROUP BY {group_by}),"
+        f" d AS (SELECT {table}.*, _med, abs({x} - _med) AS _adev"
+        f"  FROM {table} JOIN m USING ({group_by})),"
+        f" md AS (SELECT {group_by}, quantile_cont(_adev, 0.5) AS _mad"
+        f"  FROM d GROUP BY {group_by})"
+        f" SELECT d.* EXCLUDE (_med, _adev),"
+        " round(_med, 6) AS med, round(_mad, 6) AS mad,"
+        f" CASE WHEN {col} IS NOT NULL THEN"
+        f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
+        f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
+        f" FROM d JOIN md USING ({group_by})"
+    )
