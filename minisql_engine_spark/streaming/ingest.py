@@ -1,0 +1,71 @@
+"""Streaming admission against the persistent dedup index.
+
+The production shape of continuous corpus ingestion: a document
+stream lands in micro-batches, each batch is admitted against the
+on-disk content-key index (:mod:`operators.dedup_index`) and the
+admitted rows are appended BOTH to the output corpus and to the
+index — so a re-crawled document is dropped whether its duplicate
+arrived in this batch, the previous one, or last month's backfill.
+
+Why ``foreachBatch`` and not ``dropDuplicates``: the built-in
+streaming dedup keeps its key set in the state store, which is bounded
+by the watermark (or unbounded in memory) and private to one query.
+The index is durable, shared across queries/restarts/backfills, and
+append-only parquet — the state IS the catalog artifact. Inside each
+batch the call graph is the exact batch operators (in-batch min-id
+dedup → anti-join → append), so batch and stream admission semantics
+are identical BY CONSTRUCTION except ordering: the stream admits in
+arrival order (first-batch-wins), the one-shot batch admits min-id —
+the same documented difference as `curate_stream`, and why everything
+downstream keys on content hash.
+
+Exactly-once caveat (documented, test-pinned): foreachBatch is
+at-least-once — a replayed micro-batch re-presents rows whose keys
+are already indexed, and the anti-join drops them, so the OUTPUT
+stays exactly-once per content even though the sink function may run
+twice (idempotent admission is precisely what the index provides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from minisql_engine_spark.operators.dedup_index import (
+    append_to_index,
+    dedup_against_index,
+)
+
+
+def stream_admit(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start (availableNow) the admission query: micro-batches are
+    deduped against ``index_path``, survivors append to the
+    ``out_path`` corpus parquet and their keys to the index. Returns
+    the StreamingQuery (caller awaits termination).
+
+    The index must already exist (``init_dedup_index`` — possibly on
+    an empty frame) so a first-batch race can't observe a missing
+    path."""
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_against_index(
+            batch_df, index_path, id_col=id_col, text_col=text_col
+        ).persist()
+        try:
+            survivors.write.mode("append").parquet(out_path)
+            append_to_index(survivors, index_path)
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

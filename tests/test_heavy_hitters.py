@@ -83,3 +83,37 @@ def test_empty_and_null_text(spark):
     )
     out = frequent_tokens(docs, 2).toPandas()
     assert out.to_dict("records") == [{"token": "spark", "tf": 3}]
+
+
+def test_space_saving_superset_property_randomized():
+    """Randomized streams (Zipf-ish mixtures, adversarial orderings):
+    the sketch must contain every item whose count exceeds N/m."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from([f"h{i}" for i in range(4)] + [f"t{i}" for i in range(60)]),
+            min_size=1,
+            max_size=600,
+        ),
+        st.integers(min_value=5, max_value=25),
+        st.integers(min_value=1, max_value=97),
+    )
+    def check(stream, m, batch_size):
+        from collections import Counter
+
+        batches = [
+            pd.DataFrame({"token": stream[i : i + batch_size]})
+            for i in range(0, len(stream), batch_size)
+        ]
+        (result,) = list(_space_saving_partition(m)(iter(batches)))
+        kept = set(result["token"])
+        n = len(stream)
+        for tok, cnt in Counter(stream).items():
+            if cnt > n / m:
+                assert tok in kept, (
+                    f"lost {tok} ({cnt}/{n} > N/m={n / m:.1f}, m={m})"
+                )
+
+    check()

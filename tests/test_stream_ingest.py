@@ -1,0 +1,99 @@
+"""Streaming admission: content-exactly-once across micro-batches,
+idempotent replay against the durable index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.dedup import _norm
+from minisql_engine_spark.operators.dedup_index import (
+    init_dedup_index,
+    index_stats,
+)
+from minisql_engine_spark.sources import load_table
+from minisql_engine_spark.streaming.ingest import stream_admit
+
+
+def _key_set(df):
+    return {
+        r["k"]
+        for r in df.select(F.md5(_norm(F.col("text"))).alias("k"))
+        .distinct()
+        .collect()
+    }
+
+
+@pytest.fixture()
+def staged(spark, sf_dir, tmp_path):
+    """Seed corpus + a 3-file drop folder with duplicates WITHIN the
+    stream (file2 repeats file1 texts) and AGAINST the seed."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 100)
+    f1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 160))
+    # repeats of f1 contents under new ids + repeats of the seed
+    f2 = (
+        f1.limit(10)
+        .select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+        .unionByName(
+            seed.limit(10).select(
+                (F.col("doc_id") + 6000).alias("doc_id"), "text"
+            )
+        )
+    )
+    f3 = docs.filter((F.col("doc_id") >= 160) & (F.col("doc_id") < 200))
+    drop = str(tmp_path / "drop")
+    for i, part in enumerate([f1, f2, f3]):
+        part.coalesce(1).write.mode("append").parquet(drop)
+    return seed, f1, f3, drop
+
+
+def test_stream_admission_content_exactly_once(spark, staged, tmp_path):
+    seed, f1, f3, drop = staged
+    index = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    init_dedup_index(seed, index)
+
+    schema = spark.read.parquet(drop).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_admit(stream, index, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    admitted = spark.read.parquet(out)
+    # exactly one representative per content never seen by the seed
+    expected = (_key_set(f1) | _key_set(f3)) - _key_set(seed)
+    got = [r["content_hash"] for r in admitted.select("content_hash").collect()]
+    assert sorted(got) == sorted(set(got)), "a content was admitted twice"
+    assert set(got) == expected
+    # the index advanced by exactly the admitted keys
+    n = index_stats(spark, index).collect()[0]["n_keys"]
+    assert n == seed.select(F.md5(_norm(F.col("text")))).distinct().count() + len(
+        expected
+    )
+
+    # replay the whole drop folder as a NEW query (fresh checkpoint):
+    # at-least-once delivery, but the durable index makes admission
+    # idempotent — nothing new lands
+    q2 = stream_admit(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index,
+        str(tmp_path / "out2"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    out2 = str(tmp_path / "out2")
+    n_replay = (
+        spark.read.parquet(out2).count()
+        if os.path.exists(out2) and os.listdir(out2)
+        else 0
+    )
+    assert n_replay == 0
+    assert index_stats(spark, index).collect()[0]["n_keys"] == n
