@@ -3144,6 +3144,69 @@ def _bpe_oracle() -> str:
 _ORACLES["bpe_train_merges"] = _bpe_oracle()
 
 
+#: events schema as (name, spark simpleString) — static so the oracle
+#: builds at import time with no SparkSession; test_oracle_parity
+#: would fail loudly if the testdata schema ever drifted from this.
+_EVENTS_FIELDS = [
+    ("event_id", "bigint"),
+    ("ts", "timestamp"),
+    ("user_id", "bigint"),
+    ("event_type", "string"),
+    ("value", "double"),
+    ("props", "string"),
+]
+
+
+@_register(
+    "profile_events",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_profile_events(spark, sf_dir):
+    """Exact per-column table profile of events (row/null/distinct
+    counts, typed min/max) — one single-column pruned scan per
+    column, no Expand-multiplied multi-distinct aggregate
+    (operators/profiling.py)."""
+    from minisql_engine_spark.operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
+def _profile_oracle() -> str:
+    from minisql_engine_spark.operators.profiling import (
+        profile_table_sql_from_schema,
+    )
+
+    return profile_table_sql_from_schema("events", _EVENTS_FIELDS)
+
+
+_ORACLES["profile_events"] = _profile_oracle()
+
+
+@_register(
+    "mad_outlier_flags",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier flags on the event values:
+    |x − median| > 3.5·MAD with the exact interpolated median both
+    engines share; two percentile passes joined back, map-side flag,
+    degenerate zero-MAD rule (operators/stats.py)."""
+    from minisql_engine_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "events"), "value", group_by="event_type"
+    )
+
+
+def _mad_oracle() -> str:
+    from minisql_engine_spark.operators.stats import mad_outliers_sql
+
+    return mad_outliers_sql("events", "value", group_by="event_type")
+
+
+_ORACLES["mad_outlier_flags"] = _mad_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3220,6 +3283,11 @@ _ARCHIVED: frozenset[str] = frozenset(
         # fifteenth — room for bpe_train_merges (the similarity family
         # keeps cosine/ivf/pq/lsh driver rows + semantic_dedup)
         "emb_near_dups",
+        # sixteenth — room for profile_events + mad_outlier_flags
+        # (TPC-H keeps q1/q7/q8/q18 driver rows; the full suite stays
+        # parametrized-pytest-verified in tests/test_tpch.py)
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
     }
 )
 
@@ -3243,6 +3311,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "frequent_tokens",
     "jl_projection",
     "bpe_train_merges",
+    "profile_events",
+    "mad_outlier_flags",
     # r5 additions — brand new operators, never driver-checked
     "sequence_packing",
     "mixture_sample",

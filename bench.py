@@ -83,6 +83,8 @@ HEADLINE = (
     "frequent_tokens",
     "jl_projection",
     "bpe_train_merges",
+    "profile_events",
+    "mad_outlier_flags",
 )
 
 

@@ -72,21 +72,43 @@ def profile_table(df: DataFrame) -> DataFrame:
     return out.orderBy("column")
 
 
-def profile_table_sql(table: str, df: DataFrame) -> str:
-    """DuckDB oracle twin — same per-column stats; the ``dtype``
-    literal comes from the same Spark schema ``df`` (the oracle
-    verifies the data statistics, not Spark's type-name strings).
+_NUM_NAMES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+)
+
+
+def _kind_of_name(dtype: str) -> str:
+    if dtype == "string":
+        return "str"
+    if any(dtype == n or dtype.startswith("decimal") for n in _NUM_NAMES):
+        return "num"
+    return "other"
+
+
+def profile_table_sql_from_schema(
+    table: str, fields: "list[tuple[str, str]]"
+) -> str:
+    """DuckDB oracle twin from a static (name, spark-dtype-string)
+    list — usable where no SparkSession exists (the driver registry
+    builds oracle strings at import time). The ``dtype`` literal
+    echoes the Spark name; the oracle verifies the DATA statistics.
 
     Count-distinct caveat shared with the Spark side: both engines
     exclude NULL from ``count(DISTINCT …)`` and compare strings under
     binary collation, so every stat is portable."""
     selects = []
-    for field in df.schema.fields:
-        c, kind = field.name, _kind(field.dataType)
+    for c, dtype in fields:
+        kind = _kind_of_name(dtype)
         num = f"CAST({c} AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
         s = c if kind == "str" else "CAST(NULL AS VARCHAR)"
         selects.append(
-            f'SELECT \'{c}\' AS "column", \'{field.dataType.simpleString()}\' AS dtype,'
+            f'SELECT \'{c}\' AS "column", \'{dtype}\' AS dtype,'
             f" CAST(count(*) AS BIGINT) AS n_rows,"
             f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
             f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
@@ -96,3 +118,12 @@ def profile_table_sql(table: str, df: DataFrame) -> str:
             f" FROM {table}"
         )
     return " UNION ALL ".join(selects) + ' ORDER BY "column"'
+
+
+def profile_table_sql(table: str, df: DataFrame) -> str:
+    """DuckDB oracle twin built from a live DataFrame's schema (test
+    convenience over :func:`profile_table_sql_from_schema`)."""
+    return profile_table_sql_from_schema(
+        table,
+        [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+    )
