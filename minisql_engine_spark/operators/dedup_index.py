@@ -92,8 +92,24 @@ def dedup_against_index(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    seen = _index_keys(spark, path).select("content_hash")
-    return in_batch.join(seen, "content_hash", "left_anti")
+    # The index must NEVER shuffle on admission (it is the corpus-
+    # sized side). A plain `batch ANTI JOIN index` would sort-merge —
+    # shuffling the whole index per batch. Instead the (small) batch
+    # key set broadcasts INTO the index scan as a semi-filter, and the
+    # surviving index keys (≤ |batch|) broadcast back into the anti
+    # join: the index is scan-only, both joins are broadcast-hash
+    # (plan-gated in test_plans.py). For a batch too large to
+    # broadcast, chunk it upstream — that is the micro-batch contract
+    # (`streaming/ingest.py`).
+    batch_keys = in_batch.select("content_hash").distinct()
+    seen_matching = (
+        _index_keys(spark, path)
+        .select("content_hash")
+        .join(F.broadcast(batch_keys), "content_hash", "left_semi")
+    )
+    return in_batch.join(
+        F.broadcast(seen_matching), "content_hash", "left_anti"
+    )
 
 
 def append_to_index(survivors: DataFrame, path: str) -> None:

@@ -92,19 +92,26 @@ def neardup_against_index(
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    materialize: bool = True,
 ) -> DataFrame:
     """(batch columns…, content signature columns): the batch rows
     with NO indexed neighbor at estimated Jaccard ≥ ``threshold``.
     Does not mutate the index; pass the result to
     :func:`append_to_neardup_index` once durably admitted (the same
-    two-step contract as ``dedup_index``)."""
+    two-step contract as ``dedup_index``).
+
+    ``materialize=False`` returns the lazy plan (no signature persist
+    or checkpoint — used by plan-shape tests and compositions that
+    manage caching themselves)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
     spark = df.sparkSession
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, num_hashes=num_hashes
-    ).persist()
-    sigs.count()
+    )
+    if materialize:
+        sigs = sigs.persist()
+        sigs.count()
     try:
         index = spark.read.parquet(path)
         isigs = index.select(
@@ -123,14 +130,32 @@ def neardup_against_index(
             num_hashes=num_hashes,
             band_size=band_size,
         )
+        # The index must never shuffle on admission: the (small) batch
+        # band keys broadcast INTO the index-band derivation as a
+        # semi-filter, so the index is scan-only and the collided rows
+        # (bounded by LSH bucket hits against one batch) broadcast
+        # back — the same no-index-shuffle plan as dedup_index.
+        batch_keys = batch_bands.select("band", "band_key").distinct()
+        index_hits = index_bands.join(
+            F.broadcast(batch_keys), ["band", "band_key"], "left_semi"
+        )
         candidates = (
-            batch_bands.join(index_bands, ["band", "band_key"])
+            batch_bands.join(
+                F.broadcast(index_hits), ["band", "band_key"]
+            )
             .select(id_col, F.col("_iid").alias("indexed_id"))
             .distinct()
         )
+        # signature fetch for the verify: again filter the corpus-
+        # sized signature table by the (small) candidate id set before
+        # any join
+        cand_ids = candidates.select("indexed_id").distinct()
+        isigs_hit = isigs.join(
+            F.broadcast(cand_ids), "indexed_id", "left_semi"
+        )
         rejected = (
             candidates.join(sigs, id_col)
-            .join(isigs, "indexed_id")
+            .join(F.broadcast(isigs_hit), "indexed_id")
             .filter(_est_jaccard(num_hashes) >= threshold)
             .select(id_col)
             .distinct()
@@ -142,11 +167,12 @@ def neardup_against_index(
             sigs.select(id_col, *_sig_cols(num_hashes), "n_sh"),
             id_col,
             "left",
-        ).join(rejected, id_col, "left_anti")
+        ).join(F.broadcast(rejected), id_col, "left_anti")
         # materialize before unpersist releases the signature cache
-        out = admitted.localCheckpoint(eager=True)
+        out = admitted.localCheckpoint(eager=True) if materialize else admitted
     finally:
-        sigs.unpersist()
+        if materialize:
+            sigs.unpersist()
     return out
 
 

@@ -388,3 +388,47 @@ def test_bpe_pair_counts_partial_agg_no_sort(spark, sf_dir):
     plan = plan_of(_pair_counts(bpe_word_counts(docs)))
     assert "partial_sum" in plan
     assert "SortAggregate" not in plan
+
+
+def test_admission_never_shuffles_the_index(spark, sf_dir, tmp_path):
+    """Incremental admission: the corpus-sized index side must be
+    scan-only — batch keys broadcast INTO it as a semi-filter and the
+    survivors broadcast back, so the plan has broadcast joins only
+    (no SortMergeJoin, no hashpartitioning of index rows)."""
+    from minisql_engine_spark.operators.dedup_index import (
+        dedup_against_index,
+        init_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    init_dedup_index(docs.filter(F.col("doc_id") < 200), path)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    plan = plan_of(dedup_against_index(batch, path))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi-filter + anti
+    # the only exchange allowed is the batch's own min-id window
+    import re
+
+    scans = plan.count("Scan parquet")
+    assert scans >= 2  # batch + index both scanned, neither repartitioned
+
+
+def test_neardup_admission_never_shuffles_the_index(spark, sf_dir, tmp_path):
+    from minisql_engine_spark.operators.neardup_index import (
+        init_neardup_index,
+        neardup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "nidx")
+    init_neardup_index(docs.filter(F.col("doc_id") < 150), path)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    lazy = neardup_against_index(
+        batch, path, threshold=0.7, materialize=False
+    )
+    plan = plan_of(lazy)
+    assert "SortMergeJoin" not in plan
+    # band semi-filter + candidate join + isig semi-filter + isig
+    # join + final anti — all broadcast-hash
+    assert plan.count("BroadcastHashJoin") >= 4
