@@ -10,6 +10,13 @@ from minisql_engine_spark.sources.zorder import (
     with_zvalue,
     write_zordered,
 )
+from minisql_engine_spark.sources.snapshots import (
+    delete_from_snapshot,
+    list_versions,
+    merge_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
 from minisql_engine_spark.sources.writers import (
     read_jsonl,
     read_orc,
@@ -25,6 +32,11 @@ __all__ = [
     "load_tables",
     "register_views",
     "load_csv_database",
+    "delete_from_snapshot",
+    "list_versions",
+    "merge_snapshot",
+    "read_snapshot",
+    "write_snapshot",
     "read_jsonl",
     "read_orc",
     "write_csv",

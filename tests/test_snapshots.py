@@ -1,0 +1,102 @@
+"""Snapshot tables: version isolation, time travel, MERGE/DELETE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.sources import load_table
+from minisql_engine_spark.sources.snapshots import (
+    current_version,
+    delete_from_snapshot,
+    list_versions,
+    merge_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def base(spark, sf_dir, tmp_path):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("doc_id") < 200)
+    )
+    path = str(tmp_path / "tbl")
+    v = write_snapshot(docs, path)
+    assert v == 1
+    return docs, path
+
+
+def test_versions_and_time_travel(spark, base, tmp_path):
+    docs, path = base
+    v2 = write_snapshot(docs.filter(F.col("doc_id") < 50), path)
+    assert v2 == 2
+    assert list_versions(path) == [1, 2]
+    assert read_snapshot(spark, path).count() == 50  # latest
+    assert read_snapshot(spark, path, version=1).count() == docs.count()
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=9)
+
+
+def test_merge_upsert_semantics(spark, base):
+    docs, path = base
+    n0 = docs.count()
+    updates = spark.createDataFrame(
+        [
+            (5, "REPLACED BODY", "web"),     # update existing key
+            (100001, "BRAND NEW DOC", "web"),  # insert
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    v = merge_snapshot(spark, path, updates, ["doc_id"])
+    assert v == 2
+    cur = read_snapshot(spark, path)
+    assert cur.count() == n0 + 1
+    assert (
+        cur.filter(F.col("doc_id") == 5).first()["text"] == "REPLACED BODY"
+    )
+    assert cur.filter(F.col("doc_id") == 100001).count() == 1
+    # version 1 untouched (snapshot isolation / time travel)
+    old = read_snapshot(spark, path, version=1)
+    assert old.filter(F.col("doc_id") == 5).first()["text"] != "REPLACED BODY"
+    assert old.count() == n0
+
+
+def test_merge_schema_mismatch_rejected(spark, base):
+    _, path = base
+    bad = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        merge_snapshot(spark, path, bad, ["doc_id"])
+
+
+def test_delete_where(spark, base):
+    docs, path = base
+    n0 = docs.count()
+    n_web = docs.filter(F.col("source") == "web").count()
+    v = delete_from_snapshot(spark, path, "source = 'web'")
+    assert v == 2
+    cur = read_snapshot(spark, path)
+    assert cur.count() == n0 - n_web
+    assert cur.filter(F.col("source") == "web").count() == 0
+    assert read_snapshot(spark, path, version=1).count() == n0
+
+
+def test_merge_plan_broadcasts_update_keys(spark, base):
+    """The base (big side) must not shuffle: the update-key anti join
+    builds a broadcast from the keys."""
+    from tests.test_plans import plan_of
+
+    docs, path = base
+    updates = spark.createDataFrame(
+        [(5, "x", "web")], "doc_id bigint, text string, source string"
+    )
+    keys = updates.select("doc_id").distinct()
+    base_df = read_snapshot(spark, path)
+    merged = base_df.join(
+        F.broadcast(keys), ["doc_id"], "left_anti"
+    ).unionByName(updates)
+    plan = plan_of(merged)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
