@@ -7,8 +7,8 @@ files plus one new manifest. Readers pin a manifest, so they get
 snapshot isolation for free: a long query reading version 3 is
 untouched by a concurrent commit of version 4, and time travel is
 "read an old manifest". Nothing is ever rewritten or deleted on the
-write path (object-store-friendly; vacuuming unreferenced files is a
-separate, explicitly-invoked GC — not implemented here, documented).
+write path (object-store-friendly; reclaiming space is the separate,
+explicitly-invoked :func:`vacuum_snapshots` GC — never implicit).
 
 Layout under ``base_path``:
 
@@ -143,3 +143,30 @@ def delete_from_snapshot(
     version = current_version(base_path) + 1
     _commit(remaining, base_path, version)
     return version
+
+
+def vacuum_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
+    """GC: drop all but the last ``keep_last`` versions — deletes
+    their manifests and any data dir no surviving manifest references.
+    Returns the removed version numbers. Explicit, destructive, never
+    implicit: time travel to a vacuumed version then raises."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = list_versions(base_path)
+    doomed, kept = versions[:-keep_last], versions[-keep_last:]
+    if not doomed:
+        return []
+    referenced: set[str] = set()
+    for v in kept:
+        with open(_manifest_path(base_path, v)) as f:
+            referenced.update(json.load(f)["data_dirs"])
+    for v in doomed:
+        mp = _manifest_path(base_path, v)
+        with open(mp) as f:
+            for d in json.load(f)["data_dirs"]:
+                if d not in referenced and os.path.isdir(d):
+                    shutil.rmtree(d)
+        os.remove(mp)
+    return doomed

@@ -69,3 +69,45 @@ def stream_admit(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_admit_neardup(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Near-duplicate streaming admission — the MinHash twin of
+    :func:`stream_admit`: each micro-batch is checked against the
+    persisted signature index (:mod:`operators.neardup_index`),
+    survivors append to the corpus and their signatures to the index.
+    Same durability/idempotence story: a replayed batch re-collides
+    with its own indexed signatures at estimated Jaccard 1 and admits
+    nothing. The index must already exist (``init_neardup_index``)."""
+    from minisql_engine_spark.operators.neardup_index import (
+        append_to_neardup_index,
+        neardup_against_index,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = neardup_against_index(
+            batch_df,
+            index_path,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        # neardup_against_index already localCheckpoints (its sig
+        # cache lifecycle); write then index from the settled result
+        survivors.write.mode("append").parquet(out_path)
+        append_to_neardup_index(survivors, index_path, id_col=id_col)
+
+    return (
+        stream_docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -12,6 +12,7 @@ from minisql_engine_spark.sources.snapshots import (
     list_versions,
     merge_snapshot,
     read_snapshot,
+    vacuum_snapshots,
     write_snapshot,
 )
 
@@ -100,3 +101,18 @@ def test_merge_plan_broadcasts_update_keys(spark, base):
     plan = plan_of(merged)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_vacuum_removes_old_versions_only(spark, base):
+    docs, path = base
+    write_snapshot(docs.filter(F.col("doc_id") < 50), path)
+    write_snapshot(docs.filter(F.col("doc_id") < 10), path)
+    removed = vacuum_snapshots(path, keep_last=2)
+    assert removed == [1]
+    assert list_versions(path) == [2, 3]
+    assert read_snapshot(spark, path, version=2).count() == 50
+    assert read_snapshot(spark, path).count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=1)
+    with pytest.raises(ValueError):
+        vacuum_snapshots(path, keep_last=0)

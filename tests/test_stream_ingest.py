@@ -97,3 +97,53 @@ def test_stream_admission_content_exactly_once(spark, staged, tmp_path):
     )
     assert n_replay == 0
     assert index_stats(spark, index).collect()[0]["n_keys"] == n
+
+
+def test_stream_neardup_admission(spark, sf_dir, tmp_path):
+    """Micro-batched near-dup admission: exact re-crawls collide with
+    the seeded index; replay under a fresh checkpoint admits nothing."""
+    from minisql_engine_spark.operators.neardup_index import (
+        init_neardup_index,
+        neardup_index_stats,
+    )
+    from minisql_engine_spark.streaming.ingest import stream_admit_neardup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") < 100)
+    fresh = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    dups = seed.limit(8).select((F.col("doc_id") + 7000).alias("doc_id"), "text")
+    drop = str(tmp_path / "drop")
+    fresh.coalesce(1).write.mode("append").parquet(drop)
+    dups.coalesce(1).write.mode("append").parquet(drop)
+
+    index = str(tmp_path / "nidx")
+    init_neardup_index(seed, index)
+    n0 = neardup_index_stats(spark, index).collect()[0]["n_docs"]
+
+    schema = spark.read.parquet(drop).schema
+    q = stream_admit_neardup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    admitted = spark.read.parquet(str(tmp_path / "out"))
+    ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    assert not any(i >= 7000 for i in ids), "an exact re-crawl was admitted"
+    # replay: a fresh query over the same folder admits nothing new
+    n1 = neardup_index_stats(spark, index).collect()[0]["n_docs"]
+    q2 = stream_admit_neardup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index,
+        str(tmp_path / "out2"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert neardup_index_stats(spark, index).collect()[0]["n_docs"] == n1
+    assert n1 > n0
