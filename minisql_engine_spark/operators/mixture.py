@@ -66,12 +66,21 @@ def mixture_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "mixture",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Deterministically select docs per source up to
     ``floor(weight/Σweights · token_budget)`` tokens (straddler kept;
     see module docstring). Sources absent from ``weights`` are
     dropped. Returns ``(source, doc_id, n_tokens, cum_tokens,
-    allowance_tokens)`` for every selected doc."""
+    allowance_tokens)`` for every selected doc.
+
+    ``priority_col`` switches admission from pure md5 order to
+    quality-first: docs fill each source's allowance in
+    (priority DESC NULLS LAST, md5, id) order — the composition point
+    for DSIR importance weights or quality scores ("spend the token
+    budget on the best-scored documents first"). The md5 stays as the
+    deterministic tie-break, so equal-priority docs keep the unbiased
+    hash order."""
     allow = _allowances(weights, int(token_budget))
     expr = None
     for s in sorted(allow):
@@ -83,16 +92,27 @@ def mixture_sample(
         )
     alloc = expr.otherwise(F.lit(None).cast("bigint"))
 
+    pri_cols = (
+        [F.col(priority_col).cast("double").alias("_pri")]
+        if priority_col is not None
+        else []
+    )
     base = docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("doc_id"),
         F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
         alloc.alias("allowance_tokens"),
+        *pri_cols,
     ).filter(F.col("allowance_tokens").isNotNull())
 
+    order = [sample_hash(F.col("doc_id"), seed), F.col("doc_id")]
+    if priority_col is not None:
+        # explicit NULLS LAST: Spark's DESC default matches DuckDB's,
+        # but the contract should not hinge on two engines' defaults
+        order = [F.col("_pri").desc_nulls_last()] + order
     w = (
         Window.partitionBy("source")
-        .orderBy(sample_hash(F.col("doc_id"), seed), "doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
@@ -119,6 +139,7 @@ def mixture_sample_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "mixture",
+    priority_col: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`mixture_sample`."""
     allow = _allowances(weights, int(token_budget))
@@ -134,11 +155,18 @@ def mixture_sample_sql(
         f"  {n_tok} AS n_tokens,"
         f"  CASE {source_col} {case} ELSE NULL END AS allowance_tokens,"
         f"  {pri} AS pri"
-        f" FROM {table}),"
+        + (
+            f", CAST({priority_col} AS DOUBLE) AS qpri"
+            if priority_col is not None
+            else ""
+        )
+        + f" FROM {table}),"
         " c AS ("
         "  SELECT source, doc_id, n_tokens,"
         "   CAST(sum(n_tokens) OVER (PARTITION BY source"
-        "    ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)"
+        "    ORDER BY "
+        + ("qpri DESC NULLS LAST, " if priority_col is not None else "")
+        + "pri, doc_id ROWS UNBOUNDED PRECEDING)"
         "    AS BIGINT) AS cum_tokens,"
         "   allowance_tokens"
         "  FROM b WHERE allowance_tokens IS NOT NULL)"

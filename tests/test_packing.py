@@ -272,3 +272,45 @@ def test_training_shard_export_roundtrip_and_pruning(spark, docs, tmp_path):
     assert "PartitionFilters: [isnotnull(shard" in plan, plan[:1500]
     expected = packed.filter(F.col("shard") == a_shard).count()
     assert one.count() == expected
+
+
+def test_mixture_priority_admission(spark, duck, sf_dir):
+    """priority_col: the binding allowance goes to the best-scored
+    docs first; oracle replays the same (priority DESC, md5, id)
+    order."""
+    from minisql_engine_spark.operators.mixture import (
+        mixture_sample,
+        mixture_sample_sql,
+    )
+    from minisql_engine_spark.sources import load_table
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "score", (F.col("doc_id") % 7).cast("double")
+    )
+    weights = {"web": 1.0, "books": 1.0}
+    out = mixture_sample(docs, weights, 5000, priority_col="score")
+    # register the scored frame for the oracle
+    duck.execute(
+        "CREATE OR REPLACE VIEW _scored AS SELECT *,"
+        " CAST(doc_id % 7 AS DOUBLE) AS score FROM documents"
+    )
+    oracle = duck.sql(
+        mixture_sample_sql("_scored", weights, 5000, priority_col="score")
+    ).df()
+    assert_matches_oracle(out, oracle, "mixture priority")
+    # the admitted set is quality-first: every admitted doc's score is
+    # >= every skipped doc's score within its source (modulo the one
+    # straddler-boundary doc per source)
+    sel = out.toPandas()
+    alldocs = docs.filter(
+        F.col("source").isin(*weights)
+    ).select("doc_id", "source", "score").toPandas()
+    for src_name, grp in alldocs.groupby("source"):
+        chosen = set(sel[sel["source"] == src_name]["doc_id"])
+        if not chosen or len(chosen) == len(grp):
+            continue
+        min_chosen = grp[grp["doc_id"].isin(chosen)]["score"].min()
+        max_skipped = grp[~grp["doc_id"].isin(chosen)]["score"].max()
+        # boundary doc can break the invariant by at most one rank
+        assert min_chosen >= max_skipped - 1.0
