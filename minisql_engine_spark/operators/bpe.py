@@ -296,3 +296,52 @@ def bpe_tokenize_corpus(
         }
     )
     return toked, merges_df
+
+
+def bpe_tokens_long(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, token): the applied tokenization in long format —
+    the hash-comparable shape (array columns stringify differently
+    across engine→pandas bridges; exploded rows compare exactly)."""
+    return bpe_apply(df, merges, text_col=text_col).select(
+        F.col(id_col),
+        F.posexplode("bpe_tokens").alias("pos", "token"),
+    )
+
+
+def bpe_apply_sql(
+    table: str,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`bpe_tokens_long` — the identical
+    wrap → chained-replace → split pipeline per word, flattened with
+    positions. The chain is evaluated twice per word (substring needs
+    its length; SQL lambdas cannot let-bind) — an oracle-side cost
+    only, bounded by n_merges."""
+    s = SEP
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    chain = (
+        f"regexp_replace(replace(w, '{s}', ''), '(.)', '{s}\\1{s}', 'g')"
+    )
+    for left, right in merges:
+        pat = f"{s}{left}{s}{s}{right}{s}".replace("'", "''")
+        rep = f"{s}{left}{right}{s}".replace("'", "''")
+        chain = f"replace({chain}, '{pat}', '{rep}')"
+    per_word = (
+        f"string_split(substring({chain}, 2, length({chain}) - 2),"
+        f" '{s}{s}')"
+    )
+    return (
+        f"WITH t AS (SELECT {id_col},"
+        f"  flatten(list_transform(string_split({norm}, ' '),"
+        f"   w -> {per_word})) AS toks"
+        f" FROM {table} WHERE trim({text_col}) <> '')"
+        f" SELECT {id_col}, generate_subscripts(toks, 1) - 1 AS pos,"
+        f" unnest(toks) AS token FROM t"
+    )

@@ -334,3 +334,106 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return with_payloads.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def decode_video(payload: bytes) -> "list":
+    """Decode an uncompressed AVI (RIFF / BI_RGB 24-bit) payload into
+    a list of (height, width, 3) uint8 BGR frame arrays using ONLY
+    stdlib ``struct`` parsing — a REAL container decoder with zero
+    optional dependencies, completing the video modality the way the
+    stdlib ``wave`` codec completed audio. Compressed codecs
+    (MJPEG/H.264 …) raise ``NotImplementedError`` — wire
+    pyav/ffmpeg (or inject a decoder) for those; the Spark plumbing
+    is codec-agnostic either way.
+
+    Parser: RIFF walker over 'AVI ' → 'hdrl' (BITMAPINFOHEADER in
+    'strf' gives width/height/bpp/compression) → 'movi' ('..db'/'..dc'
+    chunks are frames; rows are bottom-up BGR, padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    def bad(msg: str) -> "NotImplementedError":
+        return NotImplementedError(
+            f"payload is not an uncompressed AVI ({msg}); wire "
+            "pyav/ffmpeg (or inject a decoder) for compressed video"
+        )
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise bad("missing RIFF/AVI header")
+
+    width = height = bpp = None
+    compression = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal width, height, bpp, compression
+        while off + 8 <= end:
+            fourcc = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            body = off + 8
+            if body + size > end:
+                raise bad(f"chunk {fourcc!r} overruns container")
+            if fourcc == b"LIST":
+                walk(buf, body + 4, body + size)  # skip list subtype
+            elif fourcc == b"strf" and size >= 20 and width is None:
+                # BITMAPINFOHEADER: biWidth @4, biHeight @8, biBitCount
+                # @14, biCompression @16 (only the FIRST strf — the
+                # video stream header precedes any audio stream's)
+                width, height = struct.unpack("<ii", buf[body + 4 : body + 12])
+                (bpp,) = struct.unpack("<H", buf[body + 14 : body + 16])
+                (compression,) = struct.unpack(
+                    "<I", buf[body + 16 : body + 20]
+                )
+            elif fourcc[2:4] in (b"db", b"dc") and size > 0:
+                frames.append(buf[body : body + size])
+            off = body + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if width is None:
+        raise bad("no video stream format (strf) found")
+    if compression != 0 or bpp != 24:
+        raise bad(
+            f"compression={compression} bpp={bpp}; only BI_RGB 24-bit"
+            " is decodable without a codec library"
+        )
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # BMP rows pad to 4 bytes
+    out = []
+    for f in frames:
+        if len(f) < stride * h:
+            raise bad(f"frame holds {len(f)} bytes < {stride * h}")
+        arr = np.frombuffer(f[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )[:, : width * 3].reshape(h, width, 3)
+        if height > 0:  # positive biHeight = bottom-up rows
+            arr = arr[::-1]
+        out.append(arr)
+    return out
+
+
+def avi_video_stats(payload: bytes) -> tuple[int, float]:
+    """Real-codec drop-in for ``extract_features``'s VIDEO decoder
+    slot: (total pixel-channel count across frames, mean value) from
+    :func:`decode_video` — the same ``bytes -> (count, mean)``
+    contract as the deterministic fake."""
+    import numpy as np
+
+    frames = decode_video(payload)
+    if not frames:
+        return 0, 0.0
+    flat = np.concatenate([f.reshape(-1) for f in frames])
+    return int(flat.size), float(flat.mean())
+
+
+def avi_frame_extractor(payload: bytes, i: int, n: int) -> bytes:
+    """Real frame sampler for :func:`sample_frames`'s
+    ``frame_extractor`` slot: decodes the AVI and returns the raw
+    bytes (C-order BGR, top-down) of the evenly-spaced ``i``-th of
+    ``n`` sampled frames. Same ``(bytes, idx, n) -> bytes`` contract
+    as the deterministic byte-slice fake."""
+    frames = decode_video(payload)
+    if not frames:
+        return b""
+    pick = min((i * len(frames)) // n, len(frames) - 1)
+    return frames[pick].tobytes()

@@ -191,3 +191,21 @@ def test_tokenize_corpus_composes_with_packing(spark, sf_dir):
     ).collect()[0][0]
     bpe_total = sum(counts.values())
     assert bpe_total > ws  # chars merged only 8 times: still > word count
+
+
+def test_bpe_apply_oracle(spark, duck, sf_dir):
+    """Application is oracle-checked too: the learned merges replay
+    over the corpus identically in both engines (long format — array
+    columns never hash-compare across the pandas bridges)."""
+    from minisql_engine_spark.operators.bpe import (
+        bpe_apply_sql,
+        bpe_tokens_long,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe_train(bpe_word_counts(docs), 8)
+    merges = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()]
+    out = bpe_tokens_long(docs, merges)
+    oracle = duck.sql(bpe_apply_sql("documents", merges)).df()
+    assert_matches_oracle(out, oracle, "bpe_apply")
