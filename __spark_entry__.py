@@ -3207,6 +3207,38 @@ def _mad_oracle() -> str:
 _ORACLES["mad_outlier_flags"] = _mad_oracle()
 
 
+@_register(
+    "corpus_drift",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_corpus_drift(spark, sf_dir):
+    """Corpus drift monitor: six-metric distribution-shift report of
+    the odd-doc_id half of documents vs the even half — token-unigram
+    JS divergence, OOV occurrence rate, new token types, exact
+    p50/p90 length shift, and source-mix L1. Each side is scanned at
+    most three times; the only corpus-sized shuffle is the token
+    full-outer join of two already-aggregated vocabulary tables
+    (operators/drift.py)."""
+    from minisql_engine_spark.operators.drift import corpus_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _drift_oracle() -> str:
+    from minisql_engine_spark.operators.drift import corpus_drift_sql
+
+    return corpus_drift_sql(
+        "documents", "doc_id % 2 = 0", "doc_id % 2 = 1"
+    )
+
+
+_ORACLES["corpus_drift"] = _drift_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3288,12 +3320,18 @@ _ARCHIVED: frozenset[str] = frozenset(
         # parametrized-pytest-verified in tests/test_tpch.py)
         "tpch_q3_shipping_priority",
         "tpch_q10_returned_items",
+        # seventeenth (r5 session 5) — room for corpus_drift (TPC-H
+        # keeps q1/q8/q18 driver rows; q7 stays parametrized-pytest-
+        # verified in tests/test_tpch.py like the rest of the suite)
+        "tpch_q7_volume_shipping",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r5 session-5 additions — brand new operators, never driver-checked
+    "corpus_drift",
     # r5 session-3 additions — brand new operators, never driver-checked
     "bm25_retrieval",
     "lm_perplexity_buckets",

@@ -85,6 +85,8 @@ HEADLINE = (
     "bpe_train_merges",
     "profile_events",
     "mad_outlier_flags",
+    # r5 session 5: corpus drift monitor
+    "corpus_drift",
 )
 
 

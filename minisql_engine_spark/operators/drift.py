@@ -1,0 +1,270 @@
+"""Corpus drift monitor — distribution shift between two corpus slices.
+
+The data-ops question behind every continuously-ingested training
+corpus: "is today's crawl the same distribution as yesterday's?"
+(Reference scope note: the reference engine — sqlengine.py — has no
+corpus analytics at all; this extends the engine's data-quality
+family the way a 100 TB pipeline needs.)  One call compares slice B
+(new) against slice A (baseline) and emits a fixed six-row report:
+
+  ``js_divergence_tokens``  Jensen–Shannon divergence (base 2, so
+                            bounded [0, 1]) between the unigram token
+                            distributions — the standard symmetric,
+                            finite alternative to KL for vocabulary
+                            shift.
+  ``oov_token_rate``        fraction of B's token OCCURRENCES whose
+                            type never appears in A (mass-weighted —
+                            a single weird new token does not move it).
+  ``new_token_types``       count of distinct B types absent from A
+                            (type-weighted twin of the above).
+  ``len_p50_shift``         exact interpolated median of the length
+  ``len_p90_shift``         column in B minus A (and the p90 twin) —
+                            document-size drift.
+  ``source_mix_l1``         L1 distance between the source-share
+                            vectors — composition drift.
+
+Plan shape (the 100 TB story): each side is scanned at most three
+times — once for token counts (explode → ONE hash aggregate on token
+with map-side partials, Zipf-hot keys collapse in the combine), once
+for the length percentile (sort-based agg, spillable), once for the
+source counts (tiny). The token tables join full-outer ON TOKEN (the
+only corpus-sized shuffle; both sides are already aggregated to
+near-vocabulary size), the 1-row totals broadcast, and every metric
+reduces to a single row — nothing is ever collected and no state
+scales with document count, only with vocabulary size.
+
+Portability: JS/OOV terms are evaluated with the identical
+``p·(log2 p − log2 m)`` decomposition in Spark and the DuckDB oracle
+and both engines round the final sum to 6 decimals (the libm-ulp
+policy every float edge in this package uses); the length quantiles
+reuse the ``percentile`` ≡ ``quantile_cont`` bit-parity established
+by :func:`minisql_engine_spark.operators.stats.exact_quantiles`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
+
+METRICS = (
+    "js_divergence_tokens",
+    "len_p50_shift",
+    "len_p90_shift",
+    "new_token_types",
+    "oov_token_rate",
+    "source_mix_l1",
+)
+
+
+def _token_counts(docs: DataFrame, text_col: str, out: str) -> DataFrame:
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias(out))
+    )
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """(metric, value) — six drift metrics of slice B vs baseline A
+    (see module docstring). Deterministic; ordered by metric name."""
+    ta = _token_counts(docs_a, text_col, "na")
+    tb = _token_counts(docs_b, text_col, "nb")
+    j = (
+        ta.join(tb, "t", "full_outer")
+        .select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("na").cast("double").alias("tot_na"),
+        F.sum("nb").cast("double").alias("tot_nb"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))
+    p = F.col("na").cast("double") / F.col("tot_na")
+    q = F.col("nb").cast("double") / F.col("tot_nb")
+    m = (p + q) / 2
+    js_term = F.lit(0.5) * (
+        F.when(F.col("na") > 0, p * (F.log2(p) - F.log2(m))).otherwise(0.0)
+        + F.when(F.col("nb") > 0, q * (F.log2(q) - F.log2(m))).otherwise(
+            0.0
+        )
+    )
+    tok = jt.agg(
+        F.round(F.sum(js_term), 6).alias("js"),
+        F.round(
+            F.sum(
+                F.when(F.col("na") == 0, F.col("nb")).otherwise(0)
+            ).cast("double")
+            / F.max("tot_nb"),
+            6,
+        ).alias("oov"),
+        F.sum(F.when(F.col("na") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("newt"),
+    )
+
+    qa = docs_a.agg(
+        F.expr(f"percentile({len_col}, 0.5)").alias("a50"),
+        F.expr(f"percentile({len_col}, 0.9)").alias("a90"),
+    )
+    qb = docs_b.agg(
+        F.expr(f"percentile({len_col}, 0.5)").alias("b50"),
+        F.expr(f"percentile({len_col}, 0.9)").alias("b90"),
+    )
+    lens = qa.crossJoin(qb)
+
+    sa = docs_a.groupBy(F.col(source_col).alias("s")).agg(
+        F.count("*").cast("bigint").alias("ca")
+    )
+    sb = docs_b.groupBy(F.col(source_col).alias("s")).agg(
+        F.count("*").cast("bigint").alias("cb")
+    )
+    sj = sa.join(sb, "s", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    stot = sj.agg(
+        F.sum("ca").cast("double").alias("tot_sa"),
+        F.sum("cb").cast("double").alias("tot_sb"),
+    )
+    smix = (
+        sj.crossJoin(F.broadcast(stot))
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("cb").cast("double") / F.col("tot_sb")
+                        - F.col("ca").cast("double") / F.col("tot_sa")
+                    )
+                ),
+                6,
+            ).alias("v")
+        )
+    )
+
+    def _row(name: str, col):
+        return F.struct(
+            F.lit(name).alias("metric"), col.cast("double").alias("value")
+        )
+
+    tok_rows = tok.select(
+        F.explode(
+            F.array(
+                _row("js_divergence_tokens", F.col("js")),
+                _row("new_token_types", F.col("newt")),
+                _row("oov_token_rate", F.col("oov")),
+            )
+        ).alias("_r")
+    ).select("_r.metric", "_r.value")
+    len_rows = lens.select(
+        F.explode(
+            F.array(
+                _row(
+                    "len_p50_shift",
+                    F.round(F.col("b50") - F.col("a50"), 6),
+                ),
+                _row(
+                    "len_p90_shift",
+                    F.round(F.col("b90") - F.col("a90"), 6),
+                ),
+            )
+        ).alias("_r")
+    ).select("_r.metric", "_r.value")
+    mix_rows = smix.select(
+        F.lit("source_mix_l1").alias("metric"),
+        F.col("v").cast("double").alias("value"),
+    )
+    return tok_rows.unionAll(len_rows).unionAll(mix_rows).orderBy("metric")
+
+
+def corpus_drift_sql(
+    table: str,
+    pred_a: str,
+    pred_b: str,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> str:
+    """DuckDB oracle twin of :func:`corpus_drift` — identical
+    tokenization, the same ``p·(log2 p − log2 m)`` decomposition, and
+    the same round-to-6 edges, term for term. ``pred_a``/``pred_b``
+    are SQL predicates selecting the two slices of ``table``."""
+    def toks(side: str, pred: str, out: str) -> str:
+        return (
+            f"t{side} AS (SELECT t, CAST(count(*) AS BIGINT) AS {out}"
+            f" FROM (SELECT unnest(string_split(regexp_replace("
+            f"lower(trim({text_col})), '\\s+', ' ', 'g'), ' ')) AS t"
+            f" FROM {table} WHERE ({pred})"
+            f" AND trim({text_col}) <> '') GROUP BY t)"
+        )
+
+    js_a = (
+        "CASE WHEN na > 0 THEN (CAST(na AS DOUBLE) / tot_na)"
+        " * (log2(CAST(na AS DOUBLE) / tot_na)"
+        " - log2(((CAST(na AS DOUBLE) / tot_na)"
+        " + (CAST(nb AS DOUBLE) / tot_nb)) / 2)) ELSE 0.0 END"
+    )
+    js_b = (
+        "CASE WHEN nb > 0 THEN (CAST(nb AS DOUBLE) / tot_nb)"
+        " * (log2(CAST(nb AS DOUBLE) / tot_nb)"
+        " - log2(((CAST(na AS DOUBLE) / tot_na)"
+        " + (CAST(nb AS DOUBLE) / tot_nb)) / 2)) ELSE 0.0 END"
+    )
+    return (
+        "WITH "
+        + toks("a", pred_a, "na")
+        + ", "
+        + toks("b", pred_b, "nb")
+        + (
+            " , j AS (SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb"
+            "  FROM ta FULL OUTER JOIN tb ON ta.t = tb.t),"
+            " tot AS (SELECT CAST(sum(na) AS DOUBLE) AS tot_na,"
+            "  CAST(sum(nb) AS DOUBLE) AS tot_nb FROM j),"
+            f" tok AS (SELECT round(sum(0.5 * ({js_a} + {js_b})), 6) AS js,"
+            "  round(CAST(sum(CASE WHEN na = 0 THEN nb ELSE 0 END)"
+            "   AS DOUBLE) / max(tot_nb), 6) AS oov,"
+            "  CAST(sum(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+            "   AS newt FROM j, tot),"
+            f" qa AS (SELECT quantile_cont({len_col}, 0.5) AS a50,"
+            f"  quantile_cont({len_col}, 0.9) AS a90 FROM {table}"
+            f"  WHERE ({pred_a})),"
+            f" qb AS (SELECT quantile_cont({len_col}, 0.5) AS b50,"
+            f"  quantile_cont({len_col}, 0.9) AS b90 FROM {table}"
+            f"  WHERE ({pred_b})),"
+            f" sa AS (SELECT {source_col} AS s,"
+            f"  CAST(count(*) AS BIGINT) AS ca FROM {table}"
+            f"  WHERE ({pred_a}) GROUP BY 1),"
+            f" sb AS (SELECT {source_col} AS s,"
+            f"  CAST(count(*) AS BIGINT) AS cb FROM {table}"
+            f"  WHERE ({pred_b}) GROUP BY 1),"
+            " sj AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb"
+            "  FROM sa FULL OUTER JOIN sb ON sa.s = sb.s),"
+            " stot AS (SELECT CAST(sum(ca) AS DOUBLE) AS tot_sa,"
+            "  CAST(sum(cb) AS DOUBLE) AS tot_sb FROM sj),"
+            " smix AS (SELECT round(sum(abs(CAST(cb AS DOUBLE) / tot_sb"
+            "  - CAST(ca AS DOUBLE) / tot_sa)), 6) AS v FROM sj, stot)"
+            " SELECT metric, value FROM ("
+            "  SELECT 'js_divergence_tokens' AS metric,"
+            "   CAST(js AS DOUBLE) AS value FROM tok"
+            "  UNION ALL SELECT 'new_token_types', newt FROM tok"
+            "  UNION ALL SELECT 'oov_token_rate', oov FROM tok"
+            "  UNION ALL SELECT 'len_p50_shift',"
+            "   round(b50 - a50, 6) FROM qa, qb"
+            "  UNION ALL SELECT 'len_p90_shift',"
+            "   round(b90 - a90, 6) FROM qa, qb"
+            "  UNION ALL SELECT 'source_mix_l1', v FROM smix"
+            " ) ORDER BY metric"
+        )
+    )

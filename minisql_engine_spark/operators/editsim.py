@@ -83,8 +83,20 @@ def edit_distance_pairs(
     base = df.select(
         F.col(id_col).alias("_id"), F.col(col).alias("_s")
     ).filter(F.col("_s").isNotNull())
+    # The join key is xxhash64(variant), not the variant string: the
+    # shuffle carries 8 bytes per key instead of ~|s| chars, and a
+    # hash collision can only ADD a candidate pair — the exact
+    # levenshtein verify below removes it, so recall and precision
+    # are both unchanged.
     var = base.select(
-        "_id", "_s", F.explode(_delete_variants(F.col("_s"), max_dist)).alias("_v")
+        "_id",
+        "_s",
+        F.explode(
+            F.transform(
+                _delete_variants(F.col("_s"), max_dist),
+                lambda v: F.xxhash64(v),
+            )
+        ).alias("_v"),
     )
     if max_group is not None:
         from pyspark.sql.window import Window

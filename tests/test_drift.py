@@ -1,0 +1,78 @@
+"""Corpus drift monitor — JS divergence / OOV / quantile / mix shift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.drift import (
+    corpus_drift,
+    corpus_drift_sql,
+)
+from minisql_engine_spark.sources import load_table
+from tests.conftest import assert_matches_oracle
+
+
+def test_corpus_drift_oracle(spark, duck, sf_dir):
+    """Even/odd doc_id split of the documents corpus — every one of
+    the six metrics must hash-match the DuckDB replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    oracle = corpus_drift_sql(
+        "documents", "doc_id % 2 = 0", "doc_id % 2 = 1"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "drift")
+
+
+def test_corpus_drift_identical_slices_are_zero(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = {
+        r["metric"]: r["value"]
+        for r in corpus_drift(docs, docs).collect()
+    }
+    assert got["js_divergence_tokens"] == 0.0
+    assert got["oov_token_rate"] == 0.0
+    assert got["new_token_types"] == 0.0
+    assert got["len_p50_shift"] == 0.0
+    assert got["len_p90_shift"] == 0.0
+    assert got["source_mix_l1"] == 0.0
+
+
+def test_corpus_drift_disjoint_slices(spark):
+    """Disjoint vocabularies and sources: JS hits its base-2 upper
+    bound 1, every B occurrence is OOV, and the mix L1 is 2."""
+    a = spark.createDataFrame(
+        [(1, "alpha beta alpha", 16, "s1"), (2, "beta gamma", 10, "s1")],
+        ["doc_id", "text", "n_chars", "source"],
+    )
+    b = spark.createDataFrame(
+        [(3, "delta epsilon", 13, "s2"), (4, "zeta zeta", 9, "s2")],
+        ["doc_id", "text", "n_chars", "source"],
+    )
+    got = {r["metric"]: r["value"] for r in corpus_drift(a, b).collect()}
+    assert got["js_divergence_tokens"] == pytest.approx(1.0)
+    assert got["oov_token_rate"] == 1.0
+    assert got["new_token_types"] == 3.0
+    assert got["source_mix_l1"] == pytest.approx(2.0)
+    assert got["len_p50_shift"] == pytest.approx(11.0 - 13.0)
+
+
+def test_corpus_drift_empty_text_and_skew(spark):
+    """Empty/whitespace docs contribute no tokens (the _ws_tokens
+    contract) but still count for length and source metrics."""
+    a = spark.createDataFrame(
+        [(1, "x y", 3, "s1"), (2, "", 0, "s2"), (3, "  ", 2, "s2")],
+        ["doc_id", "text", "n_chars", "source"],
+    )
+    b = spark.createDataFrame(
+        [(4, "x y x", 5, "s1")],
+        ["doc_id", "text", "n_chars", "source"],
+    )
+    got = {r["metric"]: r["value"] for r in corpus_drift(a, b).collect()}
+    assert got["new_token_types"] == 0.0
+    assert got["oov_token_rate"] == 0.0
+    # A: sources s1:1/3, s2:2/3; B: s1:1 → L1 = |1-1/3| + |0-2/3|
+    assert got["source_mix_l1"] == pytest.approx(4.0 / 3.0, abs=1e-6)
