@@ -3239,6 +3239,70 @@ def _drift_oracle() -> str:
 _ORACLES["corpus_drift"] = _drift_oracle()
 
 
+_AGGVIEW_MEASURES = {
+    "n_events": ("count", None),
+    "v_sum": ("dsum", "value"),
+    "v_min": ("min", "value"),
+    "v_max": ("max", "value"),
+    "uid_sum": ("sum", "user_id"),
+}
+
+
+@_register(
+    "incr_agg_events",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_incr_agg_events(spark, sf_dir):
+    """Incremental materialized aggregate view (IVM): three
+    event_id%3 batches of events merged batch-over-batch into a
+    persisted per-event_type state table (count / decimal-routed
+    sums / min / max), then read back. The oracle is the FULL
+    recompute — the hash match IS the proof that the incremental
+    merge equals a one-shot aggregate bit-for-bit, which only holds
+    because sums ride DECIMAL state (sources/aggview.py). Each
+    update scans one batch and joins group-cardinality state — the
+    100 TB contract."""
+    import hashlib
+    import tempfile
+
+    from minisql_engine_spark.sources.aggview import (
+        init_agg_view,
+        read_agg_view,
+        update_agg_view,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_aggview_{tag}")
+    # rebuilt every call — the maintenance cycle IS the operator
+    init_agg_view(
+        ev.filter(F.col("event_id") % 3 == 0),
+        path,
+        "event_type",
+        _AGGVIEW_MEASURES,
+    )
+    for i in (1, 2):
+        update_agg_view(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 3 == i),
+            "event_type",
+            _AGGVIEW_MEASURES,
+        )
+    return read_agg_view(spark, path, _AGGVIEW_MEASURES).orderBy(
+        "event_type"
+    )
+
+
+def _aggview_oracle() -> str:
+    from minisql_engine_spark.sources.aggview import agg_view_sql
+
+    return agg_view_sql("events", "event_type", _AGGVIEW_MEASURES)
+
+
+_ORACLES["incr_agg_events"] = _aggview_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3324,6 +3388,9 @@ _ARCHIVED: frozenset[str] = frozenset(
         # keeps q1/q8/q18 driver rows; q7 stays parametrized-pytest-
         # verified in tests/test_tpch.py like the rest of the suite)
         "tpch_q7_volume_shipping",
+        # eighteenth — room for incr_agg_events (TPC-H keeps q1 for
+        # the agg family and q18 for the join family)
+        "tpch_q8_market_share",
     }
 )
 
@@ -3332,6 +3399,7 @@ _ARCHIVED: frozenset[str] = frozenset(
 _VERIFY_FIRST: tuple[str, ...] = (
     # r5 session-5 additions — brand new operators, never driver-checked
     "corpus_drift",
+    "incr_agg_events",
     # r5 session-3 additions — brand new operators, never driver-checked
     "bm25_retrieval",
     "lm_perplexity_buckets",

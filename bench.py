@@ -85,8 +85,11 @@ HEADLINE = (
     "bpe_train_merges",
     "profile_events",
     "mad_outlier_flags",
-    # r5 session 5: corpus drift monitor
+    # r5 session 5: corpus drift monitor + incremental agg view
+    # (the timed number is the FULL maintenance cycle: init + two
+    # batch merges + read — rebuild-per-call is the operator)
     "corpus_drift",
+    "incr_agg_events",
 )
 
 

@@ -1,0 +1,93 @@
+"""Incremental materialized aggregate view (IVM) — batch merge ==
+full recompute, exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.sources import load_table
+from minisql_engine_spark.sources.aggview import (
+    agg_view_sql,
+    init_agg_view,
+    read_agg_view,
+    update_agg_view,
+)
+from tests.conftest import assert_matches_oracle
+
+MEASURES = {
+    "n_events": ("count", None),
+    "v_sum": ("dsum", "value"),
+    "v_min": ("min", "value"),
+    "v_max": ("max", "value"),
+    "uid_sum": ("sum", "user_id"),
+}
+
+
+def test_aggview_equals_full_recompute(spark, duck, sf_dir, tmp_path):
+    """Three event_id%3 batches merged incrementally must equal the
+    one-shot full aggregate bit-for-bit (decimal-routed sums make the
+    merge associative — a double sum would drift with batching)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "view")
+    init_agg_view(
+        ev.filter(F.col("event_id") % 3 == 0), path, "event_type", MEASURES
+    )
+    for i in (1, 2):
+        update_agg_view(
+            spark,
+            path,
+            ev.filter(F.col("event_id") % 3 == i),
+            "event_type",
+            MEASURES,
+        )
+    out = read_agg_view(spark, path, MEASURES).orderBy("event_type")
+    oracle = agg_view_sql("events", "event_type", MEASURES)
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "aggview")
+
+
+def test_aggview_null_and_new_group_semantics(spark, tmp_path):
+    m = {
+        "n": ("count", None),
+        "s": ("dsum", "v"),
+        "lo": ("min", "v"),
+    }
+    b1 = spark.createDataFrame(
+        [("a", 1.5), ("a", None), ("b", None)], ["g", "v"]
+    )
+    b2 = spark.createDataFrame(
+        [("a", 2.0), ("c", 7.0), ("b", None)], ["g", "v"]
+    )
+    path = str(tmp_path / "v2")
+    init_agg_view(b1, path, "g", m)
+    update_agg_view(spark, path, b2, "g", m)
+    got = {
+        r["g"]: (r["n"], r["s"], r["lo"])
+        for r in read_agg_view(spark, path, m).collect()
+    }
+    assert got["a"] == (3, 3.5, 1.5)
+    # all-NULL group keeps NULL sum/min (ANSI), count still counts rows
+    assert got["b"] == (2, None, None)
+    # group first seen in batch 2
+    assert got["c"] == (1, 7.0, 7.0)
+
+
+def test_aggview_batch_order_invariance(spark, sf_dir, tmp_path):
+    """Merging batches in a different order lands on the identical
+    state — the associativity/commutativity claim, observed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 3000
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    outs = []
+    for order in ((0, 1, 2), (2, 0, 1)):
+        path = str(tmp_path / f"v_{order[0]}")
+        init_agg_view(parts[order[0]], path, "event_type", MEASURES)
+        for i in order[1:]:
+            update_agg_view(spark, path, parts[i], "event_type", MEASURES)
+        outs.append(
+            sorted(
+                read_agg_view(spark, path, MEASURES).collect(),
+                key=lambda r: r["event_type"],
+            )
+        )
+    assert outs[0] == outs[1]
