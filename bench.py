@@ -138,6 +138,7 @@ def main() -> None:
         clear_clustering_cache,
     )
     from minisql_engine_spark.operators.dedup import clear_simhash_cache
+    from minisql_engine_spark.operators.editsim import clear_editsim_cache
     from minisql_engine_spark.operators.retrieval import (
         clear_retrieval_cache,
     )
@@ -163,6 +164,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         clear_simhash_cache()
+        clear_editsim_cache()
         clear_centroid_cache()
         clear_clustering_cache()
         clear_semdedup_cache()

@@ -36,6 +36,21 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# persisted deletion-neighborhood tables (the SymSpell "dictionary"):
+# the self-join consumes the variant table on BOTH sides, so without a
+# persist Spark evaluates the explode subtree twice. Lifecycle matches
+# operators/dedup.py: tracked, released via clear_editsim_cache().
+_VAR_CACHE: list = []
+
+
+def clear_editsim_cache() -> None:
+    """Release persisted variant tables."""
+    while _VAR_CACHE:
+        try:
+            _VAR_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _delete_variants(s: Column, d: int) -> Column:
     """Array of ``s`` plus every ≤ d-character deletion of it."""
@@ -88,6 +103,8 @@ def edit_distance_pairs(
     # hash collision can only ADD a candidate pair — the exact
     # levenshtein verify below removes it, so recall and precision
     # are both unchanged.
+    from pyspark.storagelevel import StorageLevel
+
     var = base.select(
         "_id",
         "_s",
@@ -97,7 +114,8 @@ def edit_distance_pairs(
                 lambda v: F.xxhash64(v),
             )
         ).alias("_v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _VAR_CACHE.append(var)
     if max_group is not None:
         from pyspark.sql.window import Window
 
@@ -118,14 +136,17 @@ def edit_distance_pairs(
     b = var.select(
         F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_v"
     )
+    # verify BEFORE deduplicating (the simhash lesson, dedup.py r3):
+    # the cheap levenshtein filter shrinks the pair set first, so the
+    # dedup shuffle carries true pairs on narrow (id, id) keys — not
+    # every candidate with both strings attached.
     return (
         a.join(b, "_v")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
-        .distinct()
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("int"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
