@@ -40,10 +40,30 @@ a half-written view. Single-writer contract, like the snapshot tables
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: transaction marker INSIDE the view directory — underscore-prefixed
+#: so parquet readers treat it as hidden metadata (the _SUCCESS rule),
+#: and swapped atomically WITH the data it describes.
+_TXN_FILE = "_applied_batch.json"
+
+
+def _read_txn(path: str) -> int:
+    p = os.path.join(path, _TXN_FILE)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(json.load(f)["last_applied_batch"])
+
+
+def _write_txn(dirpath: str, batch_id: int) -> None:
+    with open(os.path.join(dirpath, _TXN_FILE), "w") as f:
+        json.dump({"last_applied_batch": int(batch_id)}, f)
 
 #: measure kinds → True when the merge identity is 0 (additive kinds)
 _ADDITIVE = {"count", "sum", "dsum"}
@@ -104,14 +124,30 @@ def update_agg_view(
     batch: DataFrame,
     group_col: str,
     measures: dict[str, tuple[str, str | None]],
-) -> None:
+    batch_id: int | None = None,
+) -> bool:
     """Merge one batch's delta into the stored view (tmp-then-swap).
 
     The batch is the ONLY corpus-scale input: the stored side has one
     row per group, so the full-outer merge join is state-sized — at a
     fixed cluster both sides would bucket by the group key and the
-    merge never reshuffles the batch's raw rows."""
+    merge never reshuffles the batch's raw rows.
+
+    ``batch_id`` makes the update TRANSACTIONAL for at-least-once
+    streams (aggregation, unlike index admission, is not idempotent —
+    a replayed batch would double-count): pass the foreachBatch epoch
+    id and the update is applied exactly once — a replay of an
+    already-applied id is a no-op (returns False). The marker file
+    lives INSIDE the view directory and swaps atomically with the
+    data it describes, so a crash between merge and marker cannot
+    desynchronize them. Ids are compared by ``<=`` against the last
+    applied id — valid because foreachBatch epoch ids are
+    monotonically increasing within one checkpoint lineage; on
+    checkpoint loss, reset the view too (the standard transactional-
+    sink contract)."""
     _check(measures)
+    if batch_id is not None and batch_id <= _read_txn(path):
+        return False
     delta = _delta_agg(batch, group_col, measures)
     stored = spark.read.parquet(path)
     a = stored.select(
@@ -143,10 +179,13 @@ def update_agg_view(
 
     tmp = path.rstrip("/") + ".update-tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        _write_txn(tmp, batch_id)
     bak = path.rstrip("/") + ".update-old"
     shutil.move(path, bak)
     shutil.move(tmp, path)
     shutil.rmtree(bak)
+    return True
 
 
 def read_agg_view(

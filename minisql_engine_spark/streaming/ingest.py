@@ -111,3 +111,42 @@ def stream_admit_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_agg_view(
+    stream_df: DataFrame,
+    view_path: str,
+    checkpoint_path: str,
+    group_col: str,
+    measures: dict,
+):
+    """Streaming incremental view maintenance — each micro-batch
+    merges its delta aggregate into the persisted view
+    (:mod:`sources.aggview`). Aggregation is NOT idempotent under
+    at-least-once replay (unlike the admission anti-joins above), so
+    the epoch id rides into :func:`~minisql_engine_spark.sources.
+    aggview.update_agg_view` as the transaction id: a replayed
+    micro-batch is a no-op and the view stays exactly-once, which the
+    replay test pins by re-running the whole drop folder and
+    asserting the view still equals the one-shot recompute.
+
+    The view must already exist (``init_agg_view`` — possibly on an
+    empty frame) so a first-batch race can't observe a missing path."""
+    from minisql_engine_spark.sources.aggview import update_agg_view
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        update_agg_view(
+            batch_df.sparkSession,
+            view_path,
+            batch_df,
+            group_col,
+            measures,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

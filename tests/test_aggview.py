@@ -91,3 +91,81 @@ def test_aggview_batch_order_invariance(spark, sf_dir, tmp_path):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_update_agg_view_batch_id_replay_is_noop(spark, tmp_path):
+    m = {"n": ("count", None), "s": ("sum", "v")}
+    b = spark.createDataFrame([("a", 10), ("b", 1)], ["g", "v"])
+    path = str(tmp_path / "txn")
+    init_agg_view(b.limit(0), path, "g", m)
+    assert update_agg_view(spark, path, b, "g", m, batch_id=0) is True
+    # at-least-once delivery replays the same epoch — must not double
+    assert update_agg_view(spark, path, b, "g", m, batch_id=0) is False
+    assert update_agg_view(spark, path, b, "g", m, batch_id=1) is True
+    got = {r["g"]: (r["n"], r["s"]) for r in read_agg_view(spark, path, m).collect()}
+    assert got == {"a": (2, 20), "b": (2, 2)}
+
+
+def test_stream_agg_view_exactly_once(spark, duck, sf_dir, tmp_path):
+    """Micro-batched maintenance equals the one-shot recompute, and a
+    full replay of the drop folder (fresh checkpoint, at-least-once
+    semantics) leaves the view untouched — the epoch-id transaction."""
+    from minisql_engine_spark.streaming.ingest import stream_agg_view
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 6000
+    )
+    drop = str(tmp_path / "drop")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+
+    path = str(tmp_path / "sview")
+    init_agg_view(ev.limit(0), path, "event_type", MEASURES)
+
+    schema = spark.read.parquet(drop).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = stream_agg_view(
+            stream, path, str(tmp_path / ckpt), "event_type", MEASURES
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    expected = sorted(
+        _delta_equiv(spark, ev).collect(), key=lambda r: r["event_type"]
+    )
+    got = sorted(
+        read_agg_view(spark, path, MEASURES).collect(),
+        key=lambda r: r["event_type"],
+    )
+    assert got == expected
+    # replay everything under a fresh checkpoint: batch ids restart at
+    # 0, every epoch is <= the applied marker, the view must not move
+    run("ckpt2")
+    got2 = sorted(
+        read_agg_view(spark, path, MEASURES).collect(),
+        key=lambda r: r["event_type"],
+    )
+    assert got2 == expected
+
+
+def _delta_equiv(spark, ev):
+    """One-shot recompute with the read-edge types of read_agg_view."""
+    from minisql_engine_spark.sources.aggview import _delta_agg
+
+    full = _delta_agg(ev, "event_type", MEASURES)
+    return full.select(
+        "event_type",
+        F.col("n_events"),
+        F.col("v_sum").cast("double").alias("v_sum"),
+        "v_min",
+        "v_max",
+        F.col("uid_sum").cast("bigint").alias("uid_sum"),
+    )
