@@ -3303,6 +3303,30 @@ def _aggview_oracle() -> str:
 _ORACLES["incr_agg_events"] = _aggview_oracle()
 
 
+@_register(
+    "hashvec_tfidf",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_hashvec_tfidf(spark, sf_dir):
+    """Feature-hashed TF-IDF document vectors (the hashing trick):
+    vocabulary-free text→vector bridge into the cosine/LSH/IVF/PQ
+    family, emitted in the sparse (doc_id, bucket, weight) form the
+    oracle replays row for row — md5-bucket assignment and smoothed
+    idf are byte-identical across engines (operators/hashvec.py)."""
+    from minisql_engine_spark.operators.hashvec import hashed_tfidf
+
+    return hashed_tfidf(_t(spark, sf_dir, "documents"))
+
+
+def _hashvec_oracle() -> str:
+    from minisql_engine_spark.operators.hashvec import hashed_tfidf_sql
+
+    return hashed_tfidf_sql()
+
+
+_ORACLES["hashvec_tfidf"] = _hashvec_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3391,6 +3415,11 @@ _ARCHIVED: frozenset[str] = frozenset(
         # eighteenth — room for incr_agg_events (TPC-H keeps q1 for
         # the agg family and q18 for the join family)
         "tpch_q8_market_share",
+        # nineteenth — room for hashvec_tfidf (the text family keeps
+        # text_metrics, frequent_tokens, tfidf_keywords, and BPE
+        # driver rows; vocabulary_stats shares its shuffle shape with
+        # tfidf_keywords)
+        "corpus_vocabulary",
     }
 )
 
@@ -3400,6 +3429,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r5 session-5 additions — brand new operators, never driver-checked
     "corpus_drift",
     "incr_agg_events",
+    "hashvec_tfidf",
     # r5 session-3 additions — brand new operators, never driver-checked
     "bm25_retrieval",
     "lm_perplexity_buckets",

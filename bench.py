@@ -90,6 +90,7 @@ HEADLINE = (
     # batch merges + read — rebuild-per-call is the operator)
     "corpus_drift",
     "incr_agg_events",
+    "hashvec_tfidf",
 )
 
 
