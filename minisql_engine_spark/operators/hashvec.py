@@ -57,9 +57,11 @@ def hashed_tfidf(
         )
     )
     tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
-    dft = toks.groupBy("t").agg(
-        F.countDistinct(id_col).cast("bigint").alias("df")
-    )
+    # doc-frequency from the tf aggregate, not a second explode pass:
+    # tf already holds one row per (doc, token), so count(*) per token
+    # IS count(DISTINCT doc) over the raw tokens — the explode and its
+    # shuffle are paid once
+    dft = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.filter(F.trim(F.col(text_col)) != "").agg(
         F.countDistinct(id_col).cast("double").alias("n_docs")
     )
