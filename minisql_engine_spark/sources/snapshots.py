@@ -16,7 +16,12 @@ Layout under ``base_path``:
     _versions/v{N}.json               manifest: list of data dirs
 
 A version's content = the union of the dirs its manifest lists. A
-full-overwrite commit lists only its own dir; an upsert (MERGE)
+full-overwrite commit lists only its own dir; an APPEND commit lists
+the prior dirs plus one new dir (no existing byte read or rewritten —
+the ingest path, with :func:`compact_snapshot` as the explicit
+small-file maintenance step); ``add_snapshot_column`` is a
+metadata-only commit (schema evolution, defaults filled on read for
+pre-evolution files); an upsert (MERGE)
 commit lists its own dir PLUS the carried-over rows rewritten...
 no — MERGE here is copy-on-write at the granularity of the whole
 key-match: the new version's manifest lists ONE new dir holding
@@ -65,12 +70,34 @@ def current_version(base_path: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _commit(df: DataFrame, base_path: str, version: int) -> None:
+def _read_manifest(base_path: str, version: int) -> dict:
+    with open(_manifest_path(base_path, version)) as f:
+        return json.load(f)
+
+
+def _commit(
+    df: DataFrame,
+    base_path: str,
+    version: int,
+    carry_dirs: list[str] | None = None,
+    adds: list[dict] | None = None,
+) -> None:
+    """Write one new immutable data dir and the version manifest.
+
+    ``carry_dirs`` keeps prior dirs in the manifest (append commit);
+    ``adds`` carries the schema-evolution patch forward (only append
+    commits need it — a full rewrite materializes patched columns
+    physically, so its manifest starts clean)."""
     tag = uuid.uuid4().hex[:12]
     data_dir = os.path.join(base_path, "data", f"v{version}-{tag}")
     df.write.mode("error").parquet(data_dir)
     os.makedirs(_versions_dir(base_path), exist_ok=True)
-    manifest = {"version": version, "data_dirs": [data_dir]}
+    manifest = {
+        "version": version,
+        "data_dirs": list(carry_dirs or []) + [data_dir],
+    }
+    if adds:
+        manifest["adds"] = adds
     with open(_manifest_path(base_path, version), "w") as f:
         json.dump(manifest, f)
 
@@ -93,9 +120,28 @@ def read_snapshot(
         raise FileNotFoundError(
             f"no version {version!r} at {base_path} (have {list_versions(base_path)})"
         )
-    with open(_manifest_path(base_path, v)) as f:
-        manifest = json.load(f)
-    return spark.read.parquet(*manifest["data_dirs"])
+    manifest = _read_manifest(base_path, v)
+    adds = manifest.get("adds", [])
+    if not adds:
+        return spark.read.parquet(*manifest["data_dirs"])
+    # schema evolution on read: dirs written before an add_column are
+    # missing the column physically — fill it with the recorded typed
+    # default per dir, then unionByName. Filters still push into each
+    # union branch, so pruning/pushdown are untouched.
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for d in manifest["data_dirs"]:
+        part = spark.read.parquet(d)
+        for a in adds:
+            if a["name"] not in part.columns:
+                part = part.withColumn(
+                    a["name"], F.lit(a["default"]).cast(a["dtype"])
+                )
+        parts.append(part)
+    return reduce(lambda x, y: x.unionByName(y), parts)
 
 
 def merge_snapshot(
@@ -142,6 +188,104 @@ def delete_from_snapshot(
     remaining = base.filter(f"NOT ({predicate})")
     version = current_version(base_path) + 1
     _commit(remaining, base_path, version)
+    return version
+
+
+def append_snapshot(df: DataFrame, base_path: str) -> int:
+    """Fast append: commit a new version whose manifest lists the
+    prior version's dirs PLUS one new dir — no existing byte is read
+    or rewritten, the 100 TB ingest path. The schema-evolution patch
+    (if any) carries forward; ``df`` must already contain every
+    evolved column (write_snapshot/merge materialize them, and new
+    writers should too)."""
+    cur = current_version(base_path)
+    if cur is None:
+        return write_snapshot(df, base_path)
+    manifest = _read_manifest(base_path, cur)
+    adds = manifest.get("adds", [])
+    missing = [a["name"] for a in adds if a["name"] not in df.columns]
+    if missing:
+        raise ValueError(
+            f"append is missing evolved column(s) {missing}; fill them "
+            "explicitly (evolution defaults apply to PRE-evolution "
+            "files, not to new data)"
+        )
+    version = cur + 1
+    _commit(
+        df,
+        base_path,
+        version,
+        carry_dirs=manifest["data_dirs"],
+        adds=adds or None,
+    )
+    return version
+
+
+def add_snapshot_column(
+    base_path: str, name: str, dtype: str, default=None
+) -> int:
+    """Schema evolution: add a column with a typed default — a
+    METADATA-ONLY commit (instant, no data touched, any table size).
+    Existing files stay as written; readers fill the column with the
+    default for pre-evolution files (Iceberg's add-column semantics).
+    Time travel to an older version sees the old schema."""
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    manifest = _read_manifest(base_path, cur)
+    adds = manifest.get("adds", [])
+    if any(a["name"] == name for a in adds):
+        raise ValueError(f"column {name!r} already added")
+    version = cur + 1
+    new_manifest = {
+        "version": version,
+        "data_dirs": manifest["data_dirs"],
+        "adds": adds + [{"name": name, "dtype": dtype, "default": default}],
+    }
+    with open(_manifest_path(base_path, version), "w") as f:
+        json.dump(new_manifest, f)
+    return version
+
+
+#: compaction target: pack data into ~128 MiB files (the parquet
+#: sweet spot — small enough to parallelize, big enough to amortize
+#: footers and dictionary pages)
+_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dir_bytes(dirs: list[str]) -> int:
+    total = 0
+    for d in dirs:
+        for root, _sub, files in os.walk(d):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    target_file_bytes: int = _TARGET_FILE_BYTES,
+) -> int:
+    """Small-file compaction: rewrite the current version's dirs into
+    ONE dir bin-packed to ``target_file_bytes``-sized files and commit
+    it as a new, content-identical version. Appends accumulate a dir
+    (and its files) per batch; scan cost grows with file count, not
+    bytes — compaction is the explicit maintenance step that pays the
+    rewrite once to make every later scan cheap. Old versions still
+    time-travel to the pre-compaction layout until vacuumed."""
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    manifest = _read_manifest(base_path, cur)
+    n_files = max(
+        1, -(-_dir_bytes(manifest["data_dirs"]) // target_file_bytes)
+    )
+    df = read_snapshot(spark, base_path).coalesce(n_files)
+    version = cur + 1
+    # full rewrite materializes evolved columns → manifest starts clean
+    _commit(df, base_path, version)
     return version
 
 

@@ -116,3 +116,115 @@ def test_vacuum_removes_old_versions_only(spark, base):
         read_snapshot(spark, path, version=1)
     with pytest.raises(ValueError):
         vacuum_snapshots(path, keep_last=0)
+
+
+def test_append_and_compact(spark, base):
+    """Appends add a dir per batch without rewriting existing bytes;
+    compaction rewrites into one content-identical dir."""
+    import glob
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+    )
+
+    docs, path = base
+    more = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "source"
+    )
+    v1_files = set(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    v2 = append_snapshot(more.filter(F.col("doc_id") < 10_050), path)
+    v3 = append_snapshot(
+        more.filter(
+            (F.col("doc_id") >= 10_050) & (F.col("doc_id") < 10_100)
+        ),
+        path,
+    )
+    assert (v2, v3) == (2, 3)
+    # append never rewrote a pre-existing file
+    assert v1_files <= set(
+        glob.glob(os.path.join(path, "data", "*", "*.parquet"))
+    )
+    n = read_snapshot(spark, path).count()
+    assert n == docs.count() + 100
+    # time travel still sees the pre-append content
+    assert read_snapshot(spark, path, version=1).count() == docs.count()
+
+    before = len(glob.glob(os.path.join(path, "data", "*", "*.parquet")))
+    v4 = compact_snapshot(spark, path)
+    ids_before = sorted(
+        r["doc_id"]
+        for r in read_snapshot(spark, path, version=3).collect()
+    )
+    ids_after = sorted(
+        r["doc_id"] for r in read_snapshot(spark, path).collect()
+    )
+    assert ids_after == ids_before  # content-identical
+    with open(
+        os.path.join(path, "_versions", f"v{v4}.json")
+    ) as f:
+        import json
+
+        man = json.load(f)
+    assert len(man["data_dirs"]) == 1
+    after = len(
+        glob.glob(os.path.join(man["data_dirs"][0], "*.parquet"))
+    )
+    assert after < before  # small files actually packed
+
+
+def test_schema_evolution_defaults_and_time_travel(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        add_snapshot_column,
+        append_snapshot,
+    )
+
+    docs, path = base
+    v2 = add_snapshot_column(path, "quality", "double", default=0.5)
+    assert v2 == 2
+    cur = read_snapshot(spark, path)
+    assert "quality" in cur.columns
+    assert cur.filter(F.col("quality") != 0.5).count() == 0
+    # pre-evolution version keeps the old schema
+    assert "quality" not in read_snapshot(spark, path, version=1).columns
+
+    # appends must supply the evolved column explicitly...
+    more = docs.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text", "source"
+    ).limit(10)
+    with pytest.raises(ValueError, match="evolved column"):
+        append_snapshot(more, path)
+    # ...and real values coexist with defaults for old files
+    append_snapshot(more.withColumn("quality", F.lit(0.9)), path)
+    got = read_snapshot(spark, path)
+    assert got.filter(F.col("quality") == 0.9).count() == 10
+    assert got.filter(F.col("quality") == 0.5).count() == docs.count()
+    # a MERGE materializes the column physically and clears the patch
+    upd = got.limit(5).withColumn("quality", F.lit(1.0))
+    merge_snapshot(spark, path, upd, ["doc_id"])
+    assert read_snapshot(spark, path).filter(
+        F.col("quality") == 1.0
+    ).count() == 5
+
+
+def test_evolution_then_vacuum_gc(spark, base):
+    """Compaction + vacuum reclaims appended small dirs."""
+    import glob
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+    )
+
+    docs, path = base
+    append_snapshot(docs.limit(10).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"), "text", "source"
+    ), path)
+    compact_snapshot(spark, path)
+    removed = vacuum_snapshots(path, keep_last=1)
+    assert removed == [1, 2]
+    dirs = glob.glob(os.path.join(path, "data", "*"))
+    assert len(dirs) == 1  # only the compacted dir survives
+    assert read_snapshot(spark, path).count() == docs.count() + 10
