@@ -176,6 +176,119 @@ def merge_snapshot(
     return version
 
 
+def _manifest_files(entries: list[str]) -> list[str]:
+    """Expand manifest entries (dirs or individual files) to the
+    parquet files they contribute."""
+    out = []
+    for e in entries:
+        if os.path.isfile(e):
+            out.append(e)
+            continue
+        for root, _sub, files in os.walk(e):
+            for fn in sorted(files):
+                if fn.endswith(".parquet") and not fn.startswith(
+                    ("_", ".")
+                ):
+                    out.append(os.path.join(root, fn))
+    return out
+
+
+def _file_key_range(path: str, key_col: str):
+    """(min, max) of ``key_col`` from the parquet FOOTER statistics —
+    the metadata Iceberg/Delta keep in their manifests; no data pages
+    are read. Returns None when any row group lacks stats (then the
+    file must be treated as overlapping everything)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if key_col not in idx:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[key_col]).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
+def merge_snapshot_pruned(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> int:
+    """File-pruned copy-on-write MERGE — the refinement the plain
+    :func:`merge_snapshot` docstring points at: only files whose
+    footer ``key_col`` range intersects an update key are rewritten;
+    every other file CARRIES OVER BY REFERENCE into the new manifest,
+    untouched on disk. With sorted/z-ordered writes
+    (``sources/zorder.py``) update locality turns a full-table
+    rewrite into a few-file rewrite — the 100 TB upsert path.
+
+    The overlap test runs as a broadcast range join of the (tiny)
+    per-file stats table against the update keys — the file list and
+    stats are manifest-scale metadata, never data. Single key column
+    (range statistics are per-column); composite keys use the plain
+    merge."""
+    from pyspark.sql import functions as F
+
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    manifest = _read_manifest(base_path, cur)
+    if manifest.get("adds"):
+        # evolved-on-read columns are not physical in old files; a
+        # by-reference carry-over would lose them. Compact first.
+        raise ValueError(
+            "table has a pending schema-evolution patch; run "
+            "compact_snapshot() before a pruned merge"
+        )
+    base = read_snapshot(spark, base_path)
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: base {sorted(base.columns)}"
+            f" vs updates {sorted(updates.columns)}"
+        )
+
+    files = _manifest_files(manifest["data_dirs"])
+    stats = [(f, _file_key_range(f, key_col)) for f in files]
+    no_stats = [f for f, r in stats if r is None]
+    ranged = [(f, r[0], r[1]) for f, r in stats if r is not None]
+    touched = set(no_stats)
+    if ranged:
+        fdf = spark.createDataFrame(
+            ranged, ["_file", "_lo", "_hi"]
+        )
+        keys = updates.select(F.col(key_col).alias("_k")).distinct()
+        hit = (
+            keys.join(
+                F.broadcast(fdf),
+                (F.col("_k") >= F.col("_lo"))
+                & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+        )
+        touched |= {r["_file"] for r in hit.collect()}
+    untouched = [f for f in files if f not in touched]
+
+    keys = updates.select(key_col).distinct()
+    if touched:
+        rewritten = (
+            spark.read.parquet(*sorted(touched))
+            .join(F.broadcast(keys), key_col, "left_anti")
+            .unionByName(updates)
+        )
+    else:
+        rewritten = updates
+    version = cur + 1
+    _commit(rewritten, base_path, version, carry_dirs=untouched)
+    return version
+
+
 def delete_from_snapshot(
     spark: SparkSession,
     base_path: str,
@@ -253,9 +366,12 @@ def add_snapshot_column(
 _TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
-def _dir_bytes(dirs: list[str]) -> int:
+def _dir_bytes(entries: list[str]) -> int:
     total = 0
-    for d in dirs:
+    for d in entries:
+        if os.path.isfile(d):
+            total += os.path.getsize(d)
+            continue
         for root, _sub, files in os.walk(d):
             for fn in files:
                 if not fn.startswith(("_", ".")):
@@ -291,9 +407,17 @@ def compact_snapshot(
 
 def vacuum_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
     """GC: drop all but the last ``keep_last`` versions — deletes
-    their manifests and any data dir no surviving manifest references.
-    Returns the removed version numbers. Explicit, destructive, never
-    implicit: time travel to a vacuumed version then raises."""
+    their manifests and any data entry no surviving manifest
+    references. Returns the removed version numbers. Explicit,
+    destructive, never implicit: time travel to a vacuumed version
+    then raises.
+
+    File-aware (pruned merges carry individual FILES by reference): a
+    dir is removable only when no kept manifest references the dir or
+    anything under it; a file entry is removable only when
+    unreferenced. Files orphaned INSIDE a still-referenced dir are
+    left for :func:`compact_snapshot` to fold away — deleting from
+    under a live reference is never worth the race."""
     import shutil
 
     if keep_last < 1:
@@ -304,13 +428,18 @@ def vacuum_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
         return []
     referenced: set[str] = set()
     for v in kept:
-        with open(_manifest_path(base_path, v)) as f:
-            referenced.update(json.load(f)["data_dirs"])
+        referenced.update(_read_manifest(base_path, v)["data_dirs"])
+
+    def _protected(d: str) -> bool:
+        pre = d.rstrip(os.sep) + os.sep
+        return any(r == d or r.startswith(pre) for r in referenced)
+
     for v in doomed:
         mp = _manifest_path(base_path, v)
-        with open(mp) as f:
-            for d in json.load(f)["data_dirs"]:
-                if d not in referenced and os.path.isdir(d):
-                    shutil.rmtree(d)
+        for e in _read_manifest(base_path, v)["data_dirs"]:
+            if os.path.isdir(e) and not _protected(e):
+                shutil.rmtree(e)
+            elif os.path.isfile(e) and e not in referenced:
+                os.remove(e)
         os.remove(mp)
     return doomed

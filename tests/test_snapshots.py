@@ -228,3 +228,92 @@ def test_evolution_then_vacuum_gc(spark, base):
     dirs = glob.glob(os.path.join(path, "data", "*"))
     assert len(dirs) == 1  # only the compacted dir survives
     assert read_snapshot(spark, path).count() == docs.count() + 10
+
+
+def test_merge_pruned_rewrites_only_overlapping_files(spark, base):
+    """Footer-stats file pruning: updates hitting one key range leave
+    every other file untouched on disk, carried by reference."""
+    import json as _json
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        merge_snapshot_pruned,
+    )
+
+    docs, path = base
+    # three more single-file batches with disjoint doc_id ranges
+    for lo in (1000, 2000, 3000):
+        append_snapshot(
+            docs.limit(50)
+            .select(
+                (F.col("doc_id") + lo).alias("doc_id"), "text", "source"
+            )
+            .coalesce(1),
+            path,
+        )
+    before = read_snapshot(spark, path)
+    n_before = before.count()
+
+    upd = (
+        before.filter(
+            (F.col("doc_id") >= 2000) & (F.col("doc_id") < 2010)
+        )
+        .withColumn("text", F.lit("PATCHED"))
+    )
+    v = merge_snapshot_pruned(spark, path, upd, "doc_id")
+
+    with open(os.path.join(path, "_versions", f"v{v}.json")) as f:
+        man = _json.load(f)
+    carried = [e for e in man["data_dirs"] if os.path.isfile(e)]
+    # the [0,200) seed file(s), 1000- and 3000-range files carry over
+    # by reference; only the 2000-range file was rewritten
+    assert len(carried) >= 3
+    got = read_snapshot(spark, path)
+    assert got.count() == n_before
+    assert got.filter(F.col("text") == "PATCHED").count() == 10
+    patched_ids = {r["doc_id"] for r in got.filter(F.col("text") == "PATCHED").collect()}
+    assert patched_ids == {r["doc_id"] for r in upd.collect()}
+    # untouched rows identical to before
+    assert got.filter(
+        (F.col("doc_id") >= 3000) & (F.col("text") == "PATCHED")
+    ).count() == 0
+
+
+def test_vacuum_protects_files_carried_by_reference(spark, base):
+    """GC must not rmtree a dir whose files a pruned-merge manifest
+    still references."""
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        merge_snapshot_pruned,
+    )
+
+    docs, path = base
+    append_snapshot(
+        docs.limit(20)
+        .select((F.col("doc_id") + 5000).alias("doc_id"), "text", "source")
+        .coalesce(1),
+        path,
+    )
+    n = read_snapshot(spark, path).count()
+    upd = read_snapshot(spark, path).filter(
+        F.col("doc_id") >= 5000
+    ).withColumn("text", F.lit("X"))
+    merge_snapshot_pruned(spark, path, upd, "doc_id")
+    vacuum_snapshots(path, keep_last=1)
+    got = read_snapshot(spark, path)
+    assert got.count() == n  # carried-by-reference files survived GC
+    assert got.filter(F.col("text") == "X").count() == 20
+
+
+def test_merge_pruned_refuses_pending_evolution(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        add_snapshot_column,
+        merge_snapshot_pruned,
+    )
+
+    docs, path = base
+    add_snapshot_column(path, "q", "double", default=0.0)
+    upd = read_snapshot(spark, path).limit(1)
+    with pytest.raises(ValueError, match="compact_snapshot"):
+        merge_snapshot_pruned(spark, path, upd, "doc_id")
