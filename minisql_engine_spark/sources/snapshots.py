@@ -75,22 +75,70 @@ def _read_manifest(base_path: str, version: int) -> dict:
         return json.load(f)
 
 
+class ConstraintViolation(ValueError):
+    """A commit violated a table constraint; carries per-constraint
+    violation counts in ``.counts``."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            "constraint violation(s): "
+            + ", ".join(f"{k!r}: {v} rows" for k, v in counts.items())
+        )
+
+
+def _check_written(spark, data_dir: str, constraints: list[str]) -> None:
+    """CHECK-constraint gate over the just-written files (one scan of
+    the written bytes — the data was computed once; re-deriving the
+    input DataFrame could be arbitrarily expensive). SQL CHECK
+    semantics: a row violates only when the expression is FALSE —
+    NULL passes (write ``x IS NOT NULL AND ...`` for strictness)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(data_dir)
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"({c}) IS FALSE"), 1).otherwise(0)
+        ).alias(f"_c{i}")
+        for i, c in enumerate(constraints)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    counts = {
+        c: int(row[f"_c{i}"] or 0) for i, c in enumerate(constraints)
+    }
+    bad = {c: n for c, n in counts.items() if n > 0}
+    if bad:
+        raise ConstraintViolation(bad)
+
+
 def _commit(
     df: DataFrame,
     base_path: str,
     version: int,
     carry_dirs: list[str] | None = None,
     adds: list[dict] | None = None,
+    constraints: list[str] | None = None,
 ) -> None:
     """Write one new immutable data dir and the version manifest.
 
     ``carry_dirs`` keeps prior dirs in the manifest (append commit);
     ``adds`` carries the schema-evolution patch forward (only append
     commits need it — a full rewrite materializes patched columns
-    physically, so its manifest starts clean)."""
+    physically, so its manifest starts clean). ``constraints`` gates
+    the commit: checked AFTER the data write but BEFORE the manifest
+    (the manifest is the commit point, so a failed check leaves no
+    new version — the orphan dir is removed)."""
     tag = uuid.uuid4().hex[:12]
     data_dir = os.path.join(base_path, "data", f"v{version}-{tag}")
     df.write.mode("error").parquet(data_dir)
+    if constraints:
+        import shutil
+
+        try:
+            _check_written(df.sparkSession, data_dir, constraints)
+        except ConstraintViolation:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
     os.makedirs(_versions_dir(base_path), exist_ok=True)
     manifest = {
         "version": version,
@@ -102,11 +150,18 @@ def _commit(
         json.dump(manifest, f)
 
 
-def write_snapshot(df: DataFrame, base_path: str) -> int:
-    """Commit ``df`` as the next full version; returns the version."""
+def write_snapshot(
+    df: DataFrame,
+    base_path: str,
+    constraints: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as the next full version; returns the version.
+    ``constraints`` are SQL CHECK expressions every committed row
+    must satisfy (see :func:`_check_written`); a violation aborts
+    with :class:`ConstraintViolation` and commits nothing."""
     cur = current_version(base_path)
     version = 1 if cur is None else cur + 1
-    _commit(df, base_path, version)
+    _commit(df, base_path, version, constraints=constraints)
     return version
 
 
@@ -304,16 +359,22 @@ def delete_from_snapshot(
     return version
 
 
-def append_snapshot(df: DataFrame, base_path: str) -> int:
+def append_snapshot(
+    df: DataFrame,
+    base_path: str,
+    constraints: list[str] | None = None,
+) -> int:
     """Fast append: commit a new version whose manifest lists the
     prior version's dirs PLUS one new dir — no existing byte is read
     or rewritten, the 100 TB ingest path. The schema-evolution patch
     (if any) carries forward; ``df`` must already contain every
     evolved column (write_snapshot/merge materialize them, and new
-    writers should too)."""
+    writers should too). ``constraints`` gate the commit like
+    :func:`write_snapshot` — only the NEW rows are checked (existing
+    versions were gated at their own commit time)."""
     cur = current_version(base_path)
     if cur is None:
-        return write_snapshot(df, base_path)
+        return write_snapshot(df, base_path, constraints=constraints)
     manifest = _read_manifest(base_path, cur)
     adds = manifest.get("adds", [])
     missing = [a["name"] for a in adds if a["name"] not in df.columns]
@@ -330,6 +391,7 @@ def append_snapshot(df: DataFrame, base_path: str) -> int:
         version,
         carry_dirs=manifest["data_dirs"],
         adds=adds or None,
+        constraints=constraints,
     )
     return version
 

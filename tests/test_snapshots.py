@@ -317,3 +317,71 @@ def test_merge_pruned_refuses_pending_evolution(spark, base):
     upd = read_snapshot(spark, path).limit(1)
     with pytest.raises(ValueError, match="compact_snapshot"):
         merge_snapshot_pruned(spark, path, upd, "doc_id")
+
+
+def test_commit_constraints_gate(spark, base, tmp_path):
+    """CHECK constraints: a violating commit leaves NO new version and
+    no orphan data dir; NULL passes (SQL CHECK rule); appends gate
+    only their new rows."""
+    import glob
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        ConstraintViolation,
+        append_snapshot,
+        write_snapshot,
+    )
+
+    docs, path = base
+    rules = ["doc_id IS NOT NULL", "n_extra >= 0"]
+    good = docs.limit(20).withColumn("n_extra", F.lit(1))
+    bad = good.withColumn(
+        "n_extra", F.when(F.col("doc_id") < 10, -5).otherwise(1)
+    )
+    p2 = str(tmp_path / "gated")
+    write_snapshot(good, p2, constraints=rules)
+    dirs_before = set(glob.glob(os.path.join(p2, "data", "*")))
+    with pytest.raises(ConstraintViolation) as ei:
+        append_snapshot(bad, p2, constraints=rules)
+    assert ei.value.counts == {"n_extra >= 0": 10}
+    assert current_version(p2) == 1  # no new version
+    assert set(glob.glob(os.path.join(p2, "data", "*"))) == dirs_before
+    # NULL passes the SQL CHECK rule
+    nullish = good.withColumn(
+        "n_extra", F.lit(None).cast("int")
+    )
+    assert append_snapshot(nullish, p2, constraints=rules) == 2
+
+
+def test_sorted_layout_composes_with_pruned_merge(spark, base, tmp_path):
+    """Range-clustered writes (the zorder layout contract) turn the
+    pruned MERGE into a one-file rewrite."""
+    import glob
+    import json as _json
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        merge_snapshot_pruned,
+        write_snapshot,
+    )
+
+    docs, path = base
+    p2 = str(tmp_path / "sorted")
+    clustered = docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+    write_snapshot(clustered, p2)
+    n_files = len(glob.glob(os.path.join(p2, "data", "*", "*.parquet")))
+    assert n_files == 4
+
+    upd = docs.orderBy("doc_id").limit(3).withColumn(
+        "text", F.lit("PATCHED")
+    )
+    v = merge_snapshot_pruned(spark, p2, upd, "doc_id")
+    with open(os.path.join(p2, "_versions", f"v{v}.json")) as f:
+        man = _json.load(f)
+    carried = [e for e in man["data_dirs"] if os.path.isfile(e)]
+    assert len(carried) == 3  # 3 of 4 range-files untouched
+    got = read_snapshot(spark, p2)
+    assert got.filter(F.col("text") == "PATCHED").count() == 3
+    assert got.count() == docs.count()
