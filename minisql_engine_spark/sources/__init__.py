@@ -11,11 +11,23 @@ from minisql_engine_spark.sources.zorder import (
     write_zordered,
 )
 from minisql_engine_spark.sources.snapshots import (
+    ConstraintViolation,
+    add_snapshot_column,
+    append_snapshot,
+    compact_snapshot,
     delete_from_snapshot,
     list_versions,
     merge_snapshot,
+    merge_snapshot_pruned,
     read_snapshot,
+    vacuum_snapshots,
     write_snapshot,
+)
+from minisql_engine_spark.sources.aggview import (
+    agg_view_sql,
+    init_agg_view,
+    read_agg_view,
+    update_agg_view,
 )
 from minisql_engine_spark.sources.writers import (
     read_jsonl,
@@ -32,11 +44,21 @@ __all__ = [
     "load_tables",
     "register_views",
     "load_csv_database",
+    "ConstraintViolation",
+    "add_snapshot_column",
+    "append_snapshot",
+    "compact_snapshot",
     "delete_from_snapshot",
     "list_versions",
     "merge_snapshot",
+    "merge_snapshot_pruned",
     "read_snapshot",
+    "vacuum_snapshots",
     "write_snapshot",
+    "agg_view_sql",
+    "init_agg_view",
+    "read_agg_view",
+    "update_agg_view",
     "read_jsonl",
     "read_orc",
     "write_csv",

@@ -150,3 +150,47 @@ def stream_agg_view(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_admit_snapshot(
+    stream_docs: DataFrame,
+    index_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    constraints: list | None = None,
+):
+    """Versioned streaming admission — :func:`stream_admit` landing in
+    a SNAPSHOT TABLE instead of a bare parquet dir: each micro-batch's
+    survivors commit as one append version (Delta's
+    transaction-per-batch shape), optionally gated by CHECK
+    ``constraints``, so readers get snapshot isolation and time travel
+    over a live ingest and `compact_snapshot`/`vacuum_snapshots` are
+    the maintenance story. Empty batches (everything deduped away)
+    commit no version. The table commits BEFORE the index (same order
+    as stream_admit's corpus write): a crash between the two re-admits
+    the batch's content on replay rather than silently losing it. A
+    ConstraintViolation aborts the batch and fails the query loudly —
+    a poison batch must not be half-ingested."""
+    from minisql_engine_spark.sources.snapshots import append_snapshot
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = dedup_against_index(
+            batch_df, index_path, id_col=id_col, text_col=text_col
+        ).persist()
+        try:
+            if survivors.limit(1).count() > 0:
+                append_snapshot(
+                    survivors, table_path, constraints=constraints
+                )
+                append_to_index(survivors, index_path)
+        finally:
+            survivors.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -147,3 +147,60 @@ def test_stream_neardup_admission(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert neardup_index_stats(spark, index).collect()[0]["n_docs"] == n1
     assert n1 > n0
+
+
+def test_stream_admission_into_snapshot_table(spark, staged, tmp_path):
+    """Versioned ingest: one append version per non-empty batch,
+    content-exactly-once, time travel over the live table, replay
+    admits nothing and commits no version."""
+    from minisql_engine_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+    )
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_snapshot,
+    )
+
+    seed, f1, f3, drop = staged
+    index = str(tmp_path / "idx2")
+    table = str(tmp_path / "tbl2")
+    init_dedup_index(seed, index)
+
+    schema = spark.read.parquet(drop).schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = stream_admit_snapshot(
+            stream,
+            index,
+            table,
+            str(tmp_path / ckpt),
+            constraints=["doc_id IS NOT NULL"],
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    v = current_version(table)
+    # 3 files: f2 is all duplicates → at most 2 non-empty versions...
+    # f2 repeats f1 + seed contents ONLY, so exactly 2 commits
+    assert v == 2
+    admitted = read_snapshot(spark, table)
+    expected = (_key_set(f1) | _key_set(f3)) - _key_set(seed)
+    got = [
+        r["content_hash"]
+        for r in admitted.select("content_hash").collect()
+    ]
+    assert sorted(got) == sorted(set(got))
+    assert set(got) == expected
+    # version 1 holds only the first batch's admissions (time travel)
+    assert read_snapshot(spark, table, version=1).count() < admitted.count()
+
+    # full replay under a fresh checkpoint: nothing admitted, no
+    # version committed
+    run("ck2")
+    assert current_version(table) == v
+    assert read_snapshot(spark, table).count() == admitted.count()
