@@ -140,6 +140,7 @@ def main() -> None:
     )
     from minisql_engine_spark.operators.dedup import clear_simhash_cache
     from minisql_engine_spark.operators.editsim import clear_editsim_cache
+    from minisql_engine_spark.operators.hashvec import clear_hashvec_cache
     from minisql_engine_spark.operators.retrieval import (
         clear_retrieval_cache,
     )
@@ -166,6 +167,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         clear_simhash_cache()
         clear_editsim_cache()
+        clear_hashvec_cache()
         clear_centroid_cache()
         clear_clustering_cache()
         clear_semdedup_cache()

@@ -40,6 +40,23 @@ from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 
 DIM = 64
 
+# persisted (doc, token, tf) tables: the tf aggregate feeds BOTH the
+# doc-frequency aggregate and the idf join, and Spark's ReuseExchange
+# does not dedupe the shared subtree (verified empirically — the
+# explode ran twice), so it is persisted like the dedup shingle table.
+# Lifecycle matches operators/dedup.py: tracked, released via
+# clear_hashvec_cache().
+_TF_CACHE: list = []
+
+
+def clear_hashvec_cache() -> None:
+    """Release persisted tf tables."""
+    while _TF_CACHE:
+        try:
+            _TF_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def hashed_tfidf(
     docs: DataFrame,
@@ -56,11 +73,19 @@ def hashed_tfidf(
             F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("t"),
         )
     )
-    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
-    # doc-frequency from the tf aggregate, not a second explode pass:
-    # tf already holds one row per (doc, token), so count(*) per token
-    # IS count(DISTINCT doc) over the raw tokens — the explode and its
-    # shuffle are paid once
+    from pyspark.storagelevel import StorageLevel
+
+    tf = (
+        toks.groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _TF_CACHE.append(tf)
+    # doc-frequency from the persisted tf table, not a second explode
+    # pass: tf holds one row per (doc, token), so count(*) per token
+    # IS count(DISTINCT doc) over the raw tokens. The df table is
+    # vocabulary-sized, so AQE broadcasts the idf join and the tf side
+    # keeps its partitioning (no skewed shuffle on hot tokens).
     dft = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
     n = docs.filter(F.trim(F.col(text_col)) != "").agg(
         F.countDistinct(id_col).cast("double").alias("n_docs")

@@ -432,3 +432,58 @@ def test_neardup_admission_never_shuffles_the_index(spark, sf_dir, tmp_path):
     # band semi-filter + candidate join + isig semi-filter + isig
     # join + final anti — all broadcast-hash
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_hashvec_explode_paid_once(spark, sf_dir):
+    """The tf table serves both the doc-frequency aggregate and the
+    idf join from the persisted store — Spark's ReuseExchange does
+    NOT dedupe the shared subtree (measured), so without the persist
+    the token explode would execute twice."""
+    from minisql_engine_spark.operators.hashvec import (
+        clear_hashvec_cache,
+        hashed_tfidf,
+    )
+
+    try:
+        df = hashed_tfidf(load_table(spark, sf_dir, "documents"))
+        df.write.format("noop").mode("overwrite").save()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert executed.count("InMemoryTableScan") >= 2
+    finally:
+        clear_hashvec_cache()
+
+
+def test_corpus_drift_no_cartesian(spark, sf_dir):
+    """The 1-row totals ride broadcast nested-loop joins, never an
+    unbounded CartesianProduct."""
+    from minisql_engine_spark.operators.drift import corpus_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_editsim_variant_table_reused_from_cache(spark, sf_dir):
+    """Both self-join sides read the persisted SymSpell dictionary —
+    the explode subtree is paid once, then served from storage."""
+    from minisql_engine_spark.operators.editsim import (
+        clear_editsim_cache,
+        edit_distance_pairs,
+    )
+
+    try:
+        df = edit_distance_pairs(
+            load_table(spark, sf_dir, "customer").limit(500),
+            "c_name",
+            1,
+            id_col="c_custkey",
+        )
+        plan = plan_of(df)
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        clear_editsim_cache()
