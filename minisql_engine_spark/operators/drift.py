@@ -69,23 +69,19 @@ def _token_counts(docs: DataFrame, text_col: str, out: str) -> DataFrame:
     )
 
 
-def corpus_drift(
-    docs_a: DataFrame,
-    docs_b: DataFrame,
-    text_col: str = "text",
-    len_col: str = "n_chars",
-    source_col: str = "source",
-) -> DataFrame:
-    """(metric, value) — six drift metrics of slice B vs baseline A
-    (see module docstring). Deterministic; ordered by metric name."""
-    ta = _token_counts(docs_a, text_col, "na")
-    tb = _token_counts(docs_b, text_col, "nb")
-    j = (
-        ta.join(tb, "t", "full_outer")
-        .select(
-            F.coalesce("na", F.lit(0)).alias("na"),
-            F.coalesce("nb", F.lit(0)).alias("nb"),
-        )
+def _row(name, col):
+    return F.struct(
+        F.lit(name).alias("metric"), col.cast("double").alias("value")
+    )
+
+
+def _token_metric_rows(ta: DataFrame, tb: DataFrame) -> DataFrame:
+    """(metric, value) rows for the three token metrics, from two
+    (t, na)/(t, nb) count tables — shared by :func:`corpus_drift`
+    and :func:`drift_from_token_views`. Unordered."""
+    j = ta.join(tb, "t", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
     )
     tot = j.agg(
         F.sum("na").cast("double").alias("tot_na"),
@@ -113,6 +109,30 @@ def corpus_drift(
         F.sum(F.when(F.col("na") == 0, 1).otherwise(0))
         .cast("double")
         .alias("newt"),
+    )
+    return tok.select(
+        F.explode(
+            F.array(
+                _row("js_divergence_tokens", F.col("js")),
+                _row("new_token_types", F.col("newt")),
+                _row("oov_token_rate", F.col("oov")),
+            )
+        ).alias("_r")
+    ).select("_r.metric", "_r.value")
+
+
+def corpus_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """(metric, value) — six drift metrics of slice B vs baseline A
+    (see module docstring). Deterministic; ordered by metric name."""
+    tok_rows = _token_metric_rows(
+        _token_counts(docs_a, text_col, "na"),
+        _token_counts(docs_b, text_col, "nb"),
     )
 
     qa = docs_a.agg(
@@ -154,20 +174,6 @@ def corpus_drift(
         )
     )
 
-    def _row(name: str, col):
-        return F.struct(
-            F.lit(name).alias("metric"), col.cast("double").alias("value")
-        )
-
-    tok_rows = tok.select(
-        F.explode(
-            F.array(
-                _row("js_divergence_tokens", F.col("js")),
-                _row("new_token_types", F.col("newt")),
-                _row("oov_token_rate", F.col("oov")),
-            )
-        ).alias("_r")
-    ).select("_r.metric", "_r.value")
     len_rows = lens.select(
         F.explode(
             F.array(
@@ -187,6 +193,45 @@ def corpus_drift(
         F.col("v").cast("double").alias("value"),
     )
     return tok_rows.unionAll(len_rows).unionAll(mix_rows).orderBy("metric")
+
+
+def token_counts_batch(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(t, …) token rows of one batch, shaped for maintaining a
+    vocabulary count view with :mod:`sources.aggview` (group by
+    ``t``, measure ``("count", None)``) — the incremental path to
+    :func:`drift_from_token_views`."""
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("t")
+        )
+    )
+
+
+def drift_from_token_views(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    count_col: str = "n",
+) -> DataFrame:
+    """The token drift metrics (JS divergence / OOV rate / new types)
+    computed from two STORED vocabulary count tables — e.g. two
+    :mod:`sources.aggview` views maintained incrementally over the
+    ingest stream, or two snapshot versions of one. This is the
+    production monitoring shape: drift over a 100 TB corpus costs
+    O(vocabulary), zero document scans, because the scanning already
+    happened batch-by-batch in the view maintenance. Identical
+    arithmetic to the token rows of :func:`corpus_drift` (pinned by
+    test)."""
+    return _token_metric_rows(
+        counts_a.select(
+            F.col("t"), F.col(count_col).cast("bigint").alias("na")
+        ),
+        counts_b.select(
+            F.col("t"), F.col(count_col).cast("bigint").alias("nb")
+        ),
+    ).orderBy("metric")
 
 
 def corpus_drift_sql(

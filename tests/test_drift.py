@@ -76,3 +76,49 @@ def test_corpus_drift_empty_text_and_skew(spark):
     assert got["oov_token_rate"] == 0.0
     # A: sources s1:1/3, s2:2/3; B: s1:1 → L1 = |1-1/3| + |0-2/3|
     assert got["source_mix_l1"] == pytest.approx(4.0 / 3.0, abs=1e-6)
+
+
+def test_drift_from_incremental_token_views(spark, sf_dir, tmp_path):
+    """The production shape: vocabulary count views maintained
+    batch-over-batch (sources/aggview) feed the drift monitor with
+    ZERO document scans — and produce the exact token metrics the
+    one-shot corpus_drift computes from raw documents."""
+    from minisql_engine_spark.operators.drift import (
+        drift_from_token_views,
+        token_counts_batch,
+    )
+    from minisql_engine_spark.sources.aggview import (
+        init_agg_view,
+        read_agg_view,
+        update_agg_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    m = {"n": ("count", None)}
+
+    views = {}
+    for name, half in (("a", half_a), ("b", half_b)):
+        path = str(tmp_path / f"vocab_{name}")
+        # maintain the vocabulary view over three ingest batches
+        batches = [
+            token_counts_batch(half.filter(F.col("doc_id") % 3 == i))
+            for i in range(3)
+        ]
+        init_agg_view(batches[0], path, "t", m)
+        for b in batches[1:]:
+            update_agg_view(spark, path, b, "t", m)
+        views[name] = read_agg_view(spark, path, m)
+
+    got = {
+        r["metric"]: r["value"]
+        for r in drift_from_token_views(views["a"], views["b"]).collect()
+    }
+    want = {
+        r["metric"]: r["value"]
+        for r in corpus_drift(half_a, half_b).collect()
+        if r["metric"]
+        in ("js_divergence_tokens", "oov_token_rate", "new_token_types")
+    }
+    assert got == want
