@@ -91,6 +91,8 @@ HEADLINE = (
     "corpus_drift",
     "incr_agg_events",
     "hashvec_tfidf",
+    # full write→pruned-merge→read cycle per call (lakehouse upsert)
+    "snapshot_merge_pruned",
 )
 
 
