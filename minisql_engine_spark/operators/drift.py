@@ -313,3 +313,146 @@ def corpus_drift_sql(
             " ) ORDER BY metric"
         )
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(metric, value) — embedding-space drift of slice B vs A, the
+    vector-modality sibling of :func:`corpus_drift`:
+
+      ``centroid_cosine_dist``  1 − cos(mean_A, mean_B) — direction
+                                shift of the corpus centroid.
+      ``centroid_l2_dist``      ‖mean_A − mean_B‖₂ — magnitude shift.
+      ``mean_sqnorm_shift``     E‖v‖² in B minus A — energy/scale
+                                shift (catches normalization breaks).
+
+    Per-dimension means ride the package's exact-decimal sum rule
+    (order-independent across a 1000-executor shuffle); the final
+    combinations run over dims-many rows (tiny) and round to 6 at the
+    edge. One posexplode + one (dim) aggregate per side — no pairwise
+    anything, no collect."""
+    def dims(e: DataFrame, mean_out: str, sq_out: str, n_out: str):
+        u = e.select(
+            F.col(id_col),
+            F.posexplode(F.col(vec_col)).alias("dim0", "valf"),
+        ).select(
+            F.col(id_col),
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            F.col("valf").cast("double").alias("val"),
+        )
+        per_dim = u.groupBy("dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(25,8)")).cast("double")
+                / F.count("val")
+            ).alias(mean_out)
+        )
+        totals = u.agg(
+            F.sum(
+                (F.col("val") * F.col("val")).cast("decimal(25,8)")
+            )
+            .cast("double")
+            .alias(sq_out),
+            F.countDistinct(id_col).cast("double").alias(n_out),
+        )
+        return per_dim, totals
+
+    da, ta = dims(emb_a, "ma", "sqa", "na_rows")
+    db, tb = dims(emb_b, "mb", "sqb", "nb_rows")
+    cent = (
+        da.join(db, "dim")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("aa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("bb"),
+            F.sum(
+                (F.col("ma") - F.col("mb"))
+                * (F.col("ma") - F.col("mb"))
+            ).alias("dd"),
+        )
+    )
+    rows = (
+        cent.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.explode(
+                F.array(
+                    _row(
+                        "centroid_cosine_dist",
+                        F.round(
+                            1.0
+                            - F.col("dot")
+                            / F.sqrt(F.col("aa"))
+                            / F.sqrt(F.col("bb")),
+                            6,
+                        ),
+                    ),
+                    _row(
+                        "centroid_l2_dist",
+                        F.round(F.sqrt(F.col("dd")), 6),
+                    ),
+                    _row(
+                        "mean_sqnorm_shift",
+                        F.round(
+                            F.col("sqb") / F.col("nb_rows")
+                            - F.col("sqa") / F.col("na_rows"),
+                            6,
+                        ),
+                    ),
+                )
+            ).alias("_r")
+        )
+        .select("_r.metric", "_r.value")
+        .orderBy("metric")
+    )
+    return rows
+
+
+def embedding_drift_sql(
+    table: str,
+    pred_a: str,
+    pred_b: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle twin of :func:`embedding_drift` — identical
+    decimal-routed means, combination arithmetic, and round-6 edges."""
+    def side(tag: str, pred: str) -> str:
+        return (
+            f"u{tag} AS (SELECT {id_col},"
+            f" generate_subscripts({vec_col}, 1) AS dim,"
+            f" unnest(CAST({vec_col} AS DOUBLE[])) AS val"
+            f" FROM {table} WHERE ({pred})),"
+            f" d{tag} AS (SELECT dim,"
+            f" CAST(sum(CAST(val AS DECIMAL(25,8))) AS DOUBLE)"
+            f"  / count(val) AS m{tag} FROM u{tag} GROUP BY dim),"
+            f" t{tag} AS (SELECT CAST(sum(CAST(val * val AS"
+            f" DECIMAL(25,8))) AS DOUBLE) AS sq{tag},"
+            f" CAST(count(DISTINCT {id_col}) AS DOUBLE) AS n{tag}"
+            f" FROM u{tag})"
+        )
+
+    return (
+        "WITH "
+        + side("a", pred_a)
+        + ", "
+        + side("b", pred_b)
+        + (
+            ", cent AS (SELECT sum(ma * mb) AS dot,"
+            " sum(ma * ma) AS aa, sum(mb * mb) AS bb,"
+            " sum((ma - mb) * (ma - mb)) AS dd"
+            " FROM da JOIN db USING (dim))"
+            " SELECT metric, value FROM ("
+            " SELECT 'centroid_cosine_dist' AS metric,"
+            "  round(1.0 - dot / sqrt(aa) / sqrt(bb), 6) AS value"
+            "  FROM cent"
+            " UNION ALL SELECT 'centroid_l2_dist',"
+            "  round(sqrt(dd), 6) FROM cent"
+            " UNION ALL SELECT 'mean_sqnorm_shift',"
+            "  round(sqb / nb - sqa / na, 6) FROM ta, tb"
+            " ) ORDER BY metric"
+        )
+    )

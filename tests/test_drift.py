@@ -122,3 +122,43 @@ def test_drift_from_incremental_token_views(spark, sf_dir, tmp_path):
         in ("js_divergence_tokens", "oov_token_rate", "new_token_types")
     }
     assert got == want
+
+
+def test_embedding_drift_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    oracle = embedding_drift_sql(
+        "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "embdrift")
+
+
+def test_embedding_drift_identity_and_scale(spark, sf_dir):
+    from minisql_engine_spark.operators.drift import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    same = {
+        r["metric"]: r["value"]
+        for r in embedding_drift(emb, emb).collect()
+    }
+    assert same["centroid_cosine_dist"] == 0.0
+    assert same["centroid_l2_dist"] == 0.0
+    assert same["mean_sqnorm_shift"] == 0.0
+    # doubling every vector: direction unchanged, energy quadruples
+    doubled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2)
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in embedding_drift(emb, doubled).collect()
+    }
+    assert got["centroid_cosine_dist"] == pytest.approx(0.0, abs=1e-6)
+    assert got["mean_sqnorm_shift"] > 0
