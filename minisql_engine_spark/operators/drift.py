@@ -456,3 +456,137 @@ def embedding_drift_sql(
             " ) ORDER BY metric"
         )
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(bucket, share_a, share_b, psi_term) + a ``bucket = -100``
+    TOTAL row carrying the Population Stability Index — the numeric-
+    column sibling of :func:`corpus_drift` (tokens) and
+    :func:`embedding_drift` (vectors), and the standard model-ops
+    drift score: PSI = Σ (p_b − p_a)·ln(p_b / p_a) over fixed value
+    buckets (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted — the
+    published rule-of-thumb thresholds).
+
+    Buckets reuse the portable floor arithmetic of
+    ``operators/stats.value_histogram`` (under/overflow sentinels -1
+    and ``n_buckets``, so no value is silently dropped). Empty
+    buckets take the standard 1e-6 share floor so the log is finite —
+    applied IDENTICALLY in the oracle. One scan + one tiny aggregate
+    per side; shares join on bucket id (≤ n_buckets + 2 rows)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+
+    def buckets(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(col).cast("double")
+        b = (
+            F.when(v < lo, F.lit(-1))
+            .when(v >= hi, F.lit(n_buckets))
+            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+            .cast("bigint")
+        )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+
+    ba = buckets(df_a, "ca")
+    bb = buckets(df_b, "cb")
+    j = ba.join(bb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").cast("double").alias("tot_ca"),
+        F.sum("cb").cast("double").alias("tot_cb"),
+    )
+    floor_ = F.lit(1e-6)
+    jt = j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.greatest(
+            F.col("ca").cast("double") / F.col("tot_ca"), floor_
+        ).alias("share_a"),
+        F.greatest(
+            F.col("cb").cast("double") / F.col("tot_cb"), floor_
+        ).alias("share_b"),
+    )
+    terms = jt.select(
+        "bucket",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round(
+            (F.col("share_b") - F.col("share_a"))
+            * F.log(F.col("share_b") / F.col("share_a")),
+            6,
+        ).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.lit(-100).cast("bigint").alias("bucket"),
+        F.lit(None).cast("double").alias("share_a"),
+        F.lit(None).cast("double").alias("share_b"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    )
+    return terms.unionAll(total).orderBy("bucket")
+
+
+def psi_drift_sql(
+    table: str,
+    pred_a: str,
+    pred_b: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`psi_drift` — identical bucket
+    arithmetic, share floor, and round-6 edges."""
+    width = (hi - lo) / n_buckets
+    v = f"CAST({col} AS DOUBLE)"
+    bucket = (
+        f"CAST(CASE WHEN {v} < {lo!r} THEN -1"
+        f" WHEN {v} >= {hi!r} THEN {n_buckets}"
+        f" ELSE floor(({v} - {lo!r}) / {width!r}) END AS BIGINT)"
+    )
+
+    def side(tag: str, pred: str, out: str) -> str:
+        return (
+            f"b{tag} AS (SELECT {bucket} AS bucket,"
+            f" CAST(count(*) AS BIGINT) AS {out} FROM {table}"
+            f" WHERE ({pred}) AND {col} IS NOT NULL GROUP BY 1)"
+        )
+
+    return (
+        "WITH "
+        + side("a", pred_a, "ca")
+        + ", "
+        + side("b", pred_b, "cb")
+        + (
+            ", j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,"
+            "  COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb"
+            "  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),"
+            " tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS tot_ca,"
+            "  CAST(sum(cb) AS DOUBLE) AS tot_cb FROM j),"
+            " jt AS (SELECT bucket,"
+            "  greatest(CAST(ca AS DOUBLE) / tot_ca, 1e-6) AS share_a,"
+            "  greatest(CAST(cb AS DOUBLE) / tot_cb, 1e-6) AS share_b"
+            "  FROM j, tot),"
+            " terms AS (SELECT bucket, round(share_a, 6) AS share_a,"
+            "  round(share_b, 6) AS share_b,"
+            "  round((share_b - share_a) * ln(share_b / share_a), 6)"
+            "   AS psi_term FROM jt)"
+            " SELECT bucket, share_a, share_b, psi_term FROM terms"
+            " UNION ALL SELECT CAST(-100 AS BIGINT),"
+            "  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            "  round(sum(psi_term), 6) FROM terms"
+            " ORDER BY bucket"
+        )
+    )

@@ -162,3 +162,46 @@ def test_embedding_drift_identity_and_scale(spark, sf_dir):
     }
     assert got["centroid_cosine_dist"] == pytest.approx(0.0, abs=1e-6)
     assert got["mean_sqnorm_shift"] > 0
+
+
+def test_psi_drift_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.drift import (
+        psi_drift,
+        psi_drift_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        100.0,
+        n_buckets=10,
+    )
+    oracle = psi_drift_sql(
+        "events",
+        "event_id % 2 = 0",
+        "event_id % 2 = 1",
+        "value",
+        0.0,
+        100.0,
+        n_buckets=10,
+    )
+    assert_matches_oracle(out, duck.execute(oracle).fetchdf(), "psi")
+
+
+def test_psi_identical_is_zero_and_shift_detected(spark):
+    from minisql_engine_spark.operators.drift import psi_drift
+
+    a = spark.createDataFrame([(float(i % 50),) for i in range(500)], ["v"])
+    same = psi_drift(a, a, "v", 0.0, 50.0).collect()
+    tot = [r for r in same if r["bucket"] == -100][0]
+    assert tot["psi_term"] == 0.0
+    # shifted distribution → PSI over the 0.25 'shifted' threshold
+    b = spark.createDataFrame(
+        [(float(i % 50) + 25.0,) for i in range(500)], ["v"]
+    )
+    shifted = psi_drift(a, b, "v", 0.0, 50.0).collect()
+    tot2 = [r for r in shifted if r["bucket"] == -100][0]
+    assert tot2["psi_term"] > 0.25
