@@ -22,19 +22,26 @@ the ingest path, with :func:`compact_snapshot` as the explicit
 small-file maintenance step); ``add_snapshot_column`` is a
 metadata-only commit (schema evolution, defaults filled on read for
 pre-evolution files); an upsert (MERGE)
-commit lists its own dir PLUS the carried-over rows rewritten...
-no — MERGE here is copy-on-write at the granularity of the whole
-key-match: the new version's manifest lists ONE new dir holding
-``base.anti(keys of updates) ∪ updates``. That is the simplest
-correct merge (full rewrite); the production refinement — rewriting
-only the files whose key ranges intersect the updates — needs
-per-file key statistics, which `sources/zorder.py` already produces,
-and is noted as the composition point, not silently faked.
+commit has two shapes: :func:`merge_snapshot` is copy-on-write of the
+whole table (ONE new dir holding ``base.anti(keys) ∪ updates`` — the
+simplest correct merge), and :func:`merge_snapshot_pruned` is the
+production refinement: parquet FOOTER key statistics select only the
+files whose key range intersects an update key for rewrite, and every
+other file carries over into the new manifest BY REFERENCE (so
+manifests may list individual files as well as dirs — vacuum and the
+byte-size helpers handle both). With range-clustered or z-ordered
+writes (`sources/zorder.py`) a table-wide upsert becomes a
+few-file rewrite.
 
-Concurrency contract: single writer (the manifest commit is a
-rename-free JSON write keyed by the next version number; two racing
-writers could both claim N+1). Multi-writer needs a CAS on the
-manifest store — out of scope, stated loudly rather than half-built.
+Concurrency contract: optimistic. The manifest claim is an atomic
+``O_CREAT|O_EXCL`` create, so exactly one of two racing writers wins a
+version number (POSIX filesystems). Losers of commutative commits
+(full overwrite, append) retry automatically at the next number —
+appends even reuse their already-written data dir; MERGE/DELETE/
+compact computed from a base that moved, so they raise
+``ConcurrentCommitError`` for the caller to re-run. Object stores
+without atomic create-if-absent still need an external CAS — stated,
+not faked.
 """
 
 from __future__ import annotations
@@ -111,6 +118,44 @@ def _check_written(spark, data_dir: str, constraints: list[str]) -> None:
         raise ConstraintViolation(bad)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the version this commit targeted.
+
+    The manifest claim is an ``O_CREAT|O_EXCL`` file create — atomic
+    single-winner on POSIX filesystems, which upgrades the old
+    "single-writer contract" to real optimistic concurrency there.
+    (Object stores without atomic create-if-absent still need an
+    external CAS — stated, not faked.) ``write_snapshot`` and
+    ``append_snapshot`` retry automatically (their content does not
+    depend on the version they lost); MERGE/DELETE/compact computed
+    from a base that has moved, so they raise this for the caller to
+    re-run against the new current version."""
+
+
+def _write_data_dir(df: DataFrame, base_path: str, version: int) -> str:
+    tag = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(base_path, "data", f"v{version}-{tag}")
+    df.write.mode("error").parquet(data_dir)
+    return data_dir
+
+
+def _claim_manifest(base_path: str, version: int, manifest: dict) -> None:
+    """Atomically claim ``version`` (exclusive create — the commit
+    point). Raises :class:`ConcurrentCommitError` if a racing writer
+    got there first."""
+    os.makedirs(_versions_dir(base_path), exist_ok=True)
+    path = _manifest_path(base_path, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} at {base_path} was claimed by another "
+            "writer"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+
+
 def _commit(
     df: DataFrame,
     base_path: str,
@@ -119,7 +164,8 @@ def _commit(
     adds: list[dict] | None = None,
     constraints: list[str] | None = None,
 ) -> None:
-    """Write one new immutable data dir and the version manifest.
+    """Write one new immutable data dir and claim the version
+    manifest.
 
     ``carry_dirs`` keeps prior dirs in the manifest (append commit);
     ``adds`` carries the schema-evolution patch forward (only append
@@ -127,27 +173,31 @@ def _commit(
     physically, so its manifest starts clean). ``constraints`` gates
     the commit: checked AFTER the data write but BEFORE the manifest
     (the manifest is the commit point, so a failed check leaves no
-    new version — the orphan dir is removed)."""
-    tag = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(base_path, "data", f"v{version}-{tag}")
-    df.write.mode("error").parquet(data_dir)
-    if constraints:
-        import shutil
+    new version — the orphan dir is removed). A lost claim race also
+    removes the dir and raises :class:`ConcurrentCommitError`."""
+    import shutil
 
+    data_dir = _write_data_dir(df, base_path, version)
+    if constraints:
         try:
             _check_written(df.sparkSession, data_dir, constraints)
         except ConstraintViolation:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
-    os.makedirs(_versions_dir(base_path), exist_ok=True)
     manifest = {
         "version": version,
         "data_dirs": list(carry_dirs or []) + [data_dir],
     }
     if adds:
         manifest["adds"] = adds
-    with open(_manifest_path(base_path, version), "w") as f:
-        json.dump(manifest, f)
+    try:
+        _claim_manifest(base_path, version, manifest)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+
+
+_COMMIT_RETRIES = 10
 
 
 def write_snapshot(
@@ -158,11 +208,19 @@ def write_snapshot(
     """Commit ``df`` as the next full version; returns the version.
     ``constraints`` are SQL CHECK expressions every committed row
     must satisfy (see :func:`_check_written`); a violation aborts
-    with :class:`ConstraintViolation` and commits nothing."""
-    cur = current_version(base_path)
-    version = 1 if cur is None else cur + 1
-    _commit(df, base_path, version, constraints=constraints)
-    return version
+    with :class:`ConstraintViolation` and commits nothing. A lost
+    version race retries at the next number (a full overwrite's
+    content is version-independent)."""
+    last: ConcurrentCommitError | None = None
+    for _ in range(_COMMIT_RETRIES):
+        cur = current_version(base_path)
+        version = 1 if cur is None else cur + 1
+        try:
+            _commit(df, base_path, version, constraints=constraints)
+            return version
+        except ConcurrentCommitError as e:
+            last = e
+    raise last
 
 
 def read_snapshot(
@@ -371,29 +429,60 @@ def append_snapshot(
     evolved column (write_snapshot/merge materialize them, and new
     writers should too). ``constraints`` gate the commit like
     :func:`write_snapshot` — only the NEW rows are checked (existing
-    versions were gated at their own commit time)."""
+    versions were gated at their own commit time).
+
+    A lost version race retries WITHOUT recomputing or rewriting the
+    new data: the already-written dir is re-pointed at the next
+    version on top of the winner's manifest — appends commute, which
+    is why this (unlike MERGE) can retry safely."""
+    import shutil
+
     cur = current_version(base_path)
     if cur is None:
         return write_snapshot(df, base_path, constraints=constraints)
-    manifest = _read_manifest(base_path, cur)
-    adds = manifest.get("adds", [])
-    missing = [a["name"] for a in adds if a["name"] not in df.columns]
-    if missing:
-        raise ValueError(
-            f"append is missing evolved column(s) {missing}; fill them "
-            "explicitly (evolution defaults apply to PRE-evolution "
-            "files, not to new data)"
-        )
-    version = cur + 1
-    _commit(
-        df,
-        base_path,
-        version,
-        carry_dirs=manifest["data_dirs"],
-        adds=adds or None,
-        constraints=constraints,
-    )
-    return version
+
+    def _adds_check(adds: list[dict]) -> None:
+        missing = [
+            a["name"] for a in adds if a["name"] not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"append is missing evolved column(s) {missing}; fill "
+                "them explicitly (evolution defaults apply to PRE-"
+                "evolution files, not to new data)"
+            )
+
+    _adds_check(_read_manifest(base_path, cur).get("adds", []))
+    data_dir = _write_data_dir(df, base_path, cur + 1)
+    if constraints:
+        try:
+            _check_written(df.sparkSession, data_dir, constraints)
+        except ConstraintViolation:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+    last: Exception | None = None
+    for _ in range(_COMMIT_RETRIES):
+        cur = current_version(base_path)
+        manifest = _read_manifest(base_path, cur)
+        adds = manifest.get("adds", [])
+        try:
+            _adds_check(adds)  # evolution may have landed concurrently
+        except ValueError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        new_manifest = {
+            "version": cur + 1,
+            "data_dirs": manifest["data_dirs"] + [data_dir],
+        }
+        if adds:
+            new_manifest["adds"] = adds
+        try:
+            _claim_manifest(base_path, cur + 1, new_manifest)
+            return cur + 1
+        except ConcurrentCommitError as e:
+            last = e
+    shutil.rmtree(data_dir, ignore_errors=True)
+    raise last
 
 
 def add_snapshot_column(
@@ -417,8 +506,7 @@ def add_snapshot_column(
         "data_dirs": manifest["data_dirs"],
         "adds": adds + [{"name": name, "dtype": dtype, "default": default}],
     }
-    with open(_manifest_path(base_path, version), "w") as f:
-        json.dump(new_manifest, f)
+    _claim_manifest(base_path, version, new_manifest)
     return version
 
 

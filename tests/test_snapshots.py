@@ -385,3 +385,56 @@ def test_sorted_layout_composes_with_pruned_merge(spark, base, tmp_path):
     got = read_snapshot(spark, p2)
     assert got.filter(F.col("text") == "PATCHED").count() == 3
     assert got.count() == docs.count()
+
+
+def test_optimistic_concurrency_append_retries(spark, base):
+    """A racing writer steals the version number: append retries on
+    top of the winner's manifest without rewriting its data; MERGE
+    raises for the caller (its base moved)."""
+    import glob
+    import json as _json
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        append_snapshot,
+    )
+
+    docs, path = base
+    # fake competitor claims v2 listing v1's dirs (a no-op append)
+    with open(os.path.join(path, "_versions", "v1.json")) as f:
+        v1 = _json.load(f)
+    with open(os.path.join(path, "_versions", "v2.json"), "w") as f:
+        _json.dump({"version": 2, "data_dirs": v1["data_dirs"]}, f)
+
+    # monkey-level race: current_version says 2 now, so append targets
+    # 3 — pre-claim 3 as well to force one retry onto 4
+    with open(os.path.join(path, "_versions", "v3.json"), "w") as f:
+        _json.dump({"version": 3, "data_dirs": v1["data_dirs"]}, f)
+
+    more = docs.limit(5).select(
+        (F.col("doc_id") + 40_000).alias("doc_id"), "text", "source"
+    )
+    v = append_snapshot(more, path)
+    assert v == 4
+    assert read_snapshot(spark, path).count() == docs.count() + 5
+    # no orphan dirs: every data dir is referenced by some manifest
+    refs = set()
+    for mp in glob.glob(os.path.join(path, "_versions", "*.json")):
+        with open(mp) as f:
+            refs.update(_json.load(f)["data_dirs"])
+    on_disk = set(glob.glob(os.path.join(path, "data", "*")))
+    assert on_disk <= refs
+
+    # the claim primitive is single-winner: a commit targeting an
+    # already-claimed version raises (this is the path MERGE/DELETE
+    # hit when a racer lands between their base read and their claim
+    # — they call _commit once and do NOT auto-retry, since their
+    # content was computed from a base that moved)
+    from minisql_engine_spark.sources.snapshots import _commit
+
+    with open(os.path.join(path, "_versions", "v5.json"), "w") as f:
+        _json.dump({"version": 5, "data_dirs": v1["data_dirs"]}, f)
+    upd = docs.limit(1)
+    with pytest.raises(ConcurrentCommitError):
+        _commit(upd, path, 5)
