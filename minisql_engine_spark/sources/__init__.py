@@ -11,6 +11,7 @@ from minisql_engine_spark.sources.zorder import (
     write_zordered,
 )
 from minisql_engine_spark.sources.snapshots import (
+    ConcurrentCommitError,
     ConstraintViolation,
     add_snapshot_column,
     append_snapshot,
@@ -44,6 +45,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "load_csv_database",
+    "ConcurrentCommitError",
     "ConstraintViolation",
     "add_snapshot_column",
     "append_snapshot",
