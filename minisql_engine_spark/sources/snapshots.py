@@ -417,6 +417,58 @@ def delete_from_snapshot(
     return version
 
 
+def delete_range_pruned(
+    spark: SparkSession,
+    base_path: str,
+    key_col: str,
+    lo,
+    hi,
+) -> int:
+    """DELETE WHERE ``key_col`` BETWEEN lo AND hi (inclusive), pruned
+    by parquet footer statistics — the partition-drop optimization:
+
+    * files ENTIRELY inside the range are dropped from the manifest
+      without a single byte read;
+    * files entirely outside carry over by reference, untouched;
+    * only boundary-straddling files (or stat-less ones) are
+      rewritten with the filter applied.
+
+    On a range-clustered table a bulk retention delete ("drop
+    everything older than N days") touches only the two boundary
+    files regardless of table size. Same metadata-scale machinery as
+    :func:`merge_snapshot_pruned`; same pending-evolution guard."""
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    manifest = _read_manifest(base_path, cur)
+    if manifest.get("adds"):
+        raise ValueError(
+            "table has a pending schema-evolution patch; run "
+            "compact_snapshot() before a pruned delete"
+        )
+    files = _manifest_files(manifest["data_dirs"])
+    carried, rewrite = [], []
+    for f in files:
+        r = _file_key_range(f, key_col)
+        if r is None:
+            rewrite.append(f)       # no stats → conservative rewrite
+        elif r[1] < lo or r[0] > hi:
+            carried.append(f)       # disjoint → untouched
+        elif lo <= r[0] and r[1] <= hi:
+            pass                    # fully inside → dropped, zero I/O
+        else:
+            rewrite.append(f)       # straddles a boundary
+    if rewrite:
+        remaining = spark.read.parquet(*sorted(rewrite)).filter(
+            f"NOT ({key_col} >= {lo!r} AND {key_col} <= {hi!r})"
+        )
+    else:
+        remaining = read_snapshot(spark, base_path).limit(0)
+    version = cur + 1
+    _commit(remaining, base_path, version, carry_dirs=carried)
+    return version
+
+
 def append_snapshot(
     df: DataFrame,
     base_path: str,

@@ -438,3 +438,60 @@ def test_optimistic_concurrency_append_retries(spark, base):
     upd = docs.limit(1)
     with pytest.raises(ConcurrentCommitError):
         _commit(upd, path, 5)
+
+
+def test_delete_range_pruned_drops_whole_files(spark, base, tmp_path):
+    """Retention delete on a range-clustered table: fully-covered
+    files vanish by metadata alone, boundary files rewrite, the rest
+    carry by reference — content equals the naive delete."""
+    import glob
+    import json as _json
+    import os
+
+    from minisql_engine_spark.sources.snapshots import (
+        delete_range_pruned,
+        write_snapshot,
+    )
+
+    docs, path = base
+    p2 = str(tmp_path / "ranged")
+    write_snapshot(
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ),
+        p2,
+    )
+    files = sorted(
+        glob.glob(os.path.join(p2, "data", "*", "*.parquet"))
+    )
+    assert len(files) == 4
+    # pick a range covering file 2 entirely and straddling file 3
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        lo_, hi_ = st.min, st.max
+        for rg in range(md.num_row_groups):
+            s2 = md.row_group(rg).column(0).statistics
+            lo_, hi_ = min(lo_, s2.min), max(hi_, s2.max)
+        ranges.append((lo_, hi_))
+    ranges.sort()
+    lo = ranges[1][0]                    # start of 2nd file
+    hi = (ranges[2][0] + ranges[2][1]) // 2  # middle of 3rd file
+    expected = docs.filter(
+        ~((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    )
+    v = delete_range_pruned(spark, p2, "doc_id", lo, hi)
+    got = read_snapshot(spark, p2)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in expected.collect()
+    )
+    with open(os.path.join(p2, "_versions", f"v{v}.json")) as f:
+        man = _json.load(f)
+    carried = [e for e in man["data_dirs"] if os.path.isfile(e)]
+    # files 1 and 4 carried untouched; file 2 dropped wholly (not in
+    # the manifest and never rewritten); file 3 rewritten
+    assert len(carried) == 2
+    assert set(carried) == {files[0], files[3]}
