@@ -29,3 +29,16 @@ from minisql_engine_spark.streaming.curate import (  # noqa: E402,F401
 )
 
 __all__ += ["curate_stream", "read_documents_stream"]
+from minisql_engine_spark.streaming.ingest import (  # noqa: E402,F401
+    stream_admit,
+    stream_admit_neardup,
+    stream_admit_snapshot,
+    stream_agg_view,
+)
+
+__all__ += [
+    "stream_admit",
+    "stream_admit_neardup",
+    "stream_admit_snapshot",
+    "stream_agg_view",
+]
