@@ -1,0 +1,187 @@
+"""Portable HyperLogLog distinct-count sketch (oracle-replayable).
+
+Spark's native ``approx_count_distinct`` (HLL++) is the production
+sketch, but its register layout is engine-internal — the driver entry
+for it (``approx_distinct``) can only be rows-only-guarded. This
+module is the portable twin: an HLL whose every register derives from
+``md5`` through integer arithmetic both engines evaluate identically,
+so the ENTIRE sketch — registers, estimator branch, relative error —
+is replayed bit-for-bit by the DuckDB oracle and the driver hash-gate
+covers the sketch family too (Flajolet et al. 2007 estimator with the
+standard small-range linear-counting correction).
+
+Construction (p register bits, m = 2^p registers, 60 md5 bits):
+
+    h   = first 15 hex chars of md5(key)  → 60-bit positive int
+    reg = h % m                 (register index)
+    w   = h // m                (B = 60 − p remaining bits)
+    rho = B − bit_length(w) + 1 (leading-zero rank; w = 0 → B + 1)
+
+``bit_length(w) = length(bin(w))`` — Spark ``bin()`` and DuckDB
+``bin()`` both print the minimal binary string, which makes the rank
+exact integer arithmetic: no log2 doubles anywhere near a boundary.
+
+The register relation (reg, max_rho) is the sketch: mergeable by
+``max`` per register (the distributive-state property that makes it
+an aggview measure at 100 TB — union of corpora = max of sketches,
+proven by ``test_membership_sketch.py``), at most m rows, broadcast-
+sized for any p ≤ 20.
+
+Scale note: the full-precision estimate touches each key once (one
+hash aggregate with map-side partials collapsing to ≤ m rows) —
+exactly what a 1000-executor COUNT DISTINCT over 100 TB cannot afford
+to do exactly (its exchange carries every distinct key; this one
+carries ≤ m·partitions partial rows).
+
+Float policy: the harmonic-sum estimator is evaluated in one
+deterministic aggregate per engine and round(6)-ed at the comparison
+edge (package rule; same stance as ``operators/lm_score.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 2^10 registers — 1.04/sqrt(m) ≈ 3.25% expected standard error.
+DEFAULT_P = 10
+
+
+def _alpha(m: int) -> float:
+    # Flajolet's bias constant; m >= 128 branch (p >= 7).
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, key_expr: F.Column, p: int = DEFAULT_P
+) -> DataFrame:
+    """(reg, max_rho) register relation over the keys (≤ 2^p rows)."""
+    m = 1 << p
+    b = 60 - p
+    h = F.conv(F.substring(F.md5(key_expr), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = df.select(h.alias("_h"))
+    # exact integer split: reg = low p bits, w = high bits
+    reg = F.col("_h").bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(F.col("_h"), p)
+    rho = F.when(w == 0, F.lit(b + 1)).otherwise(
+        F.lit(b) - F.length(F.bin(w)) + 1
+    )
+    return (
+        hashed.select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union sketch = per-register max — the distributive merge."""
+    return (
+        a.unionByName(b)
+        .groupBy("reg")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = DEFAULT_P) -> DataFrame:
+    """One-row (m, n_present, estimate) from a register relation.
+
+    Raw estimator alpha·m²/Σ2^−M_j (absent registers contribute
+    2^0 = 1 each); linear counting m·ln(m/zeros) below 2.5m when any
+    register is empty — the standard small-range correction, and an
+    exact branch decision both engines replay identically."""
+    m = 1 << p
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    raw = (
+        F.lit(_alpha(m) * m * m)
+        / (F.col("_s") + (F.lit(m) - F.col("n_present")))
+    )
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_present") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("bigint").alias("m"),
+        "n_present",
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_expr: F.Column,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """One-row sketch-vs-exact report: (m, n_present, estimate,
+    n_exact, rel_err_pct, within_10pct). The exact count rides along
+    so the quality guard is part of the hashed result — a regression
+    in either the sketch or the estimator moves the driver gate."""
+    est = hll_estimate(hll_sketch(df, key_expr, p), p)
+    exact = df.select(key_expr.alias("_k")).agg(
+        F.count_distinct(F.col("_k")).cast("bigint").alias("n_exact")
+    )
+    rel = (
+        (F.col("estimate") - F.col("n_exact"))
+        / F.col("n_exact")
+        * 100.0
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "n_present",
+        "estimate",
+        "n_exact",
+        F.round(rel, 6).alias("rel_err_pct"),
+        (F.abs(rel) <= 10.0).alias("within_10pct"),
+    )
+
+
+def hll_distinct_sql(
+    table: str = "documents",
+    key_sql: str = "token",
+    from_clause: str | None = None,
+    p: int = DEFAULT_P,
+) -> str:
+    """DuckDB oracle twin of :func:`hll_distinct` over an arbitrary
+    key expression; ``from_clause`` defaults to the bare table."""
+    m = 1 << p
+    b = 60 - p
+    src = from_clause or table
+    alpha_m2 = repr(_alpha(m) * m * m)
+    return (
+        f"WITH keys AS (SELECT {key_sql} AS k FROM {src}),"
+        " hashed AS (SELECT"
+        "  ('0x' || substring(md5(k), 1, 15))::BIGINT AS h FROM keys),"
+        f" regs AS (SELECT h % {m} AS reg,"
+        f"  CASE WHEN h // {m} = 0 THEN {b + 1}"
+        f"   ELSE {b} - length(bin(h // {m})) + 1 END AS rho"
+        "  FROM hashed),"
+        " sk AS (SELECT reg, CAST(max(rho) AS INTEGER) AS max_rho"
+        "  FROM regs GROUP BY reg),"
+        " agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,"
+        "  sum(power(2.0, -max_rho)) AS s FROM sk),"
+        f" est0 AS (SELECT n_present, {alpha_m2}"
+        f"   / (s + ({m} - n_present)) AS raw FROM agg),"
+        " est AS (SELECT n_present,"
+        f"  CASE WHEN raw <= {2.5 * m} AND n_present < {m}"
+        f"   THEN {float(m)!r} * ln({float(m)!r}"
+        f"    / CAST({m} - n_present AS DOUBLE))"
+        "   ELSE raw END AS e FROM est0),"
+        " ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact"
+        "  FROM keys),"
+        # the Spark side derives rel_err from the ALREADY-round(6)ed
+        # estimate (hll_estimate's output column) — mirror that here
+        " fin AS (SELECT n_present, round(e, 6) AS estimate, n_exact"
+        "  FROM est CROSS JOIN ex)"
+        f" SELECT CAST({m} AS BIGINT) AS m, n_present, estimate,"
+        "  n_exact,"
+        "  round((estimate - n_exact) / n_exact * 100.0, 6)"
+        "   AS rel_err_pct,"
+        "  (abs((estimate - n_exact) / n_exact * 100.0) <= 10.0)"
+        "   AS within_10pct"
+        " FROM fin"
+    )

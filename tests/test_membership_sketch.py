@@ -1,0 +1,155 @@
+"""Bloom-filter membership + portable HLL sketch tests: DuckDB
+parity, the no-false-negative theorem, FPR bound, and the
+distributive merge properties that make both structures shardable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.membership import (
+    bloom_admission,
+    bloom_admission_sql,
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
+from minisql_engine_spark.operators.sketch import (
+    hll_distinct,
+    hll_distinct_sql,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+from minisql_engine_spark.sources import load_table
+from tests.conftest import assert_matches_oracle
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+
+def test_bloom_admission_oracle(spark, duck, sf_dir):
+    out = bloom_admission(load_table(spark, sf_dir, "documents"))
+    ora = duck.execute(bloom_admission_sql()).fetchdf()
+    assert_matches_oracle(out, ora, "bloom_admission")
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, sf_dir):
+    """Every indexed key must probe maybe_present (theorem of the
+    construction); false-positive rate stays under the sizing bound."""
+    rows = bloom_admission(load_table(spark, sf_dir, "documents")).collect()
+    fn = [r for r in rows if r["present"] and not r["maybe_present"]]
+    assert fn == []
+    n = len(rows)
+    fp = sum(1 for r in rows if r["is_false_positive"])
+    # k=5, ~10 bits/key at both test SFs → theoretical FPR < 1e-2;
+    # allow 5% as a loose determinism-safe ceiling
+    assert fp / n < 0.05
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    keys = spark.range(0, 300).select(
+        F.md5(F.col("id").cast("string")).alias("key")
+    )
+    a = keys.filter(F.col("key") < "8")
+    b = keys.filter(F.col("key") >= "8")
+    merged = bloom_merge(bloom_build(a), bloom_build(b))
+    whole = bloom_build(keys)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_bloom_probe_routes_all_members(spark):
+    """Disjoint new keys mostly probe negative (the cheap common
+    case); member keys all probe positive."""
+    members = spark.range(0, 200).select(
+        F.concat(F.lit("m:"), F.col("id")).alias("key")
+    )
+    bloom = bloom_build(members)
+    fresh = spark.range(0, 200).select(
+        F.concat(F.lit("new:"), F.col("id")).alias("key")
+    )
+    got = {
+        r["key"]: r["maybe_present"]
+        for r in bloom_probe(
+            members.unionByName(fresh), bloom
+        ).collect()
+    }
+    assert all(got[f"m:{i}"] for i in range(200))
+    fresh_hits = sum(1 for i in range(200) if got[f"new:{i}"])
+    assert fresh_hits < 10  # 200 keys in 65536 bits: FPR ≈ 0
+
+
+def test_bloom_probe_plan_broadcasts_filter(spark):
+    """The probe join must broadcast the word relation — the batch
+    side never shuffles for the filter."""
+    members = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("key")
+    )
+    plan = bloom_probe(members, bloom_build(members))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def test_hll_distinct_oracle_events(spark, duck, sf_dir):
+    """Raw-estimator branch (high-cardinality event_id) replays
+    bit-for-bit, including the exact count and the error guard."""
+    out = hll_distinct(
+        load_table(spark, sf_dir, "events"),
+        F.col("event_id").cast("string"),
+    )
+    ora = duck.execute(
+        hll_distinct_sql(table="events", key_sql="CAST(event_id AS VARCHAR)")
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "hll_events")
+    assert out.collect()[0]["within_10pct"] is True
+
+
+def test_hll_distinct_oracle_tokens_linear_branch(spark, duck, sf_dir):
+    """Small-cardinality key (documents.source) exercises the
+    linear-counting correction branch in both engines."""
+    out = hll_distinct(
+        load_table(spark, sf_dir, "documents"), F.col("source")
+    )
+    ora = duck.execute(
+        hll_distinct_sql(table="documents", key_sql="source")
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "hll_sources")
+    row = out.collect()[0]
+    # tiny n → linear counting is near-exact
+    assert row["within_10pct"] is True
+
+
+def test_hll_merge_equals_whole_sketch(spark, sf_dir):
+    """Union of per-shard sketches == one-shot sketch (distributive
+    state — the property that makes HLL an aggview measure)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("event_id").cast("string")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(hll_sketch(a, key), hll_sketch(b, key))
+    whole = hll_sketch(ev, key)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # and the merged estimate equals the whole-corpus estimate
+    em = hll_estimate(merged).collect()[0]["estimate"]
+    ew = hll_estimate(whole).collect()[0]["estimate"]
+    assert em == ew
+
+
+def test_hll_overlapping_merge_idempotent(spark):
+    """Re-presenting the same keys cannot move the sketch (max is
+    idempotent) — the replay-safety the streaming indexes rely on."""
+    keys = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("k")
+    )
+    s = hll_sketch(keys, F.col("k"))
+    twice = hll_merge(s, s)
+    assert twice.exceptAll(s).count() == 0
+    assert s.exceptAll(twice).count() == 0
