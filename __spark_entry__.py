@@ -3384,6 +3384,96 @@ def q_snapshot_merge_pruned(spark, sf_dir):
     return read_snapshot(spark, path)
 
 
+@_register(
+    "bloom_admission",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_bloom_admission(spark, sf_dir):
+    """Portable Bloom-filter admission (operators/membership.py): the
+    approximate-membership structure a 100 TB ingest puts in front of
+    the exact dedup index — ~10 bits/key, broadcastable, OR-mergeable
+    across build shards. Indexes the doc_id % 5 != 0 content keys,
+    probes every document, reports maybe/present/false-positive per
+    doc. The DuckDB oracle replays the md5-derived bitmap bit-for-bit,
+    so no-false-negatives is hash-certified, not sampled."""
+    from minisql_engine_spark.operators.membership import bloom_admission
+
+    return bloom_admission(_t(spark, sf_dir, "documents"))
+
+
+def _bloom_oracle() -> str:
+    from minisql_engine_spark.operators.membership import (
+        bloom_admission_sql,
+    )
+
+    return bloom_admission_sql()
+
+
+_ORACLES["bloom_admission"] = _bloom_oracle()
+
+
+@_register(
+    "hll_distinct",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog distinct-count (operators/sketch.py): the
+    oracled twin of the native-sketch `approx_distinct` row — every
+    register derives from md5 via exact integer arithmetic, so the
+    whole sketch (registers, estimator branch, relative error, the
+    ≤10% guard) hash-matches DuckDB's replay. Registers merge by max
+    (distributive state → shard-and-merge at any scale). Sketches the
+    high-cardinality event_id key: raw-estimator branch at sf ≥ 0.01,
+    linear counting at sf0.001 — both branches parity-tested."""
+    from minisql_engine_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), F.col("event_id").cast("string")
+    )
+
+
+def _hll_oracle() -> str:
+    from minisql_engine_spark.operators.sketch import hll_distinct_sql
+
+    return hll_distinct_sql(
+        table="events", key_sql="CAST(event_id AS VARCHAR)"
+    )
+
+
+_ORACLES["hll_distinct"] = _hll_oracle()
+
+
+@_register(
+    "lm_bigram_perplexity",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_lm_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram LM perplexity buckets (KenLM-lite,
+    operators/lm_score.py): context-aware upgrade of the CCNet unigram
+    scorer — shuffled-word gibberish that unigram ppl cannot detect
+    scores into the tail (property-tested). Positional tokens persist
+    once and feed c1/c2/scoring; the predecessor comes from a per-doc
+    lag window (doc-sized partitions, never a global window)."""
+    from minisql_engine_spark.operators.lm_score import (
+        clear_lm_cache,
+        lm_bigram_perplexity,
+    )
+
+    clear_lm_cache()
+    return lm_bigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def _lm_bigram_oracle() -> str:
+    from minisql_engine_spark.operators.lm_score import (
+        lm_bigram_perplexity_sql,
+    )
+
+    return lm_bigram_perplexity_sql()
+
+
+_ORACLES["lm_bigram_perplexity"] = _lm_bigram_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3482,12 +3572,25 @@ _ARCHIVED: frozenset[str] = frozenset(
         # rows; the fixed-bucket arithmetic stays pytest-verified via
         # archived parity)
         "stats_histogram",
+        # twenty-first (r5 session 6) — room for bloom_admission +
+        # hll_distinct + lm_bigram_perplexity (TPC-H keeps the q1
+        # driver row and the full 22-shape suite in tests/test_tpch.py;
+        # the exact-TF-IDF family keeps hashvec_tfidf + the archived
+        # parity; the quantile arithmetic keeps winsorize_clip's
+        # driver row and stats_quantiles' archived parity)
+        "tpch_q18_large_orders",
+        "tfidf_keywords",
+        "stats_quantiles",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r5 session-6 additions — brand new operators, never driver-checked
+    "bloom_admission",
+    "hll_distinct",
+    "lm_bigram_perplexity",
     # r5 session-5 additions — brand new operators, never driver-checked
     "corpus_drift",
     "incr_agg_events",

@@ -93,6 +93,11 @@ HEADLINE = (
     "hashvec_tfidf",
     # full write→pruned-merge→read cycle per call (lakehouse upsert)
     "snapshot_merge_pruned",
+    # r5 session 6: Bloom-filter admission + portable HLL sketch +
+    # interpolated bigram LM
+    "bloom_admission",
+    "hll_distinct",
+    "lm_bigram_perplexity",
 )
 
 

@@ -143,3 +143,179 @@ def lm_perplexity_sql(
         "       ELSE 'tail' END AS bucket"
         " FROM per CROSS JOIN thr"
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM (KenLM-lite)
+# ---------------------------------------------------------------------------
+
+_LM_CACHE: list = []
+
+
+def clear_lm_cache() -> None:
+    """Release positional token tables persisted by prior calls."""
+    while _LM_CACHE:
+        try:
+            _LM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def lm_bigram_perplexity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram perplexity buckets — one modeling step up
+    from :func:`lm_perplexity` (a KenLM-lite: context-aware scoring
+    catches shuffled-word gibberish a unigram LM scores as fluent).
+
+    Per token at position i (w = token, v = predecessor):
+
+        p(w | v) = λ·c₂(v,w)/c₁(v) + (1−λ)·(c₁(w)+1)/(T+V)
+        p(w₀)    = (c₁(w₀)+1)/(T+V)        (first token: unigram)
+
+    The MLE bigram term backs off through the interpolation to the
+    Laplace unigram, so every token has positive probability; the
+    c₁(v) denominator is v's total occurrence count (the last-token
+    context correction is a KenLM normalization detail that doesn't
+    change ranking — documented, not modeled). Same cross-entropy /
+    ppl / tercile-bucket surface as the unigram scorer.
+
+    Plan shape: positional tokens materialize ONCE (persisted — three
+    consumers: c₁, c₂, and the scoring join; the bm25 tf lesson), the
+    predecessor comes from a per-doc lag window (one Exchange on doc
+    id — partitions are doc-sized, never corpus-sized), c₂ is a
+    pair-keyed hash aggregate, and scoring re-collapses per doc with
+    map-side partials. Nothing quadratic, no global window.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                _ws_tokens(_norm_text(F.col(text_col)))
+            ).alias("pos", "token"),
+        )
+        .persist()
+    )
+    _LM_CACHE.append(toks)
+    c1 = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("c1")
+    )
+    totals = c1.agg(
+        F.sum("c1").cast("bigint").alias("t_total"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    with_prev = toks.withColumn("prev", F.lag("token").over(w))
+    c2 = (
+        with_prev.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    c1_prev = c1.select(
+        F.col("token").alias("prev"), F.col("c1").alias("c1_prev")
+    )
+    scored = (
+        with_prev.join(c2, ["prev", "token"], "left")
+        .join(c1, "token")
+        .join(c1_prev, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.col("c1").cast("double") + F.lit(1.0)) / (
+        F.col("t_total") + F.col("v_size")
+    ).cast("double")
+    p_bi = (
+        F.lit(lam)
+        * F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        / F.col("c1_prev").cast("double")
+        + F.lit(1.0 - lam) * p_uni
+    )
+    logp = F.log2(
+        F.when(F.col("prev").isNull(), p_uni).otherwise(p_bi)
+    )
+    per = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens_lm"),
+            (-F.sum(logp) / F.count("*").cast("double")).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_tokens_lm",
+            F.round(F.col("_h"), 6).alias("xent_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("_h")), 6).alias("ppl"),
+        )
+    )
+    thr = per.agg(
+        F.expr("percentile(ppl, 0.3333333333333333)").alias("_t1"),
+        F.expr("percentile(ppl, 0.6666666666666666)").alias("_t2"),
+    )
+    return per.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "n_tokens_lm",
+        "xent_bits",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def lm_bigram_perplexity_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> str:
+    """DuckDB oracle twin of :func:`lm_bigram_perplexity` — same
+    positional tokens (list-index pattern), same interpolation, same
+    tercile arithmetic."""
+    return (
+        f"WITH tk AS (SELECT {id_col}, string_split(regexp_replace("
+        f"  lower(trim({text_col})), '\\s+', ' ', 'g'), ' ') AS t"
+        f"  FROM {table} WHERE trim({text_col}) <> ''),"
+        f" toks AS (SELECT {id_col}, i - 1 AS pos, t[i] AS token"
+        f"  FROM (SELECT {id_col}, t,"
+        "   unnest(range(1, len(t) + 1)) AS i FROM tk)),"
+        " c1 AS (SELECT token, CAST(count(*) AS BIGINT) AS c1"
+        "  FROM toks GROUP BY token),"
+        " totals AS (SELECT CAST(sum(c1) AS BIGINT) AS t_total,"
+        "  CAST(count(*) AS BIGINT) AS v_size FROM c1),"
+        f" wp AS (SELECT {id_col}, pos, token,"
+        f"  lag(token) OVER (PARTITION BY {id_col} ORDER BY pos)"
+        "   AS prev FROM toks),"
+        " c2 AS (SELECT prev, token, CAST(count(*) AS BIGINT) AS c2"
+        "  FROM wp WHERE prev IS NOT NULL GROUP BY prev, token),"
+        f" scored AS (SELECT wp.{id_col},"
+        "   CASE WHEN wp.prev IS NULL THEN"
+        "    (CAST(u.c1 AS DOUBLE) + 1.0)"
+        "     / CAST(t_total + v_size AS DOUBLE)"
+        f"   ELSE {lam!r} * CAST(COALESCE(b.c2, 0) AS DOUBLE)"
+        "     / CAST(pv.c1 AS DOUBLE)"
+        f"    + {1.0 - lam!r} * (CAST(u.c1 AS DOUBLE) + 1.0)"
+        "     / CAST(t_total + v_size AS DOUBLE) END AS p"
+        "  FROM wp"
+        "  LEFT JOIN c2 b ON b.prev = wp.prev AND b.token = wp.token"
+        "  JOIN c1 u ON u.token = wp.token"
+        "  LEFT JOIN c1 pv ON pv.token = wp.prev"
+        "  CROSS JOIN totals),"
+        f" per0 AS (SELECT {id_col},"
+        "  CAST(count(*) AS BIGINT) AS n_tokens_lm,"
+        "  -sum(log2(p)) / CAST(count(*) AS DOUBLE) AS h"
+        f"  FROM scored GROUP BY {id_col}),"
+        f" per AS (SELECT {id_col}, n_tokens_lm,"
+        "  round(h, 6) AS xent_bits,"
+        "  round(power(2.0, h), 6) AS ppl FROM per0),"
+        " thr AS (SELECT"
+        "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
+        "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM per)"
+        f" SELECT {id_col}, n_tokens_lm, xent_bits, ppl,"
+        "  CASE WHEN ppl <= t1 THEN 'head'"
+        "   WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket"
+        " FROM per CROSS JOIN thr"
+    )
