@@ -3444,6 +3444,46 @@ _ORACLES["hll_distinct"] = _hll_oracle()
 
 
 @_register(
+    "cms_frequency",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_cms_frequency(spark, sf_dir):
+    """Portable Count-Min frequency sketch (operators/sketch.py) —
+    the third sketch-family member (Bloom membership / HLL
+    cardinality / CMS frequency): d×w counter relation, elementwise-
+    sum mergeable across shards, point estimate = min over rows.
+    Deliberately undersized (w=256 < user cardinality) so hash
+    collisions really occur at every SF — the per-key `never_under`
+    theorem column and the exact counts ride in the hashed result, so
+    the driver gate certifies estimates never drop below truth even
+    under collision pressure."""
+    from minisql_engine_spark.operators.sketch import (
+        cms_frequency_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    return cms_frequency_report(ev, "key", w=256, d=4)
+
+
+def _cms_oracle() -> str:
+    from minisql_engine_spark.operators.sketch import (
+        cms_frequency_report_sql,
+    )
+
+    return cms_frequency_report_sql(
+        "(SELECT CAST(user_id AS VARCHAR) AS key FROM events) occ0",
+        "key",
+        w=256,
+        d=4,
+    )
+
+
+_ORACLES["cms_frequency"] = _cms_oracle()
+
+
+@_register(
     "lm_bigram_perplexity",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -3581,6 +3621,10 @@ _ARCHIVED: frozenset[str] = frozenset(
         "tpch_q18_large_orders",
         "tfidf_keywords",
         "stats_quantiles",
+        # twenty-second — room for cms_frequency (the time-series
+        # family keeps rolling_features' driver row; the fixed-grid
+        # resample stays pytest-verified via archived parity)
+        "timeseries_resample",
     }
 )
 
@@ -3590,6 +3634,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r5 session-6 additions — brand new operators, never driver-checked
     "bloom_admission",
     "hll_distinct",
+    "cms_frequency",
     "lm_bigram_perplexity",
     # r5 session-5 additions — brand new operators, never driver-checked
     "corpus_drift",

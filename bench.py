@@ -93,10 +93,11 @@ HEADLINE = (
     "hashvec_tfidf",
     # full write→pruned-merge→read cycle per call (lakehouse upsert)
     "snapshot_merge_pruned",
-    # r5 session 6: Bloom-filter admission + portable HLL sketch +
-    # interpolated bigram LM
+    # r5 session 6: Bloom-filter admission + portable HLL + CMS
+    # sketches + interpolated bigram LM
     "bloom_admission",
     "hll_distinct",
+    "cms_frequency",
     "lm_bigram_perplexity",
 )
 

@@ -185,3 +185,211 @@ def hll_distinct_sql(
         "   AS within_10pct"
         " FROM fin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (portable, oracle-replayable)
+# ---------------------------------------------------------------------------
+#
+# The third member of the sketch family (Bloom = membership, HLL =
+# cardinality, CMS = frequency): d rows × w counters, every counter
+# the SUM of the keys hashing into it, point estimate = min over the
+# d rows — never an underestimate (every row's counter includes the
+# key's own count), overestimate bounded by εN with ε = e/w per the
+# Cormode-Muthukrishnan bound. Counters are a sparse (row_i, col,
+# cnt) relation: ≤ d·w rows, broadcast-sized, mergeable by elementwise
+# sum (distributive state — per-shard sketches add). Hash positions
+# reuse the Bloom md5 bridge, so DuckDB replays every counter and the
+# driver hash-gate certifies the ≥-exact theorem per key.
+
+DEFAULT_CMS_W = 2048
+DEFAULT_CMS_D = 4
+
+
+def _cms_pos(key: F.Column, i: F.Column, w: int) -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key, F.lit("#"), i.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % F.lit(w)
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str = "key",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """(row_i, col, cnt) counter relation over item occurrences —
+    one input row adds 1 to one counter per sketch row."""
+    exploded = items.select(
+        F.col(key_col).alias("_key"),
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row_i"),
+    )
+    return (
+        exploded.select(
+            "row_i",
+            _cms_pos(F.col("_key"), F.col("row_i"), w).alias("col"),
+        )
+        .groupBy("row_i", "col")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union sketch = per-counter sum (distributive merge)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_i", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str = "key",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """Per key: est = min over the d rows' counters (missing counter
+    = 0). The sketch broadcasts; the key side never shuffles."""
+    exploded = keys.withColumn(
+        "row_i", F.explode(F.array(*[F.lit(i) for i in range(d)]))
+    ).withColumn("col", _cms_pos(F.col(key_col), F.col("row_i"), w))
+    joined = exploded.join(F.broadcast(cms), ["row_i", "col"], "left")
+    group_cols = list(keys.columns)
+    return joined.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            "est"
+        )
+    )
+
+
+def cms_frequency_report(
+    items: DataFrame,
+    key_col: str = "key",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """Sketch-vs-exact frequency report over an occurrence relation
+    (one row per occurrence): (key, est, exact, never_under). The
+    ``never_under`` column is the CMS theorem made hash-checkable —
+    a single False anywhere fails the driver gate in both engines.
+    Size w below the key cardinality to see the bounded overestimate;
+    the estimate NEVER drops below exact either way."""
+    sketch = cms_build(items, key_col, w, d)
+    exact = items.groupBy(key_col).agg(
+        F.count("*").cast("bigint").alias("exact")
+    )
+    est = cms_estimate(exact, sketch, key_col, w, d)
+    return est.select(
+        key_col,
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    ).orderBy(key_col)
+
+
+def cms_frequency_report_sql(
+    from_clause: str,
+    key_col: str = "key",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> str:
+    """DuckDB oracle twin of :func:`cms_frequency_report`;
+    ``from_clause`` must yield the same one-row-per-occurrence
+    relation with a ``{key_col}`` column."""
+    ivals = ", ".join(f"({i})" for i in range(d))
+    pos = (
+        f"(('0x' || substring(md5({key_col} || '#' ||"
+        f" CAST(i AS VARCHAR)), 1, 15))::BIGINT % {w})"
+    )
+    return (
+        f"WITH occ AS (SELECT {key_col} FROM {from_clause}),"
+        f" cms AS (SELECT i AS row_i, {pos} AS col,"
+        "  CAST(count(*) AS BIGINT) AS cnt"
+        f"  FROM occ CROSS JOIN (VALUES {ivals}) t(i)"
+        "  GROUP BY 1, 2),"
+        f" exact AS (SELECT {key_col},"
+        "  CAST(count(*) AS BIGINT) AS exact"
+        f"  FROM occ GROUP BY {key_col}),"
+        f" probe AS (SELECT {key_col}, exact, i AS row_i, {pos} AS col"
+        f"  FROM exact CROSS JOIN (VALUES {ivals}) t(i)),"
+        f" est AS (SELECT {key_col}, exact,"
+        "  min(COALESCE(cnt, 0)) AS est"
+        "  FROM probe LEFT JOIN cms USING (row_i, col)"
+        f"  GROUP BY {key_col}, exact)"
+        f" SELECT {key_col}, est, exact, (est >= exact) AS never_under"
+        f" FROM est ORDER BY {key_col}"
+    )
+
+
+def cms_token_frequency(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> DataFrame:
+    """End-to-end frequency-sketch report over a documents table:
+    sketch every token occurrence, estimate every distinct token, ride
+    the exact count along — (token, est, exact, never_under). The
+    ``never_under`` column is the CMS theorem made hash-checkable: a
+    single False anywhere fails the driver gate in both engines."""
+    from minisql_engine_spark.operators.text import (
+        _norm_text,
+        _ws_tokens,
+    )
+
+    toks = docs.select(
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token")
+    )
+    sketch = cms_build(toks, "token", w, d)
+    exact = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact")
+    )
+    est = cms_estimate(exact, sketch, "token", w, d)
+    return est.select(
+        "token",
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    ).orderBy("token")
+
+
+def cms_token_frequency_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = DEFAULT_CMS_W,
+    d: int = DEFAULT_CMS_D,
+) -> str:
+    """DuckDB oracle twin of :func:`cms_token_frequency`."""
+    ivals = ", ".join(f"({i})" for i in range(d))
+    pos = (
+        "(('0x' || substring(md5(token || '#' ||"
+        f" CAST(i AS VARCHAR)), 1, 15))::BIGINT % {w})"
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(regexp_replace("
+        f"  lower(trim({text_col})), '\\s+', ' ', 'g'), ' ')) AS token"
+        f"  FROM {table} WHERE trim({text_col}) <> ''),"
+        f" cms AS (SELECT i AS row_i, {pos} AS col,"
+        "  CAST(count(*) AS BIGINT) AS cnt"
+        f"  FROM toks CROSS JOIN (VALUES {ivals}) t(i)"
+        "  GROUP BY 1, 2),"
+        " exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact"
+        "  FROM toks GROUP BY token),"
+        f" probe AS (SELECT token, exact, i AS row_i, {pos} AS col"
+        f"  FROM exact CROSS JOIN (VALUES {ivals}) t(i)),"
+        " est AS (SELECT token, exact,"
+        "  min(COALESCE(cnt, 0)) AS est"
+        "  FROM probe LEFT JOIN cms USING (row_i, col)"
+        "  GROUP BY token, exact)"
+        " SELECT token, est, exact, (est >= exact) AS never_under"
+        " FROM est ORDER BY token"
+    )

@@ -153,3 +153,79 @@ def test_hll_overlapping_merge_idempotent(spark):
     twice = hll_merge(s, s)
     assert twice.exceptAll(s).count() == 0
     assert s.exceptAll(twice).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_frequency_oracle_collisions(spark, duck, sf_dir):
+    """Undersized width (w=256 < key cardinality) forces real
+    collisions; every counter and estimate still replays exactly, and
+    never_under holds for every key."""
+    from minisql_engine_spark.operators.sketch import (
+        cms_frequency_report,
+        cms_frequency_report_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    out = cms_frequency_report(ev, "key", w=256, d=4)
+    ora = duck.execute(
+        cms_frequency_report_sql(
+            "(SELECT CAST(user_id AS VARCHAR) AS key FROM events) o",
+            "key",
+            w=256,
+            d=4,
+        )
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "cms_frequency")
+    rows = out.collect()
+    assert all(r["never_under"] for r in rows)
+    # collisions must actually occur at this sizing, or the test
+    # proves nothing
+    assert any(r["est"] > r["exact"] for r in rows)
+
+
+def test_cms_token_frequency_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.sketch import (
+        cms_token_frequency,
+        cms_token_frequency_sql,
+    )
+
+    out = cms_token_frequency(load_table(spark, sf_dir, "documents"))
+    ora = duck.execute(cms_token_frequency_sql()).fetchdf()
+    assert_matches_oracle(out, ora, "cms_tokens")
+
+
+def test_cms_merge_equals_whole_and_bound(spark):
+    """Shard-merge == one-shot sketch (elementwise-sum distributive
+    state), and the average overestimate respects the e/w·N expected
+    bound with slack."""
+    import math
+
+    from minisql_engine_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    w, d = 64, 4
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 500).cast("string").alias("key")
+    )
+    a = items.filter(F.col("id") % 2 == 0)
+    b = items.filter(F.col("id") % 2 == 1)
+    merged = cms_merge(cms_build(a, "key", w, d), cms_build(b, "key", w, d))
+    whole = cms_build(items, "key", w, d)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    keys = items.select("key").distinct()
+    est = cms_estimate(keys, whole, "key", w, d).collect()
+    n_total = 5000
+    exact_each = 10
+    overs = [r["est"] - exact_each for r in est]
+    assert min(overs) >= 0  # never under
+    assert sum(overs) / len(overs) <= math.e / w * n_total  # expected bound
