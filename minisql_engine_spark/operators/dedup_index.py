@@ -159,3 +159,152 @@ def compact_index(spark: SparkSession, path: str) -> None:
     shutil.move(path, bak)
     shutil.move(tmp, path)
     shutil.rmtree(bak)
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar: skip the index read for definitely-new keys
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the index is big and most batches are mostly NEW content:
+# paying an index scan per batch to discover "no duplicates" is the
+# common-case waste. The sidecar is the index's Bloom filter
+# (operators/membership.py — ~10 bits/key vs 32 hex chars/key, i.e.
+# ~3% of the index bytes) persisted beside it: admission probes the
+# batch against the sidecar first, and only maybe-present keys pay
+# the exact index join — when a batch has none (the mostly-new common
+# case minus FPR), the index is never read at all. No false negatives
+# means the outcome is IDENTICAL to the exact path (pinned by
+# test_dedup_index.py); false positives only cost a redundant exact
+# lookup.
+#
+# Consistency contract (single admission writer, same as the index):
+# the sidecar must advance in the same admission step as the index —
+# `append_to_index(..., bloom_path=...)` updates both. A sidecar that
+# LAGS the index would claim indexed keys are definitely-new and
+# re-admit duplicates; a sidecar AHEAD of the index is harmless (pure
+# false positives). Rebuild any suspect sidecar with
+# `init_bloom_sidecar` — one scan of the keys-only index.
+
+import json as _json
+import os as _os
+
+_BLOOM_META = "_bloom_meta.json"
+
+
+def init_bloom_sidecar(
+    spark: SparkSession,
+    index_path: str,
+    bloom_path: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+) -> None:
+    """Build the sidecar from the current index keys (tmp-then-swap;
+    sizing: n_bits ≈ 10 × expected total keys keeps FPR < 1%)."""
+    from minisql_engine_spark.operators.membership import bloom_build
+
+    import shutil
+
+    tmp = bloom_path.rstrip("/") + ".tmp"
+    bloom_build(
+        _index_keys(spark, index_path).select(
+            F.col("content_hash").alias("key")
+        ),
+        "key",
+        n_bits,
+        k,
+    ).write.mode("overwrite").parquet(tmp)
+    with open(_os.path.join(tmp, _BLOOM_META), "w") as f:
+        _json.dump({"n_bits": n_bits, "k": k}, f)
+    if _os.path.exists(bloom_path):
+        shutil.rmtree(bloom_path)
+    shutil.move(tmp, bloom_path)
+
+
+def _bloom_meta(bloom_path: str) -> dict:
+    with open(_os.path.join(bloom_path, _BLOOM_META)) as f:
+        return _json.load(f)
+
+
+def dedup_with_bloom_sidecar(
+    df: DataFrame,
+    path: str,
+    bloom_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`dedup_against_index` with the sidecar fast path: keys
+    the filter rules out skip the exact index entirely; only
+    maybe-present keys (true dups + the bounded FPR) pay the index
+    semi-join. Result is provably identical to the exact path."""
+    from minisql_engine_spark.operators.membership import bloom_probe
+
+    meta = _bloom_meta(bloom_path)
+    spark = df.sparkSession
+    keyed = _keyed(df, id_col, text_col)
+    in_batch = (
+        keyed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    probed = bloom_probe(
+        in_batch.select(F.col("content_hash").alias("key")).distinct(),
+        spark.read.parquet(bloom_path),
+        "key",
+        meta["n_bits"],
+        meta["k"],
+    )
+    maybe_keys = probed.filter(F.col("maybe_present")).select(
+        F.col("key").alias("content_hash")
+    )
+    # definitely-new keys are admitted without touching the index;
+    # maybe-present keys walk the exact scan-only admission join
+    seen_matching = (
+        _index_keys(spark, path)
+        .select("content_hash")
+        .join(F.broadcast(maybe_keys), "content_hash", "left_semi")
+    )
+    return in_batch.join(
+        F.broadcast(seen_matching), "content_hash", "left_anti"
+    )
+
+
+def append_to_index_with_bloom(
+    survivors: DataFrame, path: str, bloom_path: str
+) -> None:
+    """One admission step advances BOTH structures (the consistency
+    contract above): keys append to the index partitions, and the
+    sidecar is OR-merged with the survivors' partial filter
+    (tmp-then-swap — the sidecar is ≤ n_bits/32 rows, so the rewrite
+    is constant-size regardless of corpus size)."""
+    from minisql_engine_spark.operators.membership import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    import shutil
+
+    append_to_index(survivors, path)
+    meta = _bloom_meta(bloom_path)
+    spark = survivors.sparkSession
+    merged = bloom_merge(
+        spark.read.parquet(bloom_path),
+        bloom_build(
+            survivors.select(F.col("content_hash").alias("key")).distinct(),
+            "key",
+            meta["n_bits"],
+            meta["k"],
+        ),
+    )
+    tmp = bloom_path.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(_os.path.join(tmp, _BLOOM_META), "w") as f:
+        _json.dump(meta, f)
+    bak = bloom_path.rstrip("/") + ".old"
+    shutil.move(bloom_path, bak)
+    shutil.move(tmp, bloom_path)
+    shutil.rmtree(bak)

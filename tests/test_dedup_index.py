@@ -114,3 +114,70 @@ def test_compaction_preserves_semantics(spark, sf_dir, batches, tmp_path):
     assert dedup_against_index(c, path).count() == c.select(
         F.md5(_norm(F.col("text")))
     ).distinct().count() - len(_key_set(c) & (_key_set(a) | _key_set(b)))
+
+
+def test_bloom_sidecar_identical_admission(spark, batches, tmp_path):
+    """The Bloom fast path must admit EXACTLY what the exact path
+    admits across a multi-batch sequence (no false negatives ⇒ the
+    sidecar can only add redundant lookups, never change outcomes)."""
+    from minisql_engine_spark.operators.dedup_index import (
+        append_to_index,
+        append_to_index_with_bloom,
+        dedup_against_index,
+        dedup_with_bloom_sidecar,
+        init_bloom_sidecar,
+        init_dedup_index,
+    )
+
+    a, b, c = batches
+    exact_path = str(tmp_path / "idx_exact")
+    fast_path = str(tmp_path / "idx_fast")
+    bloom_path = str(tmp_path / "idx_fast.bloom")
+    init_dedup_index(a, exact_path)
+    init_dedup_index(a, fast_path)
+    init_bloom_sidecar(spark, fast_path, bloom_path, n_bits=1 << 14)
+
+    for batch in (b, c):
+        exact = dedup_against_index(batch, exact_path)
+        fast = dedup_with_bloom_sidecar(batch, fast_path, bloom_path)
+        got_e = {(r["doc_id"]) for r in exact.select("doc_id").collect()}
+        got_f = {(r["doc_id"]) for r in fast.select("doc_id").collect()}
+        assert got_e == got_f
+        append_to_index(exact, exact_path)
+        append_to_index_with_bloom(fast, fast_path, bloom_path)
+
+
+def test_bloom_sidecar_skips_index_for_fresh_batch(spark, batches, tmp_path):
+    """A batch with zero index overlap must route zero (or FPR-only)
+    keys into the exact index join — the common-case scan skip."""
+    from minisql_engine_spark.operators.dedup_index import (
+        _bloom_meta,
+        _keyed,
+        init_bloom_sidecar,
+        init_dedup_index,
+    )
+    from minisql_engine_spark.operators.membership import bloom_probe
+
+    a, b, c = batches
+    path = str(tmp_path / "idx")
+    bloom_path = str(tmp_path / "idx.bloom")
+    init_dedup_index(a, path)
+    init_bloom_sidecar(spark, path, bloom_path, n_bits=1 << 14)
+    meta = _bloom_meta(bloom_path)
+    fresh_keys = (
+        _keyed(c, "doc_id", "text")
+        .select(F.col("content_hash").alias("key"))
+        .distinct()
+    )
+    probed = bloom_probe(
+        fresh_keys,
+        spark.read.parquet(bloom_path),
+        "key",
+        meta["n_bits"],
+        meta["k"],
+    )
+    n = probed.count()
+    maybe = probed.filter(F.col("maybe_present")).count()
+    # c shares no content with a: everything routed to the index is a
+    # false positive, bounded well under the sizing FPR
+    assert maybe / n < 0.05
