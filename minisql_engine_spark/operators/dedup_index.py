@@ -191,6 +191,25 @@ import os as _os
 _BLOOM_META = "_bloom_meta.json"
 
 
+def _write_bloom_meta(bloom_path: str, meta: dict) -> None:
+    # atomic pointer flip: tmp file + rename
+    tmp = _os.path.join(bloom_path, _BLOOM_META + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(bloom_path, _BLOOM_META))
+
+
+def _bloom_meta(bloom_path: str) -> dict:
+    with open(_os.path.join(bloom_path, _BLOOM_META)) as f:
+        return _json.load(f)
+
+
+def _bloom_words(spark: SparkSession, bloom_path: str, meta: dict):
+    return spark.read.parquet(
+        _os.path.join(bloom_path, f"gen-{meta['gen']}")
+    )
+
+
 def init_bloom_sidecar(
     spark: SparkSession,
     index_path: str,
@@ -198,13 +217,17 @@ def init_bloom_sidecar(
     n_bits: int = 1 << 20,
     k: int = 5,
 ) -> None:
-    """Build the sidecar from the current index keys (tmp-then-swap;
-    sizing: n_bits ≈ 10 × expected total keys keeps FPR < 1%)."""
+    """Build the sidecar from the current index keys (sizing: n_bits
+    ≈ 10 × expected total keys keeps FPR < 1%).
+
+    Layout: the (word, bits) relation lives in a GENERATION subdir
+    (``gen-N``) and ``_bloom_meta.json`` is the atomic pointer — a
+    data path is never reused across updates, so Spark's shared
+    file-status cache (which outlives an in-place directory swap and
+    serves vanished file listings) can never see a stale sidecar."""
     from minisql_engine_spark.operators.membership import bloom_build
 
-    import shutil
-
-    tmp = bloom_path.rstrip("/") + ".tmp"
+    _os.makedirs(bloom_path, exist_ok=True)
     bloom_build(
         _index_keys(spark, index_path).select(
             F.col("content_hash").alias("key")
@@ -212,17 +235,10 @@ def init_bloom_sidecar(
         "key",
         n_bits,
         k,
-    ).write.mode("overwrite").parquet(tmp)
-    with open(_os.path.join(tmp, _BLOOM_META), "w") as f:
-        _json.dump({"n_bits": n_bits, "k": k}, f)
-    if _os.path.exists(bloom_path):
-        shutil.rmtree(bloom_path)
-    shutil.move(tmp, bloom_path)
-
-
-def _bloom_meta(bloom_path: str) -> dict:
-    with open(_os.path.join(bloom_path, _BLOOM_META)) as f:
-        return _json.load(f)
+    ).write.mode("overwrite").parquet(
+        _os.path.join(bloom_path, "gen-1")
+    )
+    _write_bloom_meta(bloom_path, {"n_bits": n_bits, "k": k, "gen": 1})
 
 
 def dedup_with_bloom_sidecar(
@@ -253,7 +269,7 @@ def dedup_with_bloom_sidecar(
     )
     probed = bloom_probe(
         in_batch.select(F.col("content_hash").alias("key")).distinct(),
-        spark.read.parquet(bloom_path),
+        _bloom_words(spark, bloom_path, meta),
         "key",
         meta["n_bits"],
         meta["k"],
@@ -277,10 +293,21 @@ def append_to_index_with_bloom(
     survivors: DataFrame, path: str, bloom_path: str
 ) -> None:
     """One admission step advances BOTH structures (the consistency
-    contract above): keys append to the index partitions, and the
-    sidecar is OR-merged with the survivors' partial filter
-    (tmp-then-swap — the sidecar is ≤ n_bits/32 rows, so the rewrite
-    is constant-size regardless of corpus size)."""
+    contract above): the sidecar commits a new generation (OR-merge
+    of the current words with the survivors' partial filter —
+    ≤ n_bits/32 rows, constant-size regardless of corpus size), then
+    the keys append to the index partitions.
+
+    Order matters twice over. The sidecar must advance BEFORE the
+    index: (a) crash between the two leaves the sidecar AHEAD of the
+    index, which is harmless (those keys route to the exact join, the
+    index lacks them, the retry re-admits), while the reverse leaves
+    it LAGGING — the direction that re-admits duplicates; and (b) the
+    survivors lineage contains the anti-join against the index and
+    RE-EXECUTES during the merge — if the index had already advanced,
+    survivors would evaluate to empty and the sidecar would silently
+    never learn the batch's keys (the regression
+    ``test_bloom_sidecar_learns_appended_keys`` pins)."""
     from minisql_engine_spark.operators.membership import (
         bloom_build,
         bloom_merge,
@@ -288,11 +315,10 @@ def append_to_index_with_bloom(
 
     import shutil
 
-    append_to_index(survivors, path)
     meta = _bloom_meta(bloom_path)
     spark = survivors.sparkSession
     merged = bloom_merge(
-        spark.read.parquet(bloom_path),
+        _bloom_words(spark, bloom_path, meta),
         bloom_build(
             survivors.select(F.col("content_hash").alias("key")).distinct(),
             "key",
@@ -300,11 +326,18 @@ def append_to_index_with_bloom(
             meta["k"],
         ),
     )
-    tmp = bloom_path.rstrip("/") + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(_os.path.join(tmp, _BLOOM_META), "w") as f:
-        _json.dump(meta, f)
-    bak = bloom_path.rstrip("/") + ".old"
-    shutil.move(bloom_path, bak)
-    shutil.move(tmp, bloom_path)
-    shutil.rmtree(bak)
+    new_gen = meta["gen"] + 1
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(bloom_path, f"gen-{new_gen}")
+    )
+    _write_bloom_meta(bloom_path, {**meta, "gen": new_gen})
+    # the index append RE-EXECUTES the survivors lineage, which still
+    # reads the PRIOR sidecar generation — old gens are swept only
+    # after every consumer of them has run (a crash before the sweep
+    # just leaves garbage for the next append to collect)
+    append_to_index(survivors, path)
+    for entry in _os.listdir(bloom_path):
+        if entry.startswith("gen-") and entry != f"gen-{new_gen}":
+            shutil.rmtree(
+                _os.path.join(bloom_path, entry), ignore_errors=True
+            )

@@ -169,9 +169,11 @@ def test_bloom_sidecar_skips_index_for_fresh_batch(spark, batches, tmp_path):
         .select(F.col("content_hash").alias("key"))
         .distinct()
     )
+    from minisql_engine_spark.operators.dedup_index import _bloom_words
+
     probed = bloom_probe(
         fresh_keys,
-        spark.read.parquet(bloom_path),
+        _bloom_words(spark, bloom_path, meta),
         "key",
         meta["n_bits"],
         meta["k"],
@@ -181,3 +183,30 @@ def test_bloom_sidecar_skips_index_for_fresh_batch(spark, batches, tmp_path):
     # c shares no content with a: everything routed to the index is a
     # false positive, bounded well under the sizing FPR
     assert maybe / n < 0.05
+
+
+def test_bloom_sidecar_learns_appended_keys(spark, batches, tmp_path):
+    """Regression: the sidecar must learn the keys appended in the
+    SAME admission step (the survivors lineage re-executes during the
+    sidecar merge — if the index has already advanced, the anti-join
+    evaluates survivors to empty and the sidecar silently lags,
+    re-admitting any later duplicate of that batch)."""
+    from minisql_engine_spark.operators.dedup_index import (
+        append_to_index_with_bloom,
+        dedup_with_bloom_sidecar,
+        init_bloom_sidecar,
+        init_dedup_index,
+    )
+
+    a, b, c = batches
+    path = str(tmp_path / "idx")
+    bloom_path = str(tmp_path / "idx.bloom")
+    init_dedup_index(a, path)
+    init_bloom_sidecar(spark, path, bloom_path, n_bits=1 << 14)
+    admitted_b = dedup_with_bloom_sidecar(b, path, bloom_path)
+    append_to_index_with_bloom(admitted_b, path, bloom_path)
+    # a later batch that replays B's content under new ids must admit
+    # NOTHING — this is exactly what a lagging sidecar gets wrong
+    replay = b.select((F.col("doc_id") + 50000).alias("doc_id"), "text")
+    again = dedup_with_bloom_sidecar(replay, path, bloom_path)
+    assert again.count() == 0
