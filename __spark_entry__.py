@@ -3484,6 +3484,37 @@ _ORACLES["cms_frequency"] = _cms_oracle()
 
 
 @_register(
+    "hist_quantiles",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_hist_quantiles(spark, sf_dir):
+    """Approximate quantiles from the mergeable fixed-bucket
+    histogram (operators/stats.py histogram_quantiles): one map-side
+    pass + an n_buckets-row count-additive aggregate replaces the
+    full per-group sort at monitoring scale; the exact interpolated
+    quantile and the ≤2-bucket-width error bound ride in the hashed
+    row, so accuracy regressions move the driver gate."""
+    from minisql_engine_spark.operators.stats import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), "value", 0.0, 640.0
+    )
+
+
+def _hist_quantiles_oracle() -> str:
+    from minisql_engine_spark.operators.stats import (
+        histogram_quantiles_sql,
+    )
+
+    return histogram_quantiles_sql("events", "value", 0.0, 640.0)
+
+
+_ORACLES["hist_quantiles"] = _hist_quantiles_oracle()
+
+
+@_register(
     "lm_bigram_perplexity",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -3625,6 +3656,10 @@ _ARCHIVED: frozenset[str] = frozenset(
         # family keeps rolling_features' driver row; the fixed-grid
         # resample stays pytest-verified via archived parity)
         "timeseries_resample",
+        # twenty-third — room for hist_quantiles (the zero-shuffle
+        # gate family keeps quality_rules' driver row, which is
+        # plan-identical; redaction stays archived-parity-tested)
+        "pii_redaction",
     }
 )
 
@@ -3636,6 +3671,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hll_distinct",
     "cms_frequency",
     "lm_bigram_perplexity",
+    "hist_quantiles",
     # r5 session-5 additions — brand new operators, never driver-checked
     "corpus_drift",
     "incr_agg_events",

@@ -99,6 +99,7 @@ HEADLINE = (
     "hll_distinct",
     "cms_frequency",
     "lm_bigram_perplexity",
+    "hist_quantiles",
 )
 
 

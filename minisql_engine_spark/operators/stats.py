@@ -495,3 +495,159 @@ def mad_outliers_sql(
         f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
         f" FROM d JOIN md USING ({group_by})"
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Approximate quantiles FROM the fixed-bucket histogram — the
+    mergeable scale path next to :func:`exact_quantiles`' full sort.
+
+    The histogram is one map-side pass + an ``n_buckets``-row
+    aggregate that merges across shards by adding counts (the same
+    distributive-state property as the sketch family), so quantile
+    monitoring over 100 TB costs one cheap aggregate instead of a
+    per-group sort — at the price of ≤ one bucket width of error.
+    Estimator: target rank ``p·N`` falls in the unique bucket with
+    ``cum_prev < p·N ≤ cum``; linear interpolation inside it
+    (sentinel under/overflow buckets clamp to [lo, hi]).
+
+    Output rides the exact interpolated quantile along per prob:
+    (prob, est, exact, abs_err, within_two_widths) — the error bound
+    is part of the hashed result. (Two widths, not one: the exact
+    estimator interpolates at rank ``p·(N−1)``, which can sit one
+    bucket adjacent to the CDF-inversion bucket at boundaries.)
+
+    All per-prob arithmetic runs on the ≤ ``n_buckets+2``-row
+    histogram relation (broadcast-sized by construction); the single
+    global window is over that tiny relation, never the data."""
+    from pyspark.sql.window import Window
+
+    if not all(0.0 < p <= 1.0 for p in probs):
+        raise ValueError(f"probs must lie in (0, 1], got {probs}")
+    width = (hi - lo) / n_buckets
+    hist = value_histogram(df, col, lo, hi, n_buckets)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).cast("double").alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("n"))
+    total = cum.agg(F.sum("n").cast("double").alias("ntot"))
+    pl = F.array(*[F.lit(float(p)) for p in probs])
+    targets = (
+        total.select(F.explode(pl).alias("prob"), "ntot")
+        .withColumn("_t", F.col("prob") * F.col("ntot"))
+    )
+    picked = targets.join(
+        F.broadcast(cum),
+        (F.col("cum_prev") < F.col("_t")) & (F.col("cum") >= F.col("_t")),
+    )
+    est = picked.select(
+        "prob",
+        F.when(F.col("bucket") < 0, F.lit(float(lo)))
+        .when(F.col("bucket") >= n_buckets, F.lit(float(hi)))
+        .otherwise(
+            F.lit(float(lo))
+            + F.col("bucket") * F.lit(width)
+            + F.lit(width)
+            * (F.col("_t") - F.col("cum_prev"))
+            / F.col("n").cast("double")
+        )
+        .alias("_est"),
+    )
+    exact = df.agg(
+        *[
+            F.expr(f"percentile({col}, {p!r})").alias(f"_x{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    exact_long = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("prob"),
+                        F.col(f"_x{i}").alias("_exact"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("s")
+    ).select("s.prob", "s._exact")
+    err = F.abs(F.col("_est") - F.col("_exact"))
+    return (
+        est.join(F.broadcast(exact_long), "prob")
+        .select(
+            "prob",
+            F.round(F.col("_est"), 6).alias("est"),
+            F.round(F.col("_exact"), 6).alias("exact"),
+            F.round(err, 6).alias("abs_err"),
+            (err <= 2.0 * width).alias("within_two_widths"),
+        )
+        .orderBy("prob")
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 128,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> str:
+    """DuckDB oracle twin of :func:`histogram_quantiles` — identical
+    bucket, cumulative, target, and interpolation arithmetic."""
+    width = (hi - lo) / n_buckets
+    v = f"CAST({col} AS DOUBLE)"
+    bucket = (
+        f"CAST(CASE WHEN {v} < {lo!r} THEN -1"
+        f" WHEN {v} >= {hi!r} THEN {n_buckets}"
+        f" ELSE floor(({v} - {lo!r}) / {width!r}) END AS BIGINT)"
+    )
+    pvals = ", ".join(f"({p!r})" for p in probs)
+    exact_cols = ", ".join(
+        f"quantile_cont({col}, {p!r}) AS x{i}"
+        for i, p in enumerate(probs)
+    )
+    exact_rows = " UNION ALL ".join(
+        f"SELECT {p!r} AS prob, x{i} AS exact_v FROM ex"
+        for i, p in enumerate(probs)
+    )
+    return (
+        f"WITH hist AS (SELECT {bucket} AS bucket,"
+        f"  CAST(count(*) AS BIGINT) AS n FROM {table}"
+        f"  WHERE {col} IS NOT NULL GROUP BY 1),"
+        " cum0 AS (SELECT bucket, n,"
+        "  CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED"
+        "   PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM hist),"
+        " cum AS (SELECT bucket, n, cum, cum - n AS cum_prev"
+        "  FROM cum0),"
+        " tot AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM hist),"
+        f" probs AS (SELECT prob, prob * ntot AS t FROM"
+        f"  (VALUES {pvals}) p(prob) CROSS JOIN tot),"
+        " picked AS (SELECT prob, t, bucket, n, cum, cum_prev"
+        "  FROM probs JOIN cum ON cum_prev < t AND cum >= t),"
+        " est AS (SELECT prob,"
+        f"  CASE WHEN bucket < 0 THEN {float(lo)!r}"
+        f"   WHEN bucket >= {n_buckets} THEN {float(hi)!r}"
+        f"   ELSE {float(lo)!r} + bucket * {width!r}"
+        f"    + {width!r} * (t - cum_prev) / CAST(n AS DOUBLE)"
+        "   END AS est_v FROM picked),"
+        f" ex AS (SELECT {exact_cols} FROM {table}),"
+        f" exl AS ({exact_rows})"
+        " SELECT prob, round(est_v, 6) AS est,"
+        "  round(exact_v, 6) AS exact,"
+        "  round(abs(est_v - exact_v), 6) AS abs_err,"
+        f"  (abs(est_v - exact_v) <= {2.0 * width!r})"
+        "   AS within_two_widths"
+        " FROM est JOIN exl USING (prob) ORDER BY prob"
+    )

@@ -229,3 +229,52 @@ def test_cms_merge_equals_whole_and_bound(spark):
     overs = [r["est"] - exact_each for r in est]
     assert min(overs) >= 0  # never under
     assert sum(overs) / len(overs) <= math.e / w * n_total  # expected bound
+
+
+# --------------------------------------------------------------------------
+# Histogram quantiles (the mergeable approximate-quantile path)
+# --------------------------------------------------------------------------
+
+
+def test_histogram_quantiles_oracle(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.stats import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    out = histogram_quantiles(
+        load_table(spark, sf_dir, "events"), "value", 0.0, 640.0
+    )
+    ora = duck.execute(
+        histogram_quantiles_sql("events", "value", 0.0, 640.0)
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "hist_quantiles")
+    rows = out.collect()
+    assert all(r["within_two_widths"] for r in rows)
+
+
+def test_histogram_quantiles_edges(spark, duck):
+    """Values outside [lo, hi) clamp to the range edges; a
+    single-bucket pileup interpolates inside that bucket; NULLs are
+    excluded — identical in both engines."""
+    from minisql_engine_spark.operators.stats import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    rows = [(i, v) for i, v in enumerate(
+        [-5.0, -1.0, 2.0, 2.1, 2.2, 2.3, 99.0, None]
+    )]
+    sdf = spark.createDataFrame(rows, ["id", "v"])
+    duck.execute("CREATE OR REPLACE TABLE _hq(id BIGINT, v DOUBLE)")
+    duck.executemany("INSERT INTO _hq VALUES (?, ?)", rows)
+    out = histogram_quantiles(sdf, "v", 0.0, 10.0, n_buckets=10,
+                              probs=(0.2, 0.5, 0.9, 1.0))
+    ora = duck.execute(
+        histogram_quantiles_sql("_hq", "v", 0.0, 10.0, n_buckets=10,
+                                probs=(0.2, 0.5, 0.9, 1.0))
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "hist_quantiles_edges")
+    got = {r["prob"]: r["est"] for r in out.collect()}
+    assert got[0.2] == 0.0   # target rank falls in the underflow bucket
+    assert got[1.0] == 10.0  # overflow bucket clamps to hi
