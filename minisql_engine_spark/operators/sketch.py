@@ -393,3 +393,110 @@ def cms_token_frequency_sql(
         " SELECT token, est, exact, (est >= exact) AS never_under"
         " FROM est ORDER BY token"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group HLL: approximate COUNT DISTINCT per group, mergeable state
+# ---------------------------------------------------------------------------
+
+
+def hll_group_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_expr: F.Column,
+    p: int = DEFAULT_P,
+) -> DataFrame:
+    """(group, reg, max_rho) — one register relation per group value
+    (≤ 2^p rows per group). This is the shape an incremental
+    aggregate view stores: per-batch sketches merge by per-(group,
+    reg) max (see :func:`hll_group_merge`), so "approx distinct users
+    per segment over 100 TB" maintains in O(groups · m) state with
+    zero re-reads of history — the thing exact COUNT DISTINCT
+    fundamentally cannot do (its state is the key set itself)."""
+    m = 1 << p
+    b = 60 - p
+    h = F.conv(F.substring(F.md5(key_expr), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hashed = df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+    reg = F.col("_h").bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(F.col("_h"), p)
+    rho = F.when(w == 0, F.lit(b + 1)).otherwise(
+        F.lit(b) - F.length(F.bin(w)) + 1
+    )
+    return (
+        hashed.select("grp", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_group_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-(group, register) max — the distributive merge."""
+    return (
+        a.unionByName(b)
+        .groupBy("grp", "reg")
+        .agg(F.max("max_rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_group_estimate(
+    sketch: DataFrame, p: int = DEFAULT_P
+) -> DataFrame:
+    """(grp, n_present, estimate) per group — same estimator and
+    branch rule as :func:`hll_estimate`, evaluated group-wise."""
+    m = 1 << p
+    agg = sketch.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+    )
+    raw = (
+        F.lit(_alpha(m) * m * m)
+        / (F.col("_s") + (F.lit(m) - F.col("n_present")))
+    )
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_present") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        "n_present",
+        F.round(est, 6).alias("estimate"),
+    ).orderBy("grp")
+
+
+def hll_group_distinct_sql(
+    table: str,
+    group_col: str,
+    key_sql: str,
+    p: int = DEFAULT_P,
+) -> str:
+    """DuckDB oracle twin of sketch→estimate per group."""
+    m = 1 << p
+    b = 60 - p
+    alpha_m2 = repr(_alpha(m) * m * m)
+    return (
+        f"WITH keys AS (SELECT {group_col} AS grp, {key_sql} AS k"
+        f"  FROM {table}),"
+        " hashed AS (SELECT grp,"
+        "  ('0x' || substring(md5(k), 1, 15))::BIGINT AS h FROM keys),"
+        f" regs AS (SELECT grp, h % {m} AS reg,"
+        f"  CASE WHEN h // {m} = 0 THEN {b + 1}"
+        f"   ELSE {b} - length(bin(h // {m})) + 1 END AS rho"
+        "  FROM hashed),"
+        " sk AS (SELECT grp, reg,"
+        "  CAST(max(rho) AS INTEGER) AS max_rho"
+        "  FROM regs GROUP BY grp, reg),"
+        " agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_present,"
+        "  sum(power(2.0, -max_rho)) AS s FROM sk GROUP BY grp),"
+        f" est0 AS (SELECT grp, n_present, {alpha_m2}"
+        f"   / (s + ({m} - n_present)) AS raw FROM agg),"
+        " est AS (SELECT grp, n_present,"
+        f"  CASE WHEN raw <= {2.5 * m} AND n_present < {m}"
+        f"   THEN {float(m)!r} * ln({float(m)!r}"
+        f"    / CAST({m} - n_present AS DOUBLE))"
+        "   ELSE raw END AS e FROM est0)"
+        " SELECT grp, n_present, round(e, 6) AS estimate"
+        " FROM est ORDER BY grp"
+    )

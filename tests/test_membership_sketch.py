@@ -278,3 +278,58 @@ def test_histogram_quantiles_edges(spark, duck):
     got = {r["prob"]: r["est"] for r in out.collect()}
     assert got[0.2] == 0.0   # target rank falls in the underflow bucket
     assert got[1.0] == 10.0  # overflow bucket clamps to hi
+
+
+# --------------------------------------------------------------------------
+# Per-group HLL (incremental approximate COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+
+def test_hll_group_oracle_and_accuracy(spark, duck, sf_dir):
+    """Per-event-type distinct-user sketch replays exactly; every
+    group estimate lands within 10% of the exact distinct count."""
+    from minisql_engine_spark.operators.sketch import (
+        hll_group_estimate,
+        hll_group_sketch,
+        hll_group_distinct_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hll_group_estimate(
+        hll_group_sketch(ev, "event_type", F.col("user_id").cast("string"))
+    )
+    ora = duck.execute(
+        hll_group_distinct_sql(
+            "events", "event_type", "CAST(user_id AS VARCHAR)"
+        )
+    ).fetchdf()
+    assert_matches_oracle(out, ora, "hll_group")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        assert abs(r["estimate"] - exact[r["grp"]]) / exact[r["grp"]] < 0.10
+
+
+def test_hll_group_incremental_maintenance(spark, sf_dir):
+    """Three batches maintained by per-(group, reg) max merge equal
+    the one-shot sketch — the distributive-state property that makes
+    per-group approx-distinct an incremental aggregate view."""
+    from minisql_engine_spark.operators.sketch import (
+        hll_group_merge,
+        hll_group_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    state = None
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        sk = hll_group_sketch(batch, "event_type", key)
+        state = sk if state is None else hll_group_merge(state, sk)
+    whole = hll_group_sketch(ev, "event_type", key)
+    assert state.exceptAll(whole).count() == 0
+    assert whole.exceptAll(state).count() == 0
