@@ -330,7 +330,6 @@ def cms_frequency_report_sql(
 
 def cms_token_frequency(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     w: int = DEFAULT_CMS_W,
     d: int = DEFAULT_CMS_D,
@@ -363,7 +362,6 @@ def cms_token_frequency(
 
 def cms_token_frequency_sql(
     table: str = "documents",
-    id_col: str = "doc_id",
     text_col: str = "text",
     w: int = DEFAULT_CMS_W,
     d: int = DEFAULT_CMS_D,
