@@ -127,3 +127,87 @@ def stratified_sample(
         .filter(F.col("_sample_rank") <= n_per_stratum)
         .drop("_sample_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    k rows with the smallest *replicated min-hash* priority.
+
+    Each row draws ``w`` independent decision hashes (``md5(seed ':'
+    id ':' j)`` for j = 1..w, ``w`` the row's integer weight) and its
+    priority is their minimum. For two rows the lighter one outranks
+    the heavier with probability exactly ``w₁/(w₁+w₂)`` — the min of
+    w i.i.d. uniforms beats the min of v i.i.d. uniforms with odds
+    w:v — so inclusion odds scale with weight, like
+    Efraimidis–Spirakis u^(1/w) keys, but with ZERO transcendentals:
+    the priority is a lexicographic min over equal-length hex strings
+    (the package's comparison trick), so the DuckDB oracle replays
+    selection byte-for-byte and no ln/pow last-ulp divergence can
+    ever flip a rank. The price is integer weights and Σw hash rows
+    (weights are quality buckets 1..~20 in practice; the explode is
+    map-side and collapses immediately in a partial min-aggregate).
+
+    Plan: sequence-explode → per-id min hash aggregate (map-side
+    partials) → global top-k (TakeOrderedAndProject — never a full
+    sort materialization). Rows with NULL or < 1 weights are
+    excluded loudly rather than silently kept at weight 1.
+    """
+    if k <= 0:
+        raise ValueError(f"need k > 0, got {k}")
+    w = F.col(weight_col).cast("bigint")
+    pri = (
+        df.filter(w >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), w)
+            ).alias("_j"),
+        )
+        .select(
+            id_col,
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("_j").cast("string"),
+                )
+            ).alias("_h"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_h").alias("priority"))
+    )
+    return (
+        pri.join(df, id_col)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws1",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_sample` — identical
+    hashes, identical lexicographic min, identical tie-break."""
+    return (
+        f"WITH pri AS (SELECT {id_col},"
+        f"  min(md5('{seed}:' || CAST({id_col} AS VARCHAR) || ':'"
+        "   || CAST(j AS VARCHAR))) AS priority"
+        f"  FROM (SELECT {id_col},"
+        f"   unnest(range(1, CAST({weight_col} AS BIGINT) + 1)) AS j"
+        f"   FROM {table} WHERE CAST({weight_col} AS BIGINT) >= 1)"
+        f"  GROUP BY {id_col})"
+        f" SELECT {select_cols} FROM pri JOIN {table} USING ({id_col})"
+        f" ORDER BY priority, {id_col} LIMIT {k}"
+    )

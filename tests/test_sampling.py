@@ -117,3 +117,58 @@ def test_sampling_is_map_side(spark, sf_dir):
         out._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_oracle(spark, duck, sf_dir):
+    """Replicated-min-hash weighted sampling replays byte-for-byte:
+    same priorities, same top-k, same tie-break."""
+    from minisql_engine_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_sql,
+    )
+    from minisql_engine_spark.sources import load_table
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("n_chars") % 5 + 1)
+    )
+    out = weighted_sample(docs, 40, "w")
+    duck.execute(
+        "CREATE OR REPLACE VIEW _wdocs AS"
+        " SELECT *, n_chars % 5 + 1 AS w FROM documents"
+    )
+    ora = duck.execute(weighted_sample_sql("_wdocs", 40, "w")).fetchdf()
+    assert_matches_oracle(out, ora, "weighted_sample")
+
+
+def test_weighted_sample_odds(spark):
+    """P(lighter item outranks heavier) must be w1/(w1+w2) — verified
+    over many seeds with the exact same hash the operator uses (pure
+    hashlib replication, no Spark needed for the distribution)."""
+    import hashlib
+
+    w1, w2 = 1, 4
+    wins = 0
+    n_seeds = 600
+    for s in range(n_seeds):
+        p1 = min(
+            hashlib.md5(f"s{s}:1:{j}".encode()).hexdigest()
+            for j in range(1, w1 + 1)
+        )
+        p2 = min(
+            hashlib.md5(f"s{s}:2:{j}".encode()).hexdigest()
+            for j in range(1, w2 + 1)
+        )
+        wins += p2 < p1
+    frac = wins / n_seeds
+    expect = w2 / (w1 + w2)  # 0.8
+    assert abs(frac - expect) < 0.06
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from minisql_engine_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 3), (2, 0), (3, None), (4, 2)]
+    sdf = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r["doc_id"] for r in weighted_sample(sdf, 10, "w").collect()}
+    assert got == {1, 4}
