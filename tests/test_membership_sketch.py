@@ -333,3 +333,34 @@ def test_hll_group_incremental_maintenance(spark, sf_dir):
     whole = hll_group_sketch(ev, "event_type", key)
     assert state.exceptAll(whole).count() == 0
     assert whole.exceptAll(state).count() == 0
+
+
+def test_cms_and_hist_plan_shapes(spark, sf_dir):
+    """Scale-shape gates: the CMS probe joins the broadcast counter
+    relation (never sort-merge), and histogram quantiles keep their
+    single window on the tiny histogram relation with no data-sized
+    sort below it."""
+    from minisql_engine_spark.operators.sketch import (
+        cms_frequency_report,
+    )
+    from minisql_engine_spark.operators.stats import (
+        histogram_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cms = cms_frequency_report(
+        ev.select(F.col("user_id").cast("string").alias("key")),
+        "key",
+        w=256,
+        d=4,
+    )
+    p1 = cms._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p1
+    assert "SortMergeJoin" not in p1
+
+    hq = histogram_quantiles(ev, "value", 0.0, 640.0)
+    p2 = hq._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p2
+    # the percentile comparison is the only sort-based aggregate;
+    # the histogram estimate itself must stay hash-aggregated
+    assert "HashAggregate" in p2
