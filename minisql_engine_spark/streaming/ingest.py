@@ -43,6 +43,7 @@ def stream_admit(
     checkpoint_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_path: str | None = None,
 ):
     """Start (availableNow) the admission query: micro-batches are
     deduped against ``index_path``, survivors append to the
@@ -51,15 +52,42 @@ def stream_admit(
 
     The index must already exist (``init_dedup_index`` — possibly on
     an empty frame) so a first-batch race can't observe a missing
-    path."""
+    path. With ``bloom_path`` (an ``init_bloom_sidecar`` dir) each
+    micro-batch routes through the Bloom fast path — only
+    maybe-present keys pay the index join, and the sidecar advances
+    in the same admission step (its keys come from the PERSISTED
+    survivors, so the lineage-re-execution ordering hazard the batch
+    API documents cannot occur here)."""
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = dedup_against_index(
-            batch_df, index_path, id_col=id_col, text_col=text_col
-        ).persist()
+        if bloom_path is None:
+            survivors = dedup_against_index(
+                batch_df, index_path, id_col=id_col, text_col=text_col
+            ).persist()
+        else:
+            from minisql_engine_spark.operators.dedup_index import (
+                dedup_with_bloom_sidecar,
+            )
+
+            survivors = dedup_with_bloom_sidecar(
+                batch_df,
+                index_path,
+                bloom_path,
+                id_col=id_col,
+                text_col=text_col,
+            ).persist()
         try:
             survivors.write.mode("append").parquet(out_path)
-            append_to_index(survivors, index_path)
+            if bloom_path is None:
+                append_to_index(survivors, index_path)
+            else:
+                from minisql_engine_spark.operators.dedup_index import (
+                    append_to_index_with_bloom,
+                )
+
+                append_to_index_with_bloom(
+                    survivors, index_path, bloom_path
+                )
         finally:
             survivors.unpersist()
 

@@ -204,3 +204,58 @@ def test_stream_admission_into_snapshot_table(spark, staged, tmp_path):
     run("ck2")
     assert current_version(table) == v
     assert read_snapshot(spark, table).count() == admitted.count()
+
+
+def test_stream_admission_with_bloom_sidecar(spark, staged, tmp_path):
+    """The sidecar-routed stream admits the exact same content set as
+    the exact path, stays content-exactly-once across micro-batches,
+    and a full replay under a fresh checkpoint admits nothing."""
+    from minisql_engine_spark.operators.dedup_index import (
+        init_bloom_sidecar,
+    )
+
+    seed, f1, f3, drop = staged
+    index = str(tmp_path / "bidx")
+    out = str(tmp_path / "bout")
+    init_dedup_index(seed, index)
+    bloom = str(tmp_path / "bidx.bloom")
+    init_bloom_sidecar(spark, index, bloom, n_bits=1 << 14)
+
+    schema = spark.read.parquet(drop).schema
+    q = stream_admit(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index,
+        out,
+        str(tmp_path / "bckpt"),
+        bloom_path=bloom,
+    )
+    q.awaitTermination(120)
+
+    admitted = spark.read.parquet(out)
+    expected = (_key_set(f1) | _key_set(f3)) - _key_set(seed)
+    got = [r["content_hash"] for r in admitted.select("content_hash").collect()]
+    assert sorted(got) == sorted(set(got)), "a content was admitted twice"
+    assert set(got) == expected
+
+    # replay: the sidecar learned every admitted key in-step, so the
+    # fast path alone (plus the exact join for collisions) re-admits
+    # nothing under a fresh checkpoint
+    q2 = stream_admit(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index,
+        str(tmp_path / "bout2"),
+        str(tmp_path / "bckpt2"),
+        bloom_path=bloom,
+    )
+    q2.awaitTermination(120)
+    out2 = str(tmp_path / "bout2")
+    n_replay = (
+        spark.read.parquet(out2).count()
+        if os.path.exists(out2) and os.listdir(out2)
+        else 0
+    )
+    assert n_replay == 0
