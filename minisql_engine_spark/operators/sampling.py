@@ -66,7 +66,15 @@ def hash_sample(
     """Deterministic Bernoulli(``rate``) sample keyed on ``key_col`` —
     the reproducible replacement for ``df.sample()``. Pure map-side
     filter; re-runs, re-partitions, and the SQL oracle all select the
-    identical rows."""
+    identical rows.
+
+    rate >= 1.0 is the identity by special case: the threshold
+    clamps to ``16^digits - 1`` and the keep-comparison is strict,
+    so without this guard a row whose decision hash is exactly
+    ``'ff…f'`` (~2^-32 of rows — real rows at billions scale) would
+    be dropped from a "sample everything"."""
+    if rate >= 1.0:
+        return df
     return df.filter(
         sample_hash(F.col(key_col), seed) < F.lit(rate_threshold(rate))
     )

@@ -158,7 +158,13 @@ def update_agg_view(
         F.col(group_col).alias("_g"),
         *[F.col(o).alias(f"_b_{o}") for o in measures],
     )
-    merged_cols: list[Column] = [F.col("_g").alias(group_col)]
+    # null-safe key merge: GROUP BY puts all NULL keys in ONE group,
+    # so the state/delta join must match NULL to NULL — a plain
+    # full_outer on "_g" never matches NULLs and would fork a second
+    # NULL-group row every batch, diverging from the recompute oracle.
+    merged_cols: list[Column] = [
+        F.coalesce(a["_g"], b["_g"]).alias(group_col)
+    ]
     for out, (kind, _col) in measures.items():
         av, bv = F.col(f"_a_{out}"), F.col(f"_b_{out}")
         if kind == "count":
@@ -175,7 +181,9 @@ def update_agg_view(
         else:
             m = F.greatest(av, bv)
         merged_cols.append(m.alias(out))
-    merged = a.join(b, "_g", "full_outer").select(*merged_cols)
+    merged = a.join(
+        b, a["_g"].eqNullSafe(b["_g"]), "full_outer"
+    ).select(*merged_cols)
 
     tmp = path.rstrip("/") + ".update-tmp"
     merged.write.mode("overwrite").parquet(tmp)

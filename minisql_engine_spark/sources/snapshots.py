@@ -271,10 +271,20 @@ def merge_snapshot(
     join's right side (the update key set) broadcasts, so the base is
     scanned once and never shuffled (the same no-big-side-shuffle rule
     as the admission indexes). Copy-on-write of the full table; see
-    the module docstring for the file-pruned refinement path."""
+    the module docstring for the file-pruned refinement path.
+
+    The base version is pinned ONCE up front and the commit targets
+    exactly ``pinned + 1`` — so a commit that lands in between
+    collides on the ``O_EXCL`` claim and raises
+    :class:`ConcurrentCommitError` instead of silently merging over a
+    stale base (lost-update safety; same pattern as
+    :func:`merge_snapshot_pruned`)."""
     from pyspark.sql import functions as F
 
-    base = read_snapshot(spark, base_path)
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    base = read_snapshot(spark, base_path, cur)
     if set(base.columns) != set(updates.columns):
         raise ValueError(
             f"schema mismatch: base {sorted(base.columns)}"
@@ -284,9 +294,8 @@ def merge_snapshot(
     merged = base.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
         updates
     )
-    version = current_version(base_path) + 1
-    _commit(merged, base_path, version)
-    return version
+    _commit(merged, base_path, cur + 1)
+    return cur + 1
 
 
 def _manifest_files(entries: list[str]) -> list[str]:
@@ -307,10 +316,14 @@ def _manifest_files(entries: list[str]) -> list[str]:
 
 
 def _file_key_range(path: str, key_col: str):
-    """(min, max) of ``key_col`` from the parquet FOOTER statistics —
-    the metadata Iceberg/Delta keep in their manifests; no data pages
-    are read. Returns None when any row group lacks stats (then the
-    file must be treated as overlapping everything)."""
+    """(min, max, has_nulls) of ``key_col`` from the parquet FOOTER
+    statistics — the metadata Iceberg/Delta keep in their manifests;
+    no data pages are read. Returns None when any row group lacks
+    stats (then the file must be treated as overlapping everything).
+    ``has_nulls`` matters because min/max statistics IGNORE nulls: a
+    file can be "entirely inside" a key range by min/max and still
+    hold NULL-key rows that range predicates must not touch. An
+    absent null_count is treated as has_nulls=True (conservative)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -318,13 +331,16 @@ def _file_key_range(path: str, key_col: str):
     if key_col not in idx:
         return None
     lo = hi = None
+    has_nulls = False
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx[key_col]).statistics
         if st is None or not st.has_min_max:
             return None
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return (lo, hi)
+        if st.null_count is None or st.null_count > 0:
+            has_nulls = True
+    return (lo, hi, has_nulls)
 
 
 def merge_snapshot_pruned(
@@ -409,12 +425,21 @@ def delete_from_snapshot(
 ) -> int:
     """DELETE WHERE ``predicate``: commits a new version holding the
     surviving rows (copy-on-write; the predicate pushes down to the
-    base scan)."""
-    base = read_snapshot(spark, base_path)
-    remaining = base.filter(f"NOT ({predicate})")
-    version = current_version(base_path) + 1
-    _commit(remaining, base_path, version)
-    return version
+    base scan).
+
+    SQL DELETE removes only rows where the predicate is TRUE — rows
+    where it evaluates NULL (e.g. a NULL ``source`` against
+    ``source = 'web'``) are KEPT, hence the ``IS NOT TRUE`` filter
+    rather than ``NOT (...)`` (which would drop NULL rows). Base
+    version pinned up front for lost-update safety (see
+    :func:`merge_snapshot`)."""
+    cur = current_version(base_path)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshot table at {base_path}")
+    base = read_snapshot(spark, base_path, cur)
+    remaining = base.filter(f"({predicate}) IS NOT TRUE")
+    _commit(remaining, base_path, cur + 1)
+    return cur + 1
 
 
 def delete_range_pruned(
@@ -453,14 +478,29 @@ def delete_range_pruned(
         if r is None:
             rewrite.append(f)       # no stats → conservative rewrite
         elif r[1] < lo or r[0] > hi:
-            carried.append(f)       # disjoint → untouched
-        elif lo <= r[0] and r[1] <= hi:
-            pass                    # fully inside → dropped, zero I/O
+            carried.append(f)       # disjoint → untouched (min/max
+            #                         ignore NULLs, so NULL-key rows
+            #                         here are correctly kept too)
+        elif lo <= r[0] and r[1] <= hi and not r[2]:
+            pass                    # fully inside, no NULL keys →
+            #                         dropped with zero I/O
         else:
-            rewrite.append(f)       # straddles a boundary
+            rewrite.append(f)       # straddles a boundary, or is
+            #                         inside by min/max but holds
+            #                         NULL-key rows the stats hid
     if rewrite:
+        # range predicate as Column expressions (no repr splicing —
+        # quotes in string bounds and date/Decimal bounds go through
+        # lit() typed, never through SQL text). A NULL key makes the
+        # BETWEEN evaluate NULL; SQL DELETE keeps such rows, hence
+        # "IS NOT TRUE" semantics via eqNullSafe.
+        from pyspark.sql import functions as F
+
+        in_range = (F.col(key_col) >= F.lit(lo)) & (
+            F.col(key_col) <= F.lit(hi)
+        )
         remaining = spark.read.parquet(*sorted(rewrite)).filter(
-            f"NOT ({key_col} >= {lo!r} AND {key_col} <= {hi!r})"
+            ~in_range.eqNullSafe(F.lit(True))
         )
     else:
         remaining = read_snapshot(spark, base_path).limit(0)

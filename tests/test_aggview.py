@@ -169,3 +169,25 @@ def _delta_equiv(spark, ev):
         "v_max",
         F.col("uid_sum").cast("bigint").alias("uid_sum"),
     )
+
+
+def test_aggview_null_group_key_merges_to_one_row(spark, tmp_path):
+    """GROUP BY collapses all NULL keys into ONE group; the
+    state/delta merge must match NULL to NULL (null-safe join), not
+    fork a second NULL-group row per batch (the r5 advisor finding:
+    a plain full_outer on the key never matches NULLs)."""
+    m = {"n": ("count", None), "s": ("dsum", "v")}
+    b1 = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(None, 3.0), (None, 4.0)], "g string, v double"
+    )
+    path = str(tmp_path / "nullg")
+    init_agg_view(b1, path, "g", m)
+    update_agg_view(spark, path, b2, "g", m)
+    update_agg_view(spark, path, b2, "g", m)
+    rows = {r["g"]: r for r in read_agg_view(spark, path, m).collect()}
+    assert set(rows) == {None, "a"}          # exactly one NULL group
+    assert rows[None]["n"] == 5
+    assert abs(rows[None]["s"] - 15.0) < 1e-9

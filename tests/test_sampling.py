@@ -172,3 +172,14 @@ def test_weighted_sample_excludes_nonpositive(spark):
     sdf = spark.createDataFrame(rows, ["doc_id", "w"])
     got = {r["doc_id"] for r in weighted_sample(sdf, 10, "w").collect()}
     assert got == {1, 4}
+
+
+def test_hash_sample_rate_one_is_identity(spark, sf_dir):
+    """rate >= 1.0 keeps EVERY row — the strict '< threshold' filter
+    with a clamped threshold would otherwise drop rows hashing to
+    'ff…f' (~2^-32 of a production corpus)."""
+    from minisql_engine_spark.operators.sampling import hash_sample
+    from minisql_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert hash_sample(docs, 1.0, "doc_id").count() == docs.count()
