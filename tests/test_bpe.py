@@ -209,3 +209,41 @@ def test_bpe_apply_oracle(spark, duck, sf_dir):
     out = bpe_tokens_long(docs, merges)
     oracle = duck.sql(bpe_apply_sql("documents", merges)).df()
     assert_matches_oracle(out, oracle, "bpe_apply")
+
+
+def test_train_thousands_of_merges_is_fast(spark, sf_dir):
+    """≥2,000 merges in seconds — the property the old formulation
+    (one full Spark job per merge round) could not deliver: training
+    cost after the single corpus aggregation is driver-local and
+    bounded by the words each merge touches, so a production-scale
+    merge count is dict updates, not scheduler round-trips."""
+    import hashlib
+    import time
+
+    # deterministic corpus rich enough to sustain 2000 merges: 4000
+    # distinct 32-hex-char "words" (the sf documents vocabulary
+    # exhausts after ~90 merges)
+    words = [
+        hashlib.md5(f"w{i}".encode()).hexdigest() for i in range(4000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 8 : (i + 1) * 8])) for i in range(500)],
+        "doc_id bigint, text string",
+    )
+    wc = bpe_word_counts(docs)
+    t0 = time.monotonic()
+    merges = bpe_train(wc, 2000)
+    got = merges.collect()
+    took = time.monotonic() - t0
+    assert len(got) == 2000, f"corpus exhausted at {len(got)} merges"
+    # ranks are dense and counts are positive and non-increasingly
+    # plausible (each merge's count is its true pair frequency)
+    assert [r["rank"] for r in got] == list(range(1, 2001))
+    assert all(r["cnt"] >= 1 for r in got)
+    assert took < 60, f"2000 merges took {took:.1f}s — not driver-local?"
+
+
+def test_train_max_vocab_guard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train(bpe_word_counts(docs), 4, max_vocab=10)

@@ -375,18 +375,16 @@ def test_winsorize_grouped_single_percentile_pass(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_bpe_pair_counts_partial_agg_no_sort(spark, sf_dir):
-    """One BPE iteration's pair count: explode over the vocabulary,
-    hash aggregate with partials, no sort-based agg — the per-round
-    cost is vocabulary-sized, never corpus-sized."""
-    from minisql_engine_spark.operators.bpe import (
-        _pair_counts,
-        bpe_word_counts,
-    )
+def test_bpe_word_counts_partial_agg_no_sort(spark, sf_dir):
+    """BPE's ONE corpus-sized job — the (word, freq) aggregation —
+    must hash-aggregate with map-side partials and no sort-based agg;
+    everything after it is driver-local on the Zipf-bounded
+    vocabulary (see test_bpe.test_train_thousands_of_merges_is_fast)."""
+    from minisql_engine_spark.operators.bpe import bpe_word_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = plan_of(_pair_counts(bpe_word_counts(docs)))
-    assert "partial_sum" in plan
+    plan = plan_of(bpe_word_counts(docs))
+    assert "partial_count" in plan or "partial_sum" in plan
     assert "SortAggregate" not in plan
 
 
