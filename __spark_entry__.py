@@ -1772,17 +1772,74 @@ def q_ml_lsh_suite(spark, sf_dir):
     return pairs.unionAll(ann)
 
 
-@_register("emb_lsh_ann", None)  # approximate → rows-only, recall-gated
+def _lsh_ann_oracle() -> str:
+    """Full SQL replay of the SRP-LSH ANN pipeline: plane derivation
+    (md5 re-derived IN DuckDB), bucketing, hamming-1 multi-probe on
+    the query side, candidate join, exact re-rank, AND the brute-force
+    recall gate — so the approximate path is hash-verified end to end
+    like the IVF and PQ pipelines, not merely recall-gated."""
+    from minisql_engine_spark.operators.similarity import (
+        DUCK_COS,
+        N_PLANES,
+        lsh_sig_ctes_sql,
+    )
+
+    p = N_PLANES
+    return (
+        "WITH e AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + lsh_sig_ctes_sql()
+        + ", qsig AS (SELECT vec_id AS query_id, t, bucket FROM sig"
+        "   WHERE vec_id IN (0,1,2,3,4)),"
+        # probe 0 = the query's own bucket; probe j>=1 = bit j flipped
+        " probes AS (SELECT query_id, t, CASE WHEN j = 0 THEN bucket"
+        "   ELSE substr(bucket, 1, j-1) ||"
+        "    (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)"
+        f"    || substr(bucket, j+1, {p} - j) END AS bucket"
+        f"  FROM qsig, range(0, {p + 1}) jj(j)),"
+        " cand AS (SELECT DISTINCT query_id, vec_id AS neighbor_id"
+        "   FROM sig JOIN probes USING (t, bucket)"
+        "   WHERE vec_id != query_id),"
+        " scored AS (SELECT query_id, neighbor_id, "
+        + DUCK_COS.format(a="q.v", b="n.v")
+        + " AS score FROM cand JOIN e q ON q.vec_id = query_id"
+        "   JOIN e n ON n.vec_id = neighbor_id),"
+        " ann AS MATERIALIZED (SELECT query_id, neighbor_id, score, rank"
+        "   FROM (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "    ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
+        "   WHERE rank <= 10),"
+        " bscored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        + DUCK_COS.format(a="q.qv", b="e.v")
+        + "  AS score FROM e CROSS JOIN (SELECT vec_id AS query_id,"
+        "    v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)) q"
+        "   WHERE e.vec_id != q.query_id),"
+        " brute AS (SELECT query_id, neighbor_id FROM (SELECT *,"
+        "   row_number() OVER (PARTITION BY query_id"
+        "    ORDER BY score DESC, neighbor_id) AS r FROM bscored)"
+        "  WHERE r <= 10),"
+        " rec AS (SELECT b.query_id,"
+        "   round(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "    / CAST(count(*) AS DOUBLE), 2) AS recall"
+        "  FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
+        "   AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)"
+        " SELECT ann.query_id, ann.neighbor_id, ann.score,"
+        "  CAST(ann.rank AS BIGINT) AS rank, rec.recall"
+        " FROM ann JOIN rec ON rec.query_id = ann.query_id"
+        " WHERE rec.recall >= 0.8"
+    )
+
+
+@_register("emb_lsh_ann", _lsh_ann_oracle())
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed ANN top-k (§2.4 scale path): deterministic
     sign-random-projection buckets (md5-derived hyperplanes) with
     hamming-1 multi-probe on the query side (measured recall 0.61 →
-    0.99 at sf0.01), exact re-rank within bucket. Rows-only, but the
-    recall bar is wired INTO the result: each query's rows carry its
-    recall vs the brute-force top-k subtree and are emitted ONLY when
-    recall ≥ 0.8 — a recall regression drops that query's 10 rows
-    from the driver's recorded row count, so the hard CORRECTNESS
-    signal catches degradation, not just tests/test_extensions.py."""
+    0.99 at sf0.01), exact re-rank within bucket. Fully oracle-
+    replayed (plane derivation from md5 re-done in DuckDB; signature
+    fold verified bit-identical) — AND the recall bar stays wired
+    INTO the result: each query's rows carry recall vs the
+    brute-force top-k and are emitted ONLY when recall ≥ 0.8, so a
+    recall regression still moves the driver's row count."""
     from minisql_engine_spark.operators.similarity import (
         brute_force_topk,
         lsh_ann_topk,

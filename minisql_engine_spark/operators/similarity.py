@@ -107,6 +107,34 @@ DUCK_COS = (
 )
 
 
+def lsh_sig_ctes_sql(
+    n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> str:
+    """DuckDB CTEs ``bits, sig`` replaying the SRP signatures of
+    :func:`lsh_bucket_table` bit for bit — the planes are re-derived
+    from md5 IN SQL (component d of plane (t, p) =
+    ``hexval(md5('t:p:d')[0]) − 7.5``, exactly :func:`_plane_component`),
+    the per-element products accumulate through a sequential
+    ``list_reduce`` with a prepended 0.0 seed (the same left-to-right
+    IEEE addition order as Spark's ``aggregate(…, 0d, (acc,x)->acc+x)``
+    fold — verified bit-identical on the driver corpus), and the
+    bucket string is the plane bits in p order. Expects a prior CTE
+    ``e(vec_id, v DOUBLE[])``."""
+    return (
+        " bits AS (SELECT vec_id, t, p,"
+        "  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        "   list_transform(v, (x, i) -> x *"
+        "    (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR ||"
+        "     ':' || (i-1)::VARCHAR), 1, 1))::BIGINT - 7.5))),"
+        "   (acc, x) -> acc + x) > 0.0 THEN '1' ELSE '0' END AS bit"
+        f"  FROM e, range(0, {n_tables}) tt(t),"
+        f"  range(0, {n_planes}) pp(p)),"
+        " sig AS MATERIALIZED (SELECT vec_id, t,"
+        "  string_agg(bit, '' ORDER BY p) AS bucket"
+        "  FROM bits GROUP BY vec_id, t)"
+    )
+
+
 def ivf_refine_ctes_sql(
     n_iter: int, n_cells: int = 16, dims: int = 64
 ) -> str:
