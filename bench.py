@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# base passes over the suite; each query sample = warm + timed run,
+# so 2 passes ≈ the old harness's cost with decorrelated samples
+N_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 
 # Headline set: one per operator family, weighted toward the plans
 # whose scale behavior matters (joins, aggregation, distinct, dedup).
@@ -100,6 +103,12 @@ HEADLINE = (
     "cms_frequency",
     "lm_bigram_perplexity",
     "hist_quantiles",
+    # r6: rotation of the strongest pytest-only components into the
+    # driver window + the lakehouse retention-delete cycle
+    "pergroup_hll",
+    "weighted_sample",
+    "psi_drift",
+    "delete_range_pruned",
 )
 
 
@@ -157,23 +166,7 @@ def main() -> None:
     from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        # one untimed run amortizes whole-stage-codegen compilation
-        # (one-time per query shape; irrelevant at cluster scale);
-        # the reported number is the MIN of two timed runs — ambient
-        # VM noise measured up to 6× on sub-second queries
-        # (PLANS_r3.md), and min-of-2 is the standard steady-state
-        # estimator under asymmetric (always-additive) noise
-        _force(qs[name](spark, SF_DIR))
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    def _clear_caches() -> None:
         clear_simhash_cache()
         clear_editsim_cache()
         clear_hashvec_cache()
@@ -183,13 +176,68 @@ def main() -> None:
         clear_retrieval_cache()
         clear_llm_pipeline_cache()
 
-    # entry flagship on the bench SF as well
-    best = float("inf")
-    for _ in range(2):
+    runs = {n: qs[n] for n in HEADLINE if n in qs}
+    runs["flagship"] = em.flagship
+    names = list(runs)
+
+    # Methodology (r5 verdict task 3 — fix the harness, not the
+    # queries). One SAMPLE of a query = warm run (builds the
+    # operator's persisted intermediates and amortizes codegen — the
+    # steady-state usage pattern, and the semantics every prior
+    # round's series was measured under) → timed run → cache clear.
+    # Samples for a query come from SEPARATE passes over the whole
+    # suite, each pass in a different (seeded-shuffle) order:
+    # back-to-back samples shared any transient load spike — the
+    # source of the recurring grouping_sets/flagship false
+    # regressions (4.17 s in-run vs 1.05 s isolated) — while minutes
+    # of other work between samples decorrelates them. Queries whose
+    # base samples still disagree by > 15% get up to
+    # ADAPTIVE_EXTRA re-measures (the targeted fix for noisy
+    # outliers, paid only where needed). Reported number = MIN across
+    # samples — the steady-state estimator under asymmetric
+    # (always-additive) noise. Do NOT run the bench concurrently with
+    # pytest: the suite's 32 executor threads contend for the same
+    # cores and every number inflates.
+    import random as _random
+
+    ADAPTIVE_EXTRA = 2
+    rng = _random.Random(0xB6)
+
+    def _sample(name: str) -> float:
+        _force(runs[name](spark, SF_DIR))          # warm: caches live
         t0 = time.perf_counter()
-        _force(em.flagship(spark, SF_DIR))
-        best = min(best, time.perf_counter() - t0)
-    timings["flagship"] = round(best, 4)
+        _force(runs[name](spark, SF_DIR))          # timed: steady state
+        dt = time.perf_counter() - t0
+        _clear_caches()
+        return dt
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_ROUNDS):
+        spark.sparkContext._jvm.System.gc()
+        order = names[:]
+        rng.shuffle(order)
+        for name in order:
+            samples[name].append(_sample(name))
+    for name in names:
+        s = samples[name]
+        extra = 0
+        while (
+            min(s) > 0
+            and (max(s) - min(s)) / min(s) > 0.15
+            and extra < ADAPTIVE_EXTRA
+        ):
+            s.append(_sample(name))
+            extra += 1
+
+    timings = {n: round(min(samples[n]), 4) for n in names}
+    # harness health: median over queries of (max−min)/min of each
+    # query's two best samples — repeat runs should agree ~10%
+    spreads = sorted(
+        (sorted(s)[1] - sorted(s)[0]) / sorted(s)[0]
+        for s in samples.values()
+        if len(s) >= 2 and min(s) > 0
+    )
+    noise = round(spreads[len(spreads) // 2], 4) if spreads else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -200,6 +248,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rounds": N_ROUNDS,
+                "median_spread": noise,
             }
         )
     )
