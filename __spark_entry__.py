@@ -3602,6 +3602,186 @@ def _lm_bigram_oracle() -> str:
 _ORACLES["lm_bigram_perplexity"] = _lm_bigram_oracle()
 
 
+@_register(
+    "pergroup_hll",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_pergroup_hll(spark, sf_dir):
+    """Per-group HyperLogLog (operators/sketch.py, r6 rotation of the
+    strongest pytest-only components into the driver window):
+    "approx distinct users per event_type" maintained as one register
+    relation per group — the driver entry builds THREE batch sketches
+    (event_id % 3 shards), merges them distributively (per-(group,
+    register) max), and estimates; because the merge is exact on
+    integer state, the result equals the one-shot sketch the DuckDB
+    oracle replays bit-for-bit — incremental maintenance ≡ recompute
+    IS the hash match, the same certificate shape as incr_agg_events."""
+    from minisql_engine_spark.operators.sketch import (
+        hll_group_estimate,
+        hll_group_merge,
+        hll_group_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        hll_group_sketch(
+            ev.filter(F.col("event_id") % 3 == i),
+            "event_type",
+            F.col("user_id").cast("string"),
+        )
+        for i in range(3)
+    ]
+    merged = hll_group_merge(hll_group_merge(parts[0], parts[1]), parts[2])
+    return hll_group_estimate(merged)
+
+
+def _pergroup_hll_oracle() -> str:
+    from minisql_engine_spark.operators.sketch import (
+        hll_group_distinct_sql,
+    )
+
+    return hll_group_distinct_sql(
+        "events", "event_type", "CAST(user_id AS VARCHAR)"
+    )
+
+
+_ORACLES["pergroup_hll"] = _pergroup_hll_oracle()
+
+
+@_register(
+    "weighted_sample",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py): replicated-min-hash priorities give
+    exact w₁/(w₁+w₂) pairwise inclusion odds with ZERO
+    transcendentals — the priority is a lexicographic min over hex
+    strings, so the oracle replays selection byte-for-byte (no
+    Efraimidis–Spirakis ln/pow ulp can flip a rank). Weights here are
+    the documents' n_chars % 5 + 1 quality buckets; top-40."""
+    from minisql_engine_spark.operators.sampling import weighted_sample
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("w", (F.col("n_chars") % 5 + 1).cast("bigint"))
+    )
+    return weighted_sample(docs, 40, "w").select(
+        "doc_id", "n_chars", "w", "priority"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from minisql_engine_spark.operators.sampling import (
+        weighted_sample_sql,
+    )
+
+    base = weighted_sample_sql(
+        "_wdocs", 40, "w", select_cols="doc_id, n_chars, w, priority"
+    )
+    return base.replace(
+        "WITH pri AS",
+        "WITH _wdocs AS (SELECT doc_id, n_chars,"
+        " CAST(n_chars % 5 + 1 AS BIGINT) AS w FROM documents),"
+        " pri AS",
+        1,
+    )
+
+
+_ORACLES["weighted_sample"] = _weighted_sample_oracle()
+
+
+@_register(
+    "psi_drift",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index drift monitor (operators/drift.py):
+    the standard model-ops numeric-drift score between two event
+    cohorts (event_id parity halves), over the same fixed [0, 640)
+    bucket grid as hist_quantiles. Per-bucket shares and psi terms
+    plus the bucket = -100 TOTAL row; empty buckets take the 1e-6
+    share floor IDENTICALLY in both engines, so the log stays finite
+    and the hash stays exact."""
+    from minisql_engine_spark.operators.drift import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        640.0,
+    )
+
+
+def _psi_drift_oracle() -> str:
+    from minisql_engine_spark.operators.drift import psi_drift_sql
+
+    return psi_drift_sql(
+        "events", "event_id % 2 = 0", "event_id % 2 = 1",
+        "value", 0.0, 640.0,
+    )
+
+
+_ORACLES["psi_drift"] = _psi_drift_oracle()
+
+
+@_register(
+    "delete_range_pruned",
+    "SELECT doc_id, source, n_chars FROM documents"
+    " WHERE (doc_id >= 100 AND doc_id <= 260) IS NOT TRUE",
+)
+def q_delete_range_pruned(spark, sf_dir):
+    """Lakehouse retention-delete path end-to-end
+    (sources/snapshots.py): documents commit as a range-clustered
+    snapshot (4 disjoint doc_id files), then DELETE WHERE doc_id
+    BETWEEN 100 AND 260 runs footer-stats-pruned — disjoint files
+    carry over by reference, covered files drop by metadata alone,
+    only boundary files rewrite (with SQL NULL-semantics: the filter
+    keeps predicate-NULL rows). The oracle replays the CONTENT
+    contract; the in-query RuntimeError gates the PRUNING contract
+    (at least one file must carry over untouched)."""
+    import hashlib
+    import json
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.snapshots import (
+        current_version,
+        delete_range_pruned,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tag = hashlib.md5(("del" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_delsnap_{tag}")
+    # rebuilt every call — the write→delete cycle IS the operator
+    shutil.rmtree(path, ignore_errors=True)
+    write_snapshot(
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ),
+        path,
+    )
+    delete_range_pruned(spark, path, "doc_id", 100, 260)
+    with open(
+        os.path.join(path, "_versions", f"v{current_version(path)}.json")
+    ) as f:
+        man = json.load(f)
+    carried = [e for e in man["data_dirs"] if os.path.isfile(e)]
+    if not carried:
+        raise RuntimeError(
+            "pruned delete rewrote every file — footer-stats pruning "
+            "did not engage on the range-clustered layout"
+        )
+    return read_snapshot(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3717,12 +3897,30 @@ _ARCHIVED: frozenset[str] = frozenset(
         # gate family keeps quality_rules' driver row, which is
         # plan-identical; redaction stays archived-parity-tested)
         "pii_redaction",
+        # twenty-fourth (r6) — room for pergroup_hll + weighted_sample
+        # + psi_drift + delete_range_pruned (r5 verdict task 5). All
+        # four rotated names are hash-green r3–r5; their families keep
+        # richer driver rows (dedup: minhash/simhash/semantic/spans +
+        # the hashed-semi-join shape lives on in every admission
+        # entry; temporal joins: rolling_features + event_funnel +
+        # streaming_interval_join; UDTF/pandas: pandas_group_features
+        # + multimodal_features)
+        "contamination_report",
+        "asof_join_events",
+        "udtf_chunk_documents",
+        "dedup_ngram_jaccard",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r6 rotation — first driver rows for these (previously
+    # pytest-oracle only)
+    "pergroup_hll",
+    "weighted_sample",
+    "psi_drift",
+    "delete_range_pruned",
     # r5 session-6 additions — brand new operators, never driver-checked
     "bloom_admission",
     "hll_distinct",

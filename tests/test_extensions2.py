@@ -642,3 +642,24 @@ def test_compressed_or_corrupt_avi_keeps_codec_contract():
     avi[idx + 16 : idx + 20] = struct.pack("<I", 1)  # BI_RLE8
     with _pytest.raises(NotImplementedError):
         decode_video(bytes(avi))
+
+
+def test_coverage_rotation_table_current():
+    """COVERAGE.md's rotation ledger must equal a fresh render from
+    the driver registry (r5 verdict task 9): window names, their
+    oracle status, and the archived list can never drift from
+    __spark_entry__.py. Regenerate with `python tools/gen_rotation.py`
+    after any rotation."""
+    import os
+
+    from tools.gen_rotation import BEGIN, END, render
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        doc = f.read()
+    assert BEGIN in doc and END in doc, "generated ledger section missing"
+    committed = doc[doc.index(BEGIN) : doc.index(END) + len(END)]
+    assert committed == render(), (
+        "COVERAGE.md rotation ledger is stale — run "
+        "python tools/gen_rotation.py"
+    )
