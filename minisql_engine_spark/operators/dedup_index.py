@@ -162,6 +162,84 @@ def compact_index(spark: SparkSession, path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed index layout: zero-Exchange admission for non-broadcast batches
+# ---------------------------------------------------------------------------
+#
+# The directory layout above relies on the batch being broadcastable
+# (the micro-batch contract). When a batch is too large to broadcast —
+# a backfill, a merged day of crawl — the admission join falls back to
+# sort-merge, and a plain parquet index would then SHUFFLE the entire
+# corpus-sized key set per batch. The bucketed layout removes that
+# cliff: the index lives as a catalog table hash-bucketed (and
+# sort-ordered) on ``content_hash``, so the anti join plans with NO
+# Exchange on the index side — only the batch shuffles, into the
+# index's bucketing (plan-gated in test_dedup_index.py). This is the
+# "at a fixed cluster both would bucket by key" claim made concrete.
+
+
+def init_dedup_index_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Create the key index as a catalog table bucketed + sorted on
+    ``content_hash`` (the write-side shuffle is paid once; every
+    admission after is Exchange-free on the index side)."""
+    from ..sources.bucketing import write_bucketed
+
+    keys = _keyed(df, id_col, text_col).select("content_hash").distinct()
+    write_bucketed(
+        keys, table, "content_hash", n_buckets, sort_by="content_hash"
+    )
+
+
+def dedup_against_bucketed_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`dedup_against_index` for the bucketed layout and the
+    too-big-to-broadcast batch: in-batch min-id dedup, then a direct
+    anti join against the bucketed key table. The index side is
+    scan-only (its bucketing satisfies the join's distribution
+    requirement); the single Exchange in the plan is the batch
+    hashing into the index's buckets."""
+    spark = df.sparkSession
+    keyed = _keyed(df, id_col, text_col)
+    in_batch = (
+        keyed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy(F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return in_batch.join(spark.table(table), "content_hash", "left_anti")
+
+
+def append_to_bucketed_index(
+    survivors: DataFrame, table: str, n_buckets: int = 16
+) -> None:
+    """Append admitted keys with the SAME bucket spec (bucket files
+    accumulate per bucket; compaction is a rewrite with the identical
+    spec when file counts warrant)."""
+    (
+        survivors.select("content_hash")
+        .distinct()
+        .write.mode("append")
+        .bucketBy(n_buckets, "content_hash")
+        .sortBy("content_hash")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom sidecar: skip the index read for definitely-new keys
 # ---------------------------------------------------------------------------
 #

@@ -93,6 +93,7 @@ def neardup_against_index(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     materialize: bool = True,
+    bloom_path: str | None = None,
 ) -> DataFrame:
     """(batch columns…, content signature columns): the batch rows
     with NO indexed neighbor at estimated Jaccard ≥ ``threshold``.
@@ -102,7 +103,17 @@ def neardup_against_index(
 
     ``materialize=False`` returns the lazy plan (no signature persist
     or checkpoint — used by plan-shape tests and compositions that
-    manage caching themselves)."""
+    manage caching themselves).
+
+    ``bloom_path`` (optional) is the band-key Bloom sidecar built by
+    :func:`init_neardup_bloom_sidecar`: the batch's band keys probe
+    the filter first, and only maybe-present keys restrict the index
+    read — a mostly-new batch whose keys all miss never opens the
+    signature index at all. No false negatives → the admission
+    decision is IDENTICAL to the exact path (a band key the filter
+    rules out cannot exist in the index, so it contributes no
+    candidate either way); false positives only cost redundant exact
+    verification."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"need 0 < threshold <= 1, got {threshold}")
     spark = df.sparkSession
@@ -136,6 +147,28 @@ def neardup_against_index(
         # (bounded by LSH bucket hits against one batch) broadcast
         # back — the same no-index-shuffle plan as dedup_index.
         batch_keys = batch_bands.select("band", "band_key").distinct()
+        if bloom_path is not None:
+            from minisql_engine_spark.operators.membership import (
+                bloom_probe,
+            )
+
+            from .dedup_index import _bloom_meta, _bloom_words
+
+            meta = _bloom_meta(bloom_path)
+            probed = bloom_probe(
+                batch_keys.select(_band_bloom_key().alias("key")),
+                _bloom_words(spark, bloom_path, meta),
+                "key",
+                meta["n_bits"],
+                meta["k"],
+            )
+            batch_keys = batch_keys.join(
+                F.broadcast(
+                    probed.filter(F.col("maybe_present")).select("key")
+                ),
+                _band_bloom_key() == F.col("key"),
+                "left_semi",
+            )
         index_hits = index_bands.join(
             F.broadcast(batch_keys), ["band", "band_key"], "left_semi"
         )
@@ -202,3 +235,123 @@ def neardup_index_stats(spark: SparkSession, path: str) -> DataFrame:
         spark.read.parquet(path)
         .agg(F.countDistinct("indexed_id").cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecar over BAND KEYS: skip the index read for mostly-new batches
+# ---------------------------------------------------------------------------
+#
+# The near-dup twin of dedup_index's sidecar (same generation-dir +
+# atomic-meta machinery, reused from there): the filter holds the
+# index's LSH band keys (~10 bits per (doc, band) vs 32 hex chars), so
+# a batch whose band keys all miss admits without a single index byte
+# read — the mostly-new common case at 100 TB. Consistency contract is
+# identical: the sidecar advances BEFORE the index in the same
+# admission step (a lagging sidecar would hide indexed band keys and
+# re-admit near-dups; an ahead sidecar only adds false positives).
+
+
+def _band_bloom_key() -> F.Column:
+    """The sidecar key for a (band, band_key) row — one string, so
+    the probe is the shared single-key bloom machinery."""
+    return F.concat_ws(":", F.col("band").cast("string"), F.col("band_key"))
+
+
+def _index_band_keys(
+    index: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    bands = lsh_band_keys(
+        index.withColumnRenamed("indexed_id", "_iid"),
+        id_col="_iid",
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+    return bands.select(_band_bloom_key().alias("key")).distinct()
+
+
+def init_neardup_bloom_sidecar(
+    spark: SparkSession,
+    index_path: str,
+    bloom_path: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> None:
+    """Build the band-key sidecar from the current signature index
+    (one scan; sizing: n_bits ≈ 10 × expected (doc, band) rows)."""
+    import os as _os
+
+    from minisql_engine_spark.operators.membership import bloom_build
+
+    from .dedup_index import _write_bloom_meta
+
+    _os.makedirs(bloom_path, exist_ok=True)
+    keys = _index_band_keys(
+        spark.read.parquet(index_path), num_hashes, band_size
+    )
+    bloom_build(keys, "key", n_bits, k).write.mode("overwrite").parquet(
+        _os.path.join(bloom_path, "gen-1")
+    )
+    _write_bloom_meta(
+        bloom_path,
+        {
+            "n_bits": n_bits,
+            "k": k,
+            "gen": 1,
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+        },
+    )
+
+
+def append_to_neardup_index_with_bloom(
+    admitted: DataFrame,
+    path: str,
+    bloom_path: str,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> None:
+    """One admission step advances BOTH structures, sidecar first
+    (the dedup_index ordering argument verbatim: an ahead sidecar is
+    harmless false positives; a lagging one re-admits near-dups —
+    and the admitted lineage may re-read the prior sidecar
+    generation, so old gens are swept only after the index append)."""
+    import os as _os
+    import shutil
+
+    from minisql_engine_spark.operators.membership import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    from .dedup_index import (
+        _bloom_meta,
+        _bloom_words,
+        _write_bloom_meta,
+    )
+
+    meta = _bloom_meta(bloom_path)
+    spark = admitted.sparkSession
+    new_keys = _index_band_keys(
+        admitted.filter(F.col("sig_0").isNotNull()).select(
+            F.col(id_col).alias("indexed_id"), *_sig_cols(num_hashes)
+        ),
+        num_hashes,
+        meta["band_size"],
+    )
+    merged = bloom_merge(
+        _bloom_words(spark, bloom_path, meta),
+        bloom_build(new_keys, "key", meta["n_bits"], meta["k"]),
+    )
+    new_gen = meta["gen"] + 1
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(bloom_path, f"gen-{new_gen}")
+    )
+    _write_bloom_meta(bloom_path, {**meta, "gen": new_gen})
+    append_to_neardup_index(admitted, path, id_col, num_hashes)
+    for entry in _os.listdir(bloom_path):
+        if entry.startswith("gen-") and entry != f"gen-{new_gen}":
+            shutil.rmtree(
+                _os.path.join(bloom_path, entry), ignore_errors=True
+            )

@@ -210,3 +210,79 @@ def test_bloom_sidecar_learns_appended_keys(spark, batches, tmp_path):
     replay = b.select((F.col("doc_id") + 50000).alias("doc_id"), "text")
     again = dedup_with_bloom_sidecar(replay, path, bloom_path)
     assert again.count() == 0
+
+
+def test_bucketed_admission_identity(spark, batches, tmp_path):
+    """The bucketed-catalog layout admits EXACTLY what the broadcast
+    directory layout admits across a multi-batch sequence."""
+    from minisql_engine_spark.operators.dedup_index import (
+        append_to_bucketed_index,
+        dedup_against_bucketed_index,
+        init_dedup_index_bucketed,
+    )
+    from minisql_engine_spark.sources.bucketing import drop_bucketed
+
+    a, b, c = batches
+    dir_path = str(tmp_path / "idx_dir")
+    tbl = "dedup_idx_bucketed_test"
+    drop_bucketed(spark, tbl)
+    init_dedup_index(a, dir_path)
+    init_dedup_index_bucketed(a, tbl)
+    try:
+        for batch in (b, c):
+            exact = dedup_against_index(batch, dir_path)
+            bucketed = dedup_against_bucketed_index(batch, tbl)
+            got_e = {r["doc_id"] for r in exact.select("doc_id").collect()}
+            got_b = {
+                r["doc_id"] for r in bucketed.select("doc_id").collect()
+            }
+            assert got_e == got_b
+            append_to_index(exact, dir_path)
+            append_to_bucketed_index(bucketed, tbl)
+    finally:
+        drop_bucketed(spark, tbl)
+
+
+def test_bucketed_admission_zero_exchange_on_index_side(
+    spark, batches, tmp_path
+):
+    """With broadcast disabled (the too-big-to-broadcast batch), the
+    admission anti join must read the bucketed index with NO Exchange
+    above it — the scan reports Bucketed: true and the only shuffles
+    in the plan belong to the batch side (its in-batch dedup window +
+    its hash into the index's buckets)."""
+    from minisql_engine_spark.operators.dedup_index import (
+        dedup_against_bucketed_index,
+        init_dedup_index_bucketed,
+    )
+    from minisql_engine_spark.sources.bucketing import drop_bucketed
+    from tests.test_plans import plan_of
+
+    a, b, _c = batches
+    tbl = "dedup_idx_bucketed_plan"
+    drop_bucketed(spark, tbl)
+    init_dedup_index_bucketed(a, tbl)
+    # materialize the batch so its side of the plan is ONE scan (the
+    # fixture's union-of-limits shape would add its own Exchanges and
+    # obscure the count)
+    bpath = str(tmp_path / "batch")
+    b.write.parquet(bpath)
+    batch = spark.read.parquet(bpath)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(dedup_against_bucketed_index(batch, tbl))
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # exactly two Exchanges in the TREE ("- Exchange" matches the
+        # tree rendering only; the per-node detail sections repeat
+        # every operator name), both batch-side: the in-batch dedup
+        # window partitioning and the hash into the index's buckets.
+        # The index subtree is Scan -> Filter -> Sort -> join: its
+        # bucketing satisfies the join's distribution requirement, so
+        # the corpus-sized side never reshuffles.
+        assert plan.count("- Exchange") == 2, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        drop_bucketed(spark, tbl)

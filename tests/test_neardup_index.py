@@ -111,3 +111,121 @@ def test_threshold_validation(spark, corpus_and_batch, tmp_path):
     init_neardup_index(corpus, path)
     with pytest.raises(ValueError):
         neardup_against_index(batch, path, threshold=0.0)
+
+
+def test_neardup_bloom_sidecar_identical_admission(
+    spark, corpus_and_batch, tmp_path
+):
+    """The band-key Bloom fast path admits EXACTLY what the exact
+    path admits (no false negatives ⇒ outcomes identical), and the
+    sidecar advances with the index in the same admission step — the
+    3-batch identity pin mirroring test_dedup_index's."""
+    from minisql_engine_spark.operators.neardup_index import (
+        append_to_neardup_index_with_bloom,
+        init_neardup_bloom_sidecar,
+    )
+
+    corpus, fresh, batch = corpus_and_batch
+    exact_path = str(tmp_path / "n_exact")
+    fast_path = str(tmp_path / "n_fast")
+    bloom_path = str(tmp_path / "n_fast.bloom")
+    init_neardup_index(corpus, exact_path)
+    init_neardup_index(corpus, fast_path)
+    init_neardup_bloom_sidecar(spark, fast_path, bloom_path, n_bits=1 << 14)
+
+    batch2 = batch.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    for bt in (batch, batch2):
+        exact = neardup_against_index(bt, exact_path, threshold=T)
+        fast = neardup_against_index(
+            bt, fast_path, threshold=T, bloom_path=bloom_path
+        )
+        got_e = {r["doc_id"] for r in exact.select("doc_id").collect()}
+        got_f = {r["doc_id"] for r in fast.select("doc_id").collect()}
+        assert got_e == got_f
+        append_to_neardup_index(exact, exact_path)
+        append_to_neardup_index_with_bloom(fast, fast_path, bloom_path)
+
+
+def test_neardup_sidecar_learns_appended_band_keys(
+    spark, corpus_and_batch, tmp_path
+):
+    """A replay of an admitted batch under new ids must admit NOTHING
+    through the sidecar path — exactly what a sidecar lagging the
+    index (wrong update order) gets wrong."""
+    from minisql_engine_spark.operators.neardup_index import (
+        append_to_neardup_index_with_bloom,
+        init_neardup_bloom_sidecar,
+    )
+
+    corpus, fresh, _batch = corpus_and_batch
+    path = str(tmp_path / "nidx")
+    bloom_path = str(tmp_path / "nidx.bloom")
+    init_neardup_index(corpus, path)
+    init_neardup_bloom_sidecar(spark, path, bloom_path, n_bits=1 << 14)
+    admitted = neardup_against_index(
+        fresh, path, threshold=T, bloom_path=bloom_path
+    )
+    # the sidecar path equals the exact path (a handful of fresh docs
+    # genuinely near-collide with the corpus — that is the operator
+    # working, not the sidecar dropping rows)
+    exact = neardup_against_index(fresh, path, threshold=T)
+    assert {r["doc_id"] for r in admitted.select("doc_id").collect()} == {
+        r["doc_id"] for r in exact.select("doc_id").collect()
+    }
+    append_to_neardup_index_with_bloom(admitted, path, bloom_path)
+    replay = fresh.select((F.col("doc_id") + 70000).alias("doc_id"), "text")
+    again = neardup_against_index(
+        replay, path, threshold=T, bloom_path=bloom_path
+    )
+    assert again.count() == 0
+
+
+def test_neardup_sidecar_fresh_batch_skips_index(
+    spark, corpus_and_batch, tmp_path
+):
+    """A batch with no indexed near-dup routes only FPR-bounded band
+    keys into the index read."""
+    from minisql_engine_spark.operators.dedup import lsh_band_keys, minhash_signatures
+    from minisql_engine_spark.operators.dedup_index import (
+        _bloom_meta,
+        _bloom_words,
+    )
+    from minisql_engine_spark.operators.membership import bloom_probe
+    from minisql_engine_spark.operators.neardup_index import (
+        _band_bloom_key,
+        init_neardup_bloom_sidecar,
+    )
+
+    corpus, fresh, _batch = corpus_and_batch
+    path = str(tmp_path / "nidx2")
+    bloom_path = str(tmp_path / "nidx2.bloom")
+    init_neardup_index(corpus, path)
+    init_neardup_bloom_sidecar(spark, path, bloom_path, n_bits=1 << 14)
+    meta = _bloom_meta(bloom_path)
+    keys = (
+        lsh_band_keys(minhash_signatures(fresh))
+        .select(_band_bloom_key().alias("key"))
+        .distinct()
+    )
+    probed = bloom_probe(
+        keys, _bloom_words(spark, bloom_path, meta), "key",
+        meta["n_bits"], meta["k"],
+    )
+    n = probed.count()
+    maybe = probed.filter(F.col("maybe_present")).count()
+    # band keys (unlike dedup_index's content hashes) can GENUINELY
+    # collide below the Jaccard threshold, so the bound is
+    # true-positives + the sizing FPR, not FPR alone
+    from minisql_engine_spark.operators.neardup_index import (
+        _index_band_keys,
+    )
+
+    true_present = keys.join(
+        _index_band_keys(
+            spark.read.parquet(path), meta["num_hashes"],
+            meta["band_size"],
+        ),
+        "key",
+        "left_semi",
+    ).count()
+    assert true_present <= maybe <= true_present + max(3, int(0.05 * n))
