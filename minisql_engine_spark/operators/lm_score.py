@@ -319,3 +319,136 @@ def lm_bigram_perplexity_sql(
         "   WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket"
         " FROM per CROSS JOIN thr"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen reference model — the streaming / production scoring shape
+# ---------------------------------------------------------------------------
+#
+# :func:`lm_perplexity` trains its unigram model AND its tercile
+# thresholds on the corpus it scores — right for one-shot curation,
+# impossible for a stream (a micro-batch's terciles are not the
+# corpus's). Production CCNet does what this section does: train ONCE
+# on a trusted reference corpus, FREEZE the model and the bucket
+# thresholds, and apply them to every incoming batch. Scoring a
+# corpus with a model frozen from that same corpus reproduces
+# :func:`lm_perplexity` exactly (pinned in test_streaming_curate.py),
+# so the frozen path is a strict generalization, not a fork.
+
+_LM_MODEL_META = "_lm_meta.json"
+
+
+def save_lm_model(
+    ref_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Train on the reference corpus and persist the model: token
+    counts as parquet plus (t_total, v_size, t1, t2) metadata — the
+    Laplace denominators and the tercile thresholds of the
+    reference's own ppl distribution."""
+    import json as _json
+    import os as _os
+
+    spark = ref_docs.sparkSession
+    toks = ref_docs.select(
+        F.col(id_col),
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    _os.makedirs(path, exist_ok=True)
+    counts.write.mode("overwrite").parquet(_os.path.join(path, "counts"))
+    cdf = spark.read.parquet(_os.path.join(path, "counts"))
+    tot = cdf.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    ).collect()[0]
+    scored = _score_frozen(
+        ref_docs, cdf, int(tot["t"]), int(tot["v"]), id_col, text_col
+    )
+    thr = scored.agg(
+        F.expr("percentile(ppl, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(ppl, 0.6666666666666666)").alias("t2"),
+    ).collect()[0]
+    with open(_os.path.join(path, _LM_MODEL_META), "w") as f:
+        _json.dump(
+            {
+                "t_total": int(tot["t"]),
+                "v_size": int(tot["v"]),
+                "t1": float(thr["t1"]),
+                "t2": float(thr["t2"]),
+            },
+            f,
+        )
+
+
+def _score_frozen(
+    docs: DataFrame,
+    counts: DataFrame,
+    t_total: int,
+    v_size: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_tokens_lm, xent_bits, ppl) under the frozen model —
+    identical arithmetic to :func:`lm_perplexity` except the
+    denominators are constants and unseen tokens take the Laplace
+    floor (count 0) via a LEFT join."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
+    )
+    denom = float(t_total + v_size)
+    logp = F.log2(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+        / F.lit(denom)
+    )
+    return (
+        toks.join(counts, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens_lm"),
+            (-F.sum(logp) / F.count("*").cast("double")).alias("_h"),
+        )
+        .select(
+            id_col,
+            "n_tokens_lm",
+            F.round(F.col("_h"), 6).alias("xent_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("_h")), 6).alias("ppl"),
+        )
+    )
+
+
+def lm_score_frozen(
+    docs: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens_lm, xent_bits, ppl, bucket) under the saved
+    model — per-batch scoring with corpus-stable buckets: every
+    micro-batch of a stream gets the SAME thresholds, so "drop the
+    tail tercile" means the reference's tail, not the batch's."""
+    import json as _json
+    import os as _os
+
+    spark = docs.sparkSession
+    counts = spark.read.parquet(_os.path.join(model_path, "counts"))
+    with open(_os.path.join(model_path, _LM_MODEL_META)) as f:
+        meta = _json.load(f)
+    scored = _score_frozen(
+        docs, counts, meta["t_total"], meta["v_size"], id_col, text_col
+    )
+    return scored.select(
+        id_col,
+        "n_tokens_lm",
+        "xent_bits",
+        "ppl",
+        F.when(F.col("ppl") <= meta["t1"], F.lit("head"))
+        .when(F.col("ppl") <= meta["t2"], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

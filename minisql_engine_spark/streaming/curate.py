@@ -87,3 +87,132 @@ def curate_stream(
     return hash_split(
         deduped, "content_hash", split_fractions, seed=seed
     ).select("doc_id", text_col, "n_ws_tokens", "content_hash", "split")
+
+
+# ---------------------------------------------------------------------------
+# Streaming LLM-curation funnel (r6): quality gate + frozen-LM buckets
+# + durable-index admission per micro-batch
+# ---------------------------------------------------------------------------
+#
+# The foreachBatch twin of the batch curation front end. Stages are
+# either stateless (gate, frozen-model scoring — the CCNet production
+# shape: model + tercile thresholds trained once on a reference
+# corpus, so every micro-batch buckets against the SAME thresholds)
+# or keyed on durable state (dedup-index admission), which is why
+# streaming the corpus in N micro-batches admits exactly the content
+# the one-shot batch run admits (content-for-content pin +
+# replay-admits-nothing + audit-sum equality in
+# tests/test_streaming_curate.py).
+
+from minisql_engine_spark.operators.dedup_index import (  # noqa: E402
+    append_to_index,
+    dedup_against_index,
+)
+from minisql_engine_spark.operators.lm_score import (  # noqa: E402
+    lm_score_frozen,
+)
+from minisql_engine_spark.operators.quality_rules import (  # noqa: E402
+    quality_rule_report,
+)
+
+
+def curate_batch_frozen(
+    docs: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The stateless front of the funnel under the frozen model:
+    quality gate → frozen-LM scoring → tail tercile dropped. Shared
+    verbatim by the one-shot batch path and every micro-batch (the
+    batch≡stream guarantee is this sharing, not a re-implementation).
+    Returns the input columns + (n_tokens_lm, ppl, bucket)."""
+    gated = docs.join(
+        quality_rule_report(docs, id_col, text_col)
+        .filter("passes_all")
+        .select(id_col),
+        id_col,
+    )
+    scored = lm_score_frozen(gated, model_path, id_col, text_col)
+    return gated.join(
+        scored.filter(F.col("bucket") != "tail").select(
+            id_col, "n_tokens_lm", "ppl", "bucket"
+        ),
+        id_col,
+    )
+
+
+def stream_curate_funnel(
+    stream_docs: DataFrame,
+    model_path: str,
+    index_path: str,
+    out_path: str,
+    audit_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start (availableNow) the streaming curation query; returns the
+    StreamingQuery. The index must already exist
+    (``init_dedup_index``, possibly on an empty frame); the frozen
+    model comes from ``save_lm_model``. Audit rows land one-per-
+    micro-batch at ``audit_path``: (batch_id, n_input,
+    n_quality_pass, n_ppl_kept, n_admitted, admitted_tokens)."""
+
+    def curate(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        kept = curate_batch_frozen(
+            batch_df, model_path, id_col, text_col
+        ).persist()
+        survivors = dedup_against_index(
+            kept, index_path, id_col=id_col, text_col=text_col
+        ).persist()
+        try:
+            survivors.write.mode("append").parquet(out_path)
+            # audit stats BEFORE the index append: the survivors
+            # lineage contains the anti-join against the index and
+            # would re-execute to EMPTY once the index has advanced
+            # (the same ordering hazard the Bloom sidecar documents)
+            n_input = batch_df.count()
+            n_quality = (
+                batch_df.join(
+                    quality_rule_report(batch_df, id_col, text_col)
+                    .filter("passes_all")
+                    .select(id_col),
+                    id_col,
+                ).count()
+            )
+            stats = survivors.agg(
+                F.count("*").cast("bigint").alias("n_admitted"),
+                F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
+                .cast("bigint")
+                .alias("admitted_tokens"),
+            ).collect()[0]
+            append_to_index(survivors, index_path)
+            audit = batch_df.sparkSession.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(n_input),
+                        int(n_quality),
+                        int(kept.count()),
+                        int(stats["n_admitted"]),
+                        int(stats["admitted_tokens"]),
+                    )
+                ],
+                "batch_id bigint, n_input bigint, n_quality_pass bigint,"
+                " n_ppl_kept bigint, n_admitted bigint,"
+                " admitted_tokens bigint",
+            )
+            audit.coalesce(1).write.mode("append").parquet(audit_path)
+        finally:
+            survivors.unpersist()
+            kept.unpersist()
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(curate)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
