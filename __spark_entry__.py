@@ -1506,51 +1506,136 @@ def _ivf_refine_ctes(n_iter: int) -> str:
     return ivf_refine_ctes_sql(n_iter)
 
 
-_IVF_ORACLE = (
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
-    + _ivf_refine_ctes(_IVF_REFINE_ITERS)
-    + f", cents AS (SELECT * FROM cents{_IVF_REFINE_ITERS}),"
-    " assign AS (SELECT e.vec_id, c.cell, "
-    + _COS.format(a="e.v", b="c.cv")
-    + " AS sim FROM e CROSS JOIN cents c),"
-    " corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM ("
-    "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
-    "    ORDER BY sim DESC, cell) AS r FROM assign) WHERE r <= 1),"
-    " query_cells AS (SELECT vec_id AS query_id, cell FROM ("
-    "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
-    "    ORDER BY sim DESC, cell) AS r FROM assign"
-    "   WHERE vec_id IN (0,1,2,3,4)) WHERE r <= 2),"
-    " cand AS (SELECT DISTINCT query_id, neighbor_id"
-    "   FROM corpus_cells JOIN query_cells USING (cell)"
-    "   WHERE neighbor_id != query_id),"
-    " scored AS (SELECT query_id, neighbor_id, "
-    + _COS.format(a="q.v", b="n.v")
-    + " AS score FROM cand JOIN e q ON q.vec_id = query_id"
-    "   JOIN e n ON n.vec_id = neighbor_id)"
-    " SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank FROM ("
-    "  SELECT *, row_number() OVER (PARTITION BY query_id"
-    "   ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
-    " WHERE rank <= 10"
-)
+#: r6 operating point from the fair-query recall/latency curve
+#: (tools/ann_curve.py, table in PLANS_r6.md): n_probe=8 lifts fair
+#: recall 0.33 → 0.81 at flat local latency. Queries are ids 100–104
+#: — DISJOINT from the first-ids seed vectors (the r5 correction:
+#: seed-coincident queries inflate recall ~3×).
+_IVF_QIDS = "(100,101,102,103,104)"
+_IVF_N_PROBE = 8
+
+
+def _ivf_oracle(qids: str, n_probe: int, recall_gate: float | None) -> str:
+    """Lloyd-replay IVF oracle, parameterized: shared by
+    `emb_ivf_topk` (fair queries, curve-chosen n_probe, in-row recall
+    gate) and `ivf_index_search` (seeded queries, default n_probe —
+    it proves the on-disk layout, not the operating point)."""
+    head = (
+        "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        + _ivf_refine_ctes(_IVF_REFINE_ITERS)
+        + f", cents AS (SELECT * FROM cents{_IVF_REFINE_ITERS}),"
+        " assign AS MATERIALIZED (SELECT e.vec_id, c.cell, "
+        + _COS.format(a="e.v", b="c.cv")
+        + " AS sim FROM e CROSS JOIN cents c),"
+        " corpus_cells AS (SELECT vec_id AS neighbor_id, cell FROM ("
+        "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+        "    ORDER BY sim DESC, cell) AS r FROM assign) WHERE r <= 1),"
+        " query_cells AS (SELECT vec_id AS query_id, cell FROM ("
+        "   SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+        "    ORDER BY sim DESC, cell) AS r FROM assign"
+        f"   WHERE vec_id IN {qids}) WHERE r <= {n_probe}),"
+        " cand AS (SELECT DISTINCT query_id, neighbor_id"
+        "   FROM corpus_cells JOIN query_cells USING (cell)"
+        "   WHERE neighbor_id != query_id),"
+        " scored AS (SELECT query_id, neighbor_id, "
+        + _COS.format(a="q.v", b="n.v")
+        + " AS score FROM cand JOIN e q ON q.vec_id = query_id"
+        "   JOIN e n ON n.vec_id = neighbor_id)"
+    )
+    if recall_gate is None:
+        return (
+            head
+            + " SELECT query_id, neighbor_id, score,"
+            " CAST(rank AS BIGINT) AS rank FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
+            " WHERE rank <= 10"
+        )
+    return (
+        head
+        + ", ann AS MATERIALIZED (SELECT query_id, neighbor_id, score, rank FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY score DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 10),"
+        # recall gate replayed too: brute-force cosine truth + overlap@10
+        " bscored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        + _COS.format(a="q.qv", b="e.v")
+        + "  AS score FROM e CROSS JOIN (SELECT vec_id AS query_id,"
+        f"    v AS qv FROM e WHERE vec_id IN {qids}) q"
+        "   WHERE e.vec_id != q.query_id),"
+        " brute AS (SELECT query_id, neighbor_id FROM (SELECT *,"
+        "   row_number() OVER (PARTITION BY query_id"
+        "    ORDER BY score DESC, neighbor_id) AS r FROM bscored)"
+        "  WHERE r <= 10),"
+        " rec AS (SELECT b.query_id,"
+        "   round(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "    / CAST(count(*) AS DOUBLE), 2) AS recall"
+        "  FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
+        "   AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)"
+        " SELECT ann.query_id, ann.neighbor_id, ann.score,"
+        "  CAST(ann.rank AS BIGINT) AS rank, rec.recall"
+        " FROM ann JOIN rec ON rec.query_id = ann.query_id"
+        f" WHERE rec.recall >= {recall_gate}"
+    )
+
+
+_IVF_ORACLE = _ivf_oracle(_IVF_QIDS, _IVF_N_PROBE, 0.6)
 
 
 @_register("emb_ivf_topk", _IVF_ORACLE)
 def q_emb_ivf(spark, sf_dir):
     """IVF-Flat ANN top-k (§2.4 scale path #2): inverted-file cells
     with k-means-refined centroids (2 Lloyd steps from deterministic
-    seeds, decimal-exact means), n_probe=2, exact re-rank — the whole
-    index INCLUDING the refinement iterations is SQL-expressible, so
-    unlike most ANN systems this one is oracle-verified end-to-end
-    (seeding, k-means, cells, probing, ranking)."""
-    from minisql_engine_spark.operators.similarity import ivf_topk
-
-    out = ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2, 3, 4],
-        k=10,
-        refine_iters=2,
+    seeds, decimal-exact means), exact re-rank — the whole index
+    INCLUDING the refinement iterations is SQL-expressible, so unlike
+    most ANN systems this one is oracle-verified end-to-end (seeding,
+    k-means, cells, probing, ranking). r6: runs at the curve-chosen
+    operating point (n_probe=8 — fair recall 0.33→0.81, table in
+    PLANS_r6.md) on FAIR queries (ids 100–104, disjoint from the
+    first-ids seeds), and each query's rows carry its recall vs the
+    brute-force top-10 with a ≥0.6 in-row gate, oracle-replayed — a
+    recall regression drops that query's rows from the driver's
+    recorded count."""
+    from minisql_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
     )
-    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [100, 101, 102, 103, 104]
+    ann = ivf_topk(
+        emb, query_ids=qids, k=10, n_probe=_IVF_N_PROBE, refine_iters=2
+    )
+    brute = brute_force_topk(emb, query_ids=qids, k=10)
+    found = brute.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(
+            found.groupBy("query_id").agg(F.count("*").alias("n_found")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 2
+            ).alias("recall"),
+        )
+    )
+    return ann.join(
+        F.broadcast(per_q.filter(F.col("recall") >= 0.6)), "query_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.col("rank").cast("bigint").alias("rank"),
+        "recall",
+    )
 
 
 @_register(
@@ -2593,7 +2678,7 @@ def _redaction_oracle() -> str:
 _ORACLES["pii_redaction"] = _redaction_oracle()
 
 
-@_register("ivf_index_search", _IVF_ORACLE)
+@_register("ivf_index_search", _ivf_oracle("(0,1,2,3,4)", 2, None))
 def q_ivf_index_search(spark, sf_dir):
     """Search of the PERSISTED cell-partitioned IVF index (§2.4 scale
     path #3): the index is written as one parquet directory per cell,
