@@ -200,7 +200,7 @@ def main() -> None:
     # cores and every number inflates.
     import random as _random
 
-    ADAPTIVE_EXTRA = 2
+    ADAPTIVE_EXTRA = 3
     rng = _random.Random(0xB6)
 
     def _sample(name: str) -> float:
@@ -218,22 +218,30 @@ def main() -> None:
         rng.shuffle(order)
         for name in order:
             samples[name].append(_sample(name))
+    # adaptive criterion targets MIN-stability (what the report uses):
+    # resample until the two smallest samples agree within 10% — one
+    # outlier sample can never be the reported number, and a run's min
+    # is reproducible run-to-run instead of being a coin flip on which
+    # run caught the quiet window (max-based spread kept resampling
+    # queries whose min was already solid)
+    def _best_two_gap(s: list[float]) -> float:
+        if len(s) < 2:
+            return float("inf")  # force a second sample (1-round runs)
+        lo = sorted(s)[:2]
+        return (lo[1] - lo[0]) / lo[0] if lo[0] > 0 else 0.0
+
     for name in names:
         s = samples[name]
         extra = 0
-        while (
-            min(s) > 0
-            and (max(s) - min(s)) / min(s) > 0.15
-            and extra < ADAPTIVE_EXTRA
-        ):
+        while _best_two_gap(s) > 0.10 and extra < ADAPTIVE_EXTRA:
             s.append(_sample(name))
             extra += 1
 
     timings = {n: round(min(samples[n]), 4) for n in names}
-    # harness health: median over queries of (max−min)/min of each
-    # query's two best samples — repeat runs should agree ~10%
+    # harness health: median over queries of the best-two-sample gap —
+    # repeat runs of an unchanged query should agree ~10%
     spreads = sorted(
-        (sorted(s)[1] - sorted(s)[0]) / sorted(s)[0]
+        _best_two_gap(s)
         for s in samples.values()
         if len(s) >= 2 and min(s) > 0
     )

@@ -247,3 +247,83 @@ def test_train_max_vocab_guard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="max_vocab"):
         bpe_train(bpe_word_counts(docs), 4, max_vocab=10)
+
+
+def test_apply_trie_equals_chained_replace(spark, sf_dir):
+    """bpe_apply_trie must produce the IDENTICAL tokenization as the
+    chained-replace bpe_apply on a trained merge table — per doc,
+    token for token."""
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges_df = bpe_train(bpe_word_counts(docs), 48)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    a = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    b = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply_trie(docs, merges)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert a == b
+
+
+def test_apply_trie_edge_semantics(spark):
+    """Hand-built merge lists exercise the sequential-sweep edge
+    cases: overlap greediness, sentinel stripping, and a later merge
+    re-creating an EARLIER pair (which the sequential spec ignores —
+    its sweep pass is over)."""
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+
+    docs = spark.createDataFrame(
+        [(1, f"aaaa aaa ab{SEP}ab abab xyx")],
+        "doc_id bigint, text string",
+    )
+    for merges in (
+        [("a", "a")],
+        [("a", "b"), ("ab", "ab")],
+        # merge 2 creates 'xy'+'x' adjacency only AFTER merge 1; and
+        # ("x","y") firing again post-merge-2 would need a new sweep
+        [("x", "y"), ("xy", "x")],
+    ):
+        a = bpe_apply(docs, merges).select("bpe_tokens").first()[0]
+        b = bpe_apply_trie(docs, merges).select("bpe_tokens").first()[0]
+        assert a == b, (merges, a, b)
+
+
+def test_apply_trie_at_production_merge_count(spark):
+    """2,000 merges apply through ONE mapInPandas — the plan the
+    chained-replace path cannot build (2,000-deep expression tree).
+    Token counts stay positive and words with no applicable merge
+    pass through as characters."""
+    import hashlib
+    import time
+
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+
+    words = [
+        hashlib.md5(f"w{i}".encode()).hexdigest() for i in range(4000)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 8 : (i + 1) * 8])) for i in range(500)],
+        "doc_id bigint, text string",
+    )
+    merges_df = bpe_train(bpe_word_counts(docs), 2000)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    assert len(merges) == 2000
+    t0 = time.monotonic()
+    out = bpe_apply_trie(docs, merges)
+    n_docs = out.filter(F.size("bpe_tokens") > 0).count()
+    took = time.monotonic() - t0
+    assert n_docs == 500
+    assert took < 120, f"trie apply took {took:.1f}s"
+    # merges actually fired: total tokens < total chars
+    total = out.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0]
+    assert total < 500 * 8 * 32
