@@ -437,3 +437,189 @@ def avi_frame_extractor(payload: bytes, i: int, n: int) -> bytes:
         return b""
     pick = min((i * len(frames)) // n, len(frames) - 1)
     return frames[pick].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate detection
+# ---------------------------------------------------------------------------
+#
+# The image-modality member of the dedup family: byte-identical images
+# are caught by the exact content-hash index, but re-encoded / resized
+# / slightly-edited copies need a PERCEPTUAL key. dHash (difference
+# hash) is the standard cheap one: downsample to 8x9 grayscale by
+# area means, compare horizontally adjacent cells -> 64 bits; small
+# edits flip few bits, so near-duplicates are pairs within a Hamming
+# radius. Candidate generation reuses the SimHash playbook: split the
+# 64-bit key into 4 sixteen-bit bands — two hashes within Hamming 3
+# MUST agree on at least one band (pigeonhole), so the bucket join is
+# exhaustive at the default radius, never pairwise. Decoding runs in
+# Arrow batches (mapInPandas); the decoder slot accepts any
+# bytes -> uint8-array callable (Pillow images, the stdlib AVI frame
+# decoder, or the deterministic md5 fake for oracle-able tests).
+
+
+def _gray_resize_mean(a, out_h: int, out_w: int):
+    """Grayscale + area-mean downsample to (out_h, out_w) with
+    deterministic integer bucket boundaries (floor(i*H/out_h)) — no
+    interpolation library, bit-stable everywhere."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    if h < out_h or w < out_w:
+        reps = (out_h + h - 1) // h, (out_w + w - 1) // w
+        a = np.tile(a, reps)
+        h, w = a.shape
+    rb = [(i * h) // out_h for i in range(out_h + 1)]
+    cb = [(j * w) // out_w for j in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[i, j] = a[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].mean()
+    return out
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash of an H×W[×C] uint8 array: 8×9 area
+    means, bit (r, c) = cell (r, c+1) > cell (r, c), row-major LSB
+    first. Pure numpy, deterministic."""
+    g = _gray_resize_mean(arr, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v
+
+
+def _fake_image_array(payload: bytes):
+    """Deterministic stand-in decoder for the 16-byte md5 payloads:
+    cycle the bytes into a 16×16 grayscale array. Replay-exact, so
+    tests can recompute expected hashes locally."""
+    import numpy as np
+
+    if not payload:
+        payload = b"\x00"
+    reps = (256 + len(payload) - 1) // len(payload)
+    buf = (bytes(payload) * reps)[:256]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(16, 16)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_col: str = "dhash",
+    decoder: "object" = None,
+) -> DataFrame:
+    """(id, dhash BIGINT) over a binary image column, decoded and
+    hashed in Arrow batches. ``decoder`` is any bytes → uint8-array
+    callable (default: the deterministic fake — inject
+    :func:`decode_image` for Pillow-decoded real images or a frame of
+    :func:`decode_video` for video keyframes)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dec = decoder or _fake_image_array
+    src_id, src_pay = id_col, payload_col
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(out_col, LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[src_id].astype("int64"),
+                    out_col: [
+                        # arithmetic stays in Python ints; numpy would
+                        # overflow at bit 63 — stored as signed via
+                        # two's complement into LongType
+                        _signed64(dhash64(dec(bytes(p))))
+                        for p in pdf[src_pay]
+                    ],
+                }
+            )
+            yield out
+
+    return df.select(src_id, src_pay).mapInPandas(run, schema)
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_near_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    decoder: "object" = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of perceptually-near images —
+    id_a < id_b, Hamming(dHash) ≤ ``max_hamming``. Candidates come
+    from a 4-band bucket join (16 bits per band): within the default
+    radius 3 the banding is EXHAUSTIVE by pigeonhole; radius > 3 still
+    runs but emits a recall warning like the SimHash operator."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"max_hamming={max_hamming} exceeds the 4-band guarantee"
+            " (radius 3): pairs differing in >3 bits are found only"
+            " if they still share a band",
+            stacklevel=2,
+        )
+    hashes = image_dhash(df, payload_col, id_col, "dhash", decoder)
+    bands = hashes.select(
+        F.col(id_col),
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("dhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "dhash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("dhash").alias("h_a"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("dhash").alias("h_b"),
+        "band",
+        "key",
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,197 @@
+"""Unicode normalization (NFC oracle parity, NFKC folding, control
+stripping, dedup composition) and perceptual image hashing (dHash
+determinism, banding exhaustiveness, near-dup pairs vs a local
+brute-force reference)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.normalize import (
+    normalize_text,
+    normalize_text_sql,
+)
+
+COMPOSED = "café"            # é as one codepoint
+DECOMPOSED = "café"         # e + combining acute
+
+
+def test_nfc_matches_duckdb_oracle(spark):
+    rows = [
+        (1, COMPOSED),
+        (2, DECOMPOSED),
+        (3, "plain ascii"),
+        (4, None),
+        (5, "ﬁnal Ａ mix"),   # ﬁ ligature + fullwidth A (NFC keeps)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(df, form="NFC")
+        .select("doc_id", "text_norm")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            normalize_text_sql("t")
+        ).fetchall()
+    )
+    assert got == want
+    assert got[1] == got[2] == COMPOSED  # NFC composes
+
+
+def test_nfkc_folds_compatibility_forms(spark):
+    df = spark.createDataFrame(
+        [(1, "ﬁne ＡＢ"), (2, "①")],  # ﬁ, ＡＢ, ①
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(df, form="NFKC").collect()
+    }
+    assert got[1] == "fine AB"
+    assert got[2] == "1"
+
+
+def test_strip_controls_removes_invisibles(spark):
+    df = spark.createDataFrame(
+        [(1, "a\u200bb\u00adc\x01d keep\ttab\nline")],
+        "doc_id bigint, text string",
+    )
+    got = normalize_text(df, strip_controls=True).first()["text_norm"]
+    assert got == "abcd keep\ttab\nline"
+
+
+def test_invalid_form_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(df, form="NFX")
+
+
+def test_normalization_unfragments_dedup(spark):
+    """The motivating property: composed and decomposed spellings of
+    the same text are DIFFERENT contents to the exact-dedup hash
+    until normalization runs first."""
+    from minisql_engine_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, COMPOSED), (2, DECOMPOSED)], "doc_id bigint, text string"
+    )
+    assert exact_dedup(df).count() == 2  # fragmented without NFC
+    normed = normalize_text(df, out_col="text2").select(
+        "doc_id", F.col("text2").alias("text")
+    )
+    assert exact_dedup(normed).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# dHash + image near-dups
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_deterministic_and_gradient():
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import dhash64
+
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    assert dhash64(a) == dhash64(a.copy())
+    # strictly increasing columns → every horizontal comparison true
+    grad = np.tile(np.arange(9, dtype=np.uint8) * 20, (8, 1))
+    assert dhash64(grad) == (1 << 64) - 1
+    # strictly decreasing → no bit set
+    assert dhash64(grad[:, ::-1].copy()) == 0
+    # RGB input collapses to grayscale (same hash as its mean plane)
+    rgb = np.stack([a, a, a], axis=2)
+    assert dhash64(rgb) == dhash64(a)
+
+
+def test_dhash_small_edit_small_distance():
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import dhash64
+
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    b = a.copy()
+    b[0, 0] = 255
+    d = bin(dhash64(a) ^ dhash64(b)).count("1")
+    assert d <= 3
+
+
+def test_image_near_dups_matches_brute_force(spark):
+    """Distributed pairs == local brute force with the same decoder
+    and hash over the same payloads (the pytest-oracle tier the
+    multimodal family documents)."""
+    from minisql_engine_spark.operators.multimodal import (
+        _fake_image_array,
+        dhash64,
+        image_near_dups,
+        synthesize_payloads,
+    )
+
+    base = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    pay = synthesize_payloads(base).select("doc_id", "payload")
+    # plant exact perceptual duplicates under new ids (same payload)
+    dups = pay.filter(F.col("doc_id") < 6).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "payload"
+    )
+    all_pay = pay.unionByName(dups)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dups(all_pay, max_hamming=3).collect()
+    }
+    rows = all_pay.collect()
+    hashes = {
+        r["doc_id"]: dhash64(_fake_image_array(bytes(r["payload"])))
+        for r in rows
+    }
+    want = set()
+    ids = sorted(hashes)
+    for i, ai in enumerate(ids):
+        for bi in ids[i + 1 :]:
+            d = bin(hashes[ai] ^ hashes[bi]).count("1")
+            if d <= 3:
+                want.add((ai, bi, d))
+    assert got == want
+    # the planted exact duplicates are all found at hamming 0
+    assert all((i, i + 1000, 0) in got for i in range(6))
+
+
+def test_image_dhash_real_frame_decoder(spark):
+    """The decoder slot composes with the REAL stdlib AVI frame
+    decoder: hash a video's first frame through the distributed path
+    and match the local computation."""
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import (
+        dhash64,
+        decode_video,
+        image_dhash,
+    )
+    from tests.test_extensions2 import _build_test_avi
+
+    w, h = 16, 8
+    f0 = (np.arange(h * w * 3, dtype=np.uint32) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    payload = _build_test_avi([f0], w, h)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+
+    def first_frame(p: bytes):
+        return decode_video(p)[0]
+
+    got = image_dhash(df, decoder=first_frame).first()["dhash"]
+    want = dhash64(decode_video(payload)[0])
+    want_signed = want - (1 << 64) if want >= 1 << 63 else want
+    assert got == want_signed
