@@ -485,3 +485,67 @@ def test_editsim_variant_table_reused_from_cache(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2
     finally:
         clear_editsim_cache()
+
+
+def test_pergroup_hll_partial_agg_no_sort(spark, sf_dir):
+    """Per-group HLL sketch: hash aggregate with map-side partial max
+    per (group, register), no sort-based agg — the state relation is
+    O(groups · m), built in one shuffle."""
+    from minisql_engine_spark.operators.sketch import hll_group_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(
+        hll_group_sketch(ev, "event_type", F.col("user_id").cast("string"))
+    )
+    assert "partial_max" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_weighted_sample_takeordered_no_global_sort(spark, sf_dir):
+    """Weighted sampling: sequence-explode is map-side, the per-id
+    min-hash aggregate carries partials, and the final top-k is
+    TakeOrderedAndProject — never a full sort materialization of the
+    corpus."""
+    from minisql_engine_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("n_chars") % 5 + 1).cast("bigint")
+    )
+    plan = plan_of(weighted_sample(docs, 40, "w"))
+    assert "TakeOrderedAndProject" in plan
+    # the min-hash aggregate is SORT-based (min over a variable-length
+    # string cannot live in a hash-agg buffer — engine constraint, not
+    # a regression) but its PARTIAL runs map-side, so the shuffle
+    # carries one (id, min-hash) row per doc, never the Σw exploded
+    # rows — that reduction is the gate
+    assert "partial_min" in plan
+
+
+def test_psi_drift_tiny_aggregates_broadcast_totals(spark, sf_dir):
+    """PSI: each cohort reduces to a ≤ n_buckets+2-row bucket table
+    (map-side partial counts), and the totals join is a broadcast —
+    no corpus-sized shuffle anywhere."""
+    from minisql_engine_spark.operators.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(
+        psi_drift(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            "value",
+            0.0,
+            640.0,
+        )
+    )
+    assert "partial_count" in plan
+    # totals ride a broadcast; the bucket full-outer join is the one
+    # SMJ Spark requires for FullOuter — fine, because every exchange
+    # in the plan moves BUCKET rows (≤ n_buckets+2 per side), which
+    # the partitioning keys prove: only 'bucket' is ever shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    keys = set(re.findall(r"hashpartitioning\((\w+)", plan))
+    # '_groupingexpression' is Catalyst's alias for the inline bucket
+    # CASE expression — same key, pre-projection
+    assert keys <= {"bucket", "_groupingexpression"}, keys
