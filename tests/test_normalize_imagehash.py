@@ -195,3 +195,120 @@ def test_image_dhash_real_frame_decoder(spark):
     want = dhash64(decode_video(payload)[0])
     want_signed = want - (1 << 64) if want >= 1 << 63 else want
     assert got == want_signed
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint + near-dups
+# ---------------------------------------------------------------------------
+
+
+def _sine_wav_samples(freqs, n=4096, rate=8000, amp=8000, noise=0):
+    """Deterministic int16 mono harmonic mixture (1/k amplitude
+    rolloff — broadband like real audio, so every band carries
+    energy) + optional seeded noise, as an (n, 1) array."""
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = sum(
+        (1.0 / (i + 1)) * np.sin(2 * np.pi * f * t)
+        for i, f in enumerate(freqs)
+    ) * (amp / 2)
+    if noise:
+        rng = np.random.RandomState(7)
+        x = x + rng.normal(0, noise, n)
+    return np.clip(x, -32768, 32767).astype("int16").reshape(-1, 1)
+
+RICH = [90, 200, 330, 470, 650, 900, 1300, 1900, 2600, 3300]
+OTHER = [130, 260, 410, 560, 780, 1100, 1600, 2200, 2900, 3600]
+
+
+def test_audio_fingerprint_invariances():
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    a = _sine_wav_samples(RICH)
+    fp = audio_fingerprint(a)
+    assert len(fp) == 4096 // 256 - 1  # first frame skipped
+    assert all(0 <= v < 1 << 16 for v in fp)
+    # deterministic
+    assert fp == audio_fingerprint(a.copy())
+    # volume-near-invariant: halving amplitude (with int16
+    # re-quantization — exact scaling is exactly invariant) flips at
+    # most a stray tie bit
+    half = audio_fingerprint((a * 0.5).astype("int16"))
+    ber_half = sum(
+        bin(x ^ y).count("1") for x, y in zip(fp, half)
+    ) / (len(fp) * 16)
+    assert ber_half < 0.02
+    # mild noise flips few bits per frame
+    noisy = _sine_wav_samples(RICH, noise=50)
+    fpn = audio_fingerprint(noisy)
+    ber = sum(bin(x ^ y).count("1") for x, y in zip(fp, fpn)) / (
+        len(fp) * 16
+    )
+    assert ber < 0.25
+    # a different recording is far away
+    other = audio_fingerprint(_sine_wav_samples(OTHER))
+    ber2 = sum(bin(x ^ y).count("1") for x, y in zip(fp, other)) / (
+        len(fp) * 16
+    )
+    assert ber2 > ber
+
+
+def test_audio_near_dups_finds_noisy_copy_not_stranger(spark):
+    from minisql_engine_spark.operators.multimodal import (
+        audio_near_dups,
+        decode_audio,
+    )
+    import io
+    import wave as _wave
+
+    def wav_bytes(samples):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    clean = _sine_wav_samples(RICH)
+    noisy = _sine_wav_samples(RICH, noise=50)
+    stranger = _sine_wav_samples(OTHER)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes(clean))),
+            (2, bytearray(wav_bytes(noisy))),
+            (3, bytearray(wav_bytes(stranger))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["ber"]
+        for r in audio_near_dups(df, decoder=decode_audio).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] < 0.25
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprints_distributed_match_local(spark):
+    """The Arrow path equals the local computation payload for
+    payload (fake decoder, md5 payloads)."""
+    from minisql_engine_spark.operators.multimodal import (
+        _fake_audio_array,
+        audio_fingerprint,
+        audio_fingerprints,
+        synthesize_payloads,
+    )
+
+    base = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    pay = synthesize_payloads(base).select("doc_id", "payload")
+    got = {}
+    for r in audio_fingerprints(pay).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["fp"]
+    for r in pay.collect():
+        want = audio_fingerprint(_fake_audio_array(bytes(r["payload"])))
+        assert [got[r["doc_id"]][i] for i in range(len(want))] == want
