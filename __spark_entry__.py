@@ -3867,6 +3867,97 @@ def q_delete_range_pruned(spark, sf_dir):
     return read_snapshot(spark, path)
 
 
+_NFC_DECOMP = "café "   # e + combining acute
+_NFC_COMP = "café "      # precomposed é
+
+
+@_register(
+    "normalize_nfc",
+    "SELECT doc_id, nfc_normalize(CASE WHEN doc_id % 2 = 0"
+    f" THEN '{_NFC_DECOMP}' ELSE '{_NFC_COMP}' END"
+    " || substr(text, 1, 40)) AS text_norm FROM documents",
+)
+def q_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization (operators/normalize.py, r6): the
+    zeroth step of multilingual curation — composed and decomposed
+    spellings of the same text must hash identically before any
+    dedup decision. Half the docs get a DECOMPOSED prefix (e +
+    combining acute), half the PRECOMPOSED form; after NFC both
+    halves carry the identical prefix, and the oracle (DuckDB's
+    nfc_normalize — an independent implementation of the same
+    Unicode normalization) must agree byte-for-byte on every row.
+    Python only as an Arrow mapInPandas batch (Spark has no built-in
+    Unicode normalization)."""
+    from minisql_engine_spark.operators.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(_NFC_DECOMP)
+            ).otherwise(F.lit(_NFC_COMP)),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return normalize_text(mixed).select("doc_id", "text_norm")
+
+
+def _scd2_oracle() -> str:
+    from minisql_engine_spark.sources.scd2 import scd2_apply_sql
+
+    apply_sql = scd2_apply_sql(
+        "base", "upd", "k", ["name", "region"], 100
+    )
+    return apply_sql.replace(
+        "WITH ",
+        "WITH base AS (SELECT n_nationkey AS k, n_name AS name,"
+        " n_regionkey AS region, CAST(10 AS BIGINT) AS valid_from,"
+        " CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current"
+        " FROM nation),"
+        " upd AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'RENAMED',"
+        "  CAST(0 AS BIGINT)), (1, 'ARGENTINA', 99),"
+        "  (900, 'ATLANTIS', 4)) t(k, name, region)), ",
+        1,
+    )
+
+
+@_register("scd2_dimension", _scd2_oracle())
+def q_scd2_dimension(spark, sf_dir):
+    """SCD Type-2 dimension maintenance (sources/scd2.py, r6): the
+    nation dimension commits at business time 10, then one change
+    batch at time 100 renames key 0, moves key 1 to a new region, and
+    inserts key 900 — the apply closes the two changed current rows
+    (valid_to=100) and opens three new ones, leaving every other row
+    untouched. The oracle replays the apply itself (identical
+    null-safe IS DISTINCT FROM change detection) over the same
+    literal batch; the returned table is the full bi-temporal
+    dimension after the apply."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.scd2 import scd2_apply, scd2_init
+    from minisql_engine_spark.sources.snapshots import read_snapshot
+
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    )
+    tag = hashlib.md5(("scd2" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_scd2_{tag}")
+    # rebuilt every call — the init→apply cycle IS the operator
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_init(dim, path, "k", ts=10)
+    upd = spark.createDataFrame(
+        [(0, "RENAMED", 0), (1, "ARGENTINA", 99), (900, "ATLANTIS", 4)],
+        "k bigint, name string, region bigint",
+    )
+    scd2_apply(spark, path, upd, "k", ts=100)
+    return read_snapshot(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -3994,12 +4085,24 @@ _ARCHIVED: frozenset[str] = frozenset(
         "asof_join_events",
         "udtf_chunk_documents",
         "dedup_ngram_jaccard",
+        # twenty-fifth (r6 second wave) — room for normalize_nfc +
+        # scd2_dimension. pipeline_curation's composition role is
+        # carried by llm_curation_funnel (richer, five-stage) and the
+        # streaming funnel; bucketed_join_zero_shuffle's zero-Exchange
+        # contract is now ALSO plan-gated by the bucketed dedup-index
+        # admission tests (test_dedup_index.py), so the bucketing
+        # family keeps live enforcement without a driver slot.
+        "pipeline_curation",
+        "bucketed_join_zero_shuffle",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r6 second wave — brand new operators, never driver-checked
+    "normalize_nfc",
+    "scd2_dimension",
     # r6 rotation — first driver rows for these (previously
     # pytest-oracle only)
     "pergroup_hll",

@@ -109,6 +109,9 @@ HEADLINE = (
     "weighted_sample",
     "psi_drift",
     "delete_range_pruned",
+    # r6 second wave: Unicode normalization + SCD2 dimension cycle
+    "normalize_nfc",
+    "scd2_dimension",
 )
 
 
