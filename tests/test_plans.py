@@ -236,7 +236,8 @@ def test_curation_is_single_scan_filters_before_agg(spark, sf_dir):
     hashed."""
     import re
 
-    q = entrymod.queries()["pipeline_curation"]
+    # archived from the driver window in r6 — plan gate stays
+    q = entrymod.archived_queries()["pipeline_curation"]
     plan = plan_of(q(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
     # the quality/lang filter must sit between scan and the first
