@@ -47,21 +47,9 @@ def _rows(df):
 
 def test_change_close_insert_and_as_of(spark, dim):
     base, path = dim
-    # ts=100: rename key 0, move key 1 to a new region, add key 900
-    upd = spark.createDataFrame(
-        [
-            (0, "RENAMED", 0),
-            (1, "ARGENTINA", 9),
-            (900, "ATLANTIS", 4),
-        ],
-        "k bigint, name string, region bigint",
-    )
-    # align attr values with the base row for key 0's region / key 1's
-    # name so only the intended fields differ
-    upd = upd.withColumn(
-        "region",
-        F.when(F.col("k") == 0, F.lit(0)).otherwise(F.col("region")),
-    )
+    # ts=100: rename key 0, move key 1 to a new region, add key 900 —
+    # non-targeted attributes copy the base row so only the intended
+    # field differs per key
     b0 = {r["k"]: (r["name"], r["region"]) for r in base.collect()}
     upd = spark.createDataFrame(
         [
@@ -181,3 +169,33 @@ def test_null_attr_change_detected_null_safely(spark, dim):
     v = scd2_apply(spark, path, to_null, "k", ts=200)
     full = read_snapshot(spark, path, v)
     assert full.filter((F.col("k") == 0) & ~F.col("is_current")).count() == 1
+
+
+def test_fact_enrichment_asof_event_time(spark, dim):
+    """The point of SCD2: each fact row joins the dimension version
+    valid AT ITS OWN timestamp. Facts before the change see old
+    attributes, facts after see new ones — one range-predicate join,
+    verified row by row against the change timeline."""
+    base, path = dim
+    b0 = {r["k"]: r["name"] for r in base.collect()}
+    upd = spark.createDataFrame(
+        [(0, "RENAMED", 0)], "k bigint, name string, region bigint"
+    )
+    scd2_apply(spark, path, upd, "k", ts=100)
+
+    facts = spark.createDataFrame(
+        [(1, 0, 50), (2, 0, 100), (3, 0, 150), (4, 5, 70)],
+        "fact_id bigint, k bigint, ts bigint",
+    )
+    d = read_snapshot(spark, path)
+    enriched = facts.join(
+        d,
+        (facts["k"] == d["k"])
+        & (d["valid_from"] <= facts["ts"])
+        & (d["valid_to"].isNull() | (d["valid_to"] > facts["ts"])),
+    ).select("fact_id", "name")
+    got = {r["fact_id"]: r["name"] for r in enriched.collect()}
+    # interval semantics are half-open [from, to): ts=100 sees the NEW row
+    assert got == {1: b0[0], 2: "RENAMED", 3: "RENAMED", 4: b0[5]}
+    # exactly one dimension row matched per fact (intervals partition time)
+    assert enriched.count() == facts.count()
