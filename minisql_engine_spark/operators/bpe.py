@@ -400,14 +400,20 @@ def bpe_apply_sql(
 
 
 def _norm_py(text: str | None) -> str:
-    """Python twin of text._norm_text (lower, trim, collapse ASCII
-    whitespace — Java's default \\s is the ASCII class, hence
-    re.ASCII)."""
+    """Python twin of text._norm_text + _ws_tokens normalization.
+
+    Spark's ``trim`` strips only ASCII space (0x20) and Java's default
+    ``\\s`` is the ASCII class ``[ \\t\\n\\x0B\\f\\r]`` — Python's
+    ``str.strip()`` strips UNICODE whitespace (NBSP, ideographic
+    space, …), which would tokenize ``'foo\\u00a0'`` as ``'foo'``
+    here but ``'foo\\u00a0'`` in the chained path. Hence: collapse
+    with ``re.ASCII`` (whose ``\\s`` is the same five-char class;
+    ``\\v`` == ``\\x0B``) and strip ASCII space only."""
     import re
 
     if text is None:
         return ""
-    return re.sub(r"\s+", " ", text.strip().lower(), flags=re.ASCII)
+    return re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ")
 
 
 def _apply_word_seq(

@@ -534,16 +534,25 @@ def image_dhash(
         import pandas as pd
 
         for pdf in batches:
+            hashes = [
+                # arithmetic stays in Python ints; numpy would
+                # overflow at bit 63 — stored as signed via two's
+                # complement into LongType. NULL payload → NULL hash
+                # (the text operators' rule), not a job-killing
+                # TypeError
+                None
+                if p is None
+                else _signed64(dhash64(dec(bytes(p))))
+                for p in pdf[src_pay]
+            ]
             out = pd.DataFrame(
                 {
                     id_col: pdf[src_id].astype("int64"),
-                    out_col: [
-                        # arithmetic stays in Python ints; numpy would
-                        # overflow at bit 63 — stored as signed via
-                        # two's complement into LongType
-                        _signed64(dhash64(dec(bytes(p))))
-                        for p in pdf[src_pay]
-                    ],
+                    # object dtype: a None would otherwise coerce the
+                    # column to float64 and round 64-bit hashes
+                    out_col: pd.Series(
+                        hashes, dtype="object", index=pdf.index
+                    ),
                 }
             )
             yield out
@@ -731,6 +740,11 @@ def audio_fingerprints(
         for pdf in batches:
             ids, idxs, fps = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    # NULL payload → zero frames (long format's NULL):
+                    # the doc simply never pairs, same as too-short
+                    # audio; a TypeError here would kill the whole job
+                    continue
                 for j, v in enumerate(
                     audio_fingerprint(dec(bytes(p)), frame=frame)
                 ):

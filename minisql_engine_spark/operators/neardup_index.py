@@ -84,6 +84,28 @@ def _est_jaccard(num_hashes: int) -> F.Column:
     return agree.cast("double") / F.lit(float(num_hashes))
 
 
+def _check_bloom_params(
+    meta: dict, num_hashes: int, band_size: int
+) -> None:
+    """A sidecar built under different MinHash/banding parameters
+    computes DIFFERENT band keys — every probe would miss, silently
+    emptying ``batch_keys`` and admitting every near-duplicate (a
+    false-negative path the no-false-negatives contract forbids).
+    Fail loudly instead."""
+    if (
+        meta.get("num_hashes") != num_hashes
+        or meta.get("band_size") != band_size
+    ):
+        raise ValueError(
+            "bloom sidecar parameter mismatch: sidecar has "
+            f"num_hashes={meta.get('num_hashes')} "
+            f"band_size={meta.get('band_size')}, caller passed "
+            f"num_hashes={num_hashes} band_size={band_size}; "
+            "probing with mismatched band keys would silently admit "
+            "near-duplicates — rebuild the sidecar or fix the args"
+        )
+
+
 def neardup_against_index(
     df: DataFrame,
     path: str,
@@ -155,6 +177,7 @@ def neardup_against_index(
             from .dedup_index import _bloom_meta, _bloom_words
 
             meta = _bloom_meta(bloom_path)
+            _check_bloom_params(meta, num_hashes, band_size)
             probed = bloom_probe(
                 batch_keys.select(_band_bloom_key().alias("key")),
                 _bloom_words(spark, bloom_path, meta),
@@ -332,6 +355,15 @@ def append_to_neardup_index_with_bloom(
     )
 
     meta = _bloom_meta(bloom_path)
+    # band_size comes FROM the sidecar meta here; only the caller's
+    # num_hashes can disagree with what the sidecar was built under
+    if meta.get("num_hashes") != num_hashes:
+        raise ValueError(
+            "bloom sidecar parameter mismatch: sidecar has "
+            f"num_hashes={meta.get('num_hashes')}, caller passed "
+            f"{num_hashes}; appending mixed-parameter band keys would "
+            "poison the sidecar — rebuild it or fix the args"
+        )
     spark = admitted.sparkSession
     new_keys = _index_band_keys(
         admitted.filter(F.col("sig_0").isNotNull()).select(

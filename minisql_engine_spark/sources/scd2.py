@@ -57,6 +57,12 @@ def scd2_init(
     """Create the dimension: every row open from ``ts``. ``df`` must
     be one row per key (raises otherwise — a dimension with duplicate
     current keys is corrupt from birth)."""
+    if not _attr_cols(df, key_col):
+        raise ValueError(
+            f"dimension has no attribute columns beyond {key_col!r} — "
+            "an SCD2 dimension tracks attribute history; a key-only "
+            "table has nothing to version"
+        )
     n, d = df.count(), df.select(key_col).distinct().count()
     if n != d:
         raise ValueError(
@@ -88,6 +94,14 @@ def scd2_apply(
         raise FileNotFoundError(f"no dimension at {base_path}")
     base = read_snapshot(spark, base_path, cur_v)
     attrs = _attr_cols(updates, key_col)
+    if not attrs:
+        # scd2_init refuses key-only dimensions, but the snapshot
+        # could have been hand-built; without this a None `differs`
+        # crashes the filter expressions below with a TypeError
+        raise ValueError(
+            "update batch has no attribute columns beyond "
+            f"{key_col!r} — nothing to version"
+        )
     expected = set(_attr_cols(base, key_col))
     if set(attrs) != expected:
         raise ValueError(

@@ -157,58 +157,30 @@ def stream_curate_funnel(
     (``init_dedup_index``, possibly on an empty frame); the frozen
     model comes from ``save_lm_model``. Audit rows land one-per-
     micro-batch at ``audit_path``: (batch_id, n_input,
-    n_quality_pass, n_ppl_kept, n_admitted, admitted_tokens)."""
+    n_quality_pass, n_ppl_kept, n_admitted, admitted_tokens).
+
+    Delivery: foreachBatch is at-least-once — a crash after the
+    output write but before the checkpoint commit re-runs the SAME
+    batch_id. Both sinks are therefore batch_id-keyed partition
+    directories written with overwrite (a retry replaces its own
+    batch's rows, never appends beside them), so output content is
+    exactly-once even though execution is at-least-once. The index
+    append stays idempotent by content (re-presented hashes are
+    already indexed). Readers `spark.read.parquet(out_path)` and see
+    a discovered ``batch_id`` partition column alongside the data
+    columns."""
 
     def curate(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        kept = curate_batch_frozen(
-            batch_df, model_path, id_col, text_col
-        ).persist()
-        survivors = dedup_against_index(
-            kept, index_path, id_col=id_col, text_col=text_col
-        ).persist()
-        try:
-            survivors.write.mode("append").parquet(out_path)
-            # audit stats BEFORE the index append: the survivors
-            # lineage contains the anti-join against the index and
-            # would re-execute to EMPTY once the index has advanced
-            # (the same ordering hazard the Bloom sidecar documents)
-            n_input = batch_df.count()
-            n_quality = (
-                batch_df.join(
-                    quality_rule_report(batch_df, id_col, text_col)
-                    .filter("passes_all")
-                    .select(id_col),
-                    id_col,
-                ).count()
-            )
-            stats = survivors.agg(
-                F.count("*").cast("bigint").alias("n_admitted"),
-                F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
-                .cast("bigint")
-                .alias("admitted_tokens"),
-            ).collect()[0]
-            append_to_index(survivors, index_path)
-            audit = batch_df.sparkSession.createDataFrame(
-                [
-                    (
-                        int(batch_id),
-                        int(n_input),
-                        int(n_quality),
-                        int(kept.count()),
-                        int(stats["n_admitted"]),
-                        int(stats["admitted_tokens"]),
-                    )
-                ],
-                "batch_id bigint, n_input bigint, n_quality_pass bigint,"
-                " n_ppl_kept bigint, n_admitted bigint,"
-                " admitted_tokens bigint",
-            )
-            audit.coalesce(1).write.mode("append").parquet(audit_path)
-        finally:
-            survivors.unpersist()
-            kept.unpersist()
-            batch_df.unpersist()
+        curate_micro_batch(
+            batch_df,
+            batch_id,
+            model_path,
+            index_path,
+            out_path,
+            audit_path,
+            id_col,
+            text_col,
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(curate)
@@ -216,3 +188,91 @@ def stream_curate_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_micro_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    model_path: str,
+    index_path: str,
+    out_path: str,
+    audit_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the funnel — module-level so the retry
+    contract is directly testable. This is exactly what
+    stream_curate_funnel's foreachBatch runs.
+
+    Retry idempotence: the batch's output partition is the DECISION
+    RECORD. On first run the survivors are computed and committed to
+    ``out_path/batch_id=N``; a retry of the same batch_id finds the
+    committed partition and re-reads it instead of recomputing —
+    because after the index append the same computation would yield
+    EMPTY (the index now rejects the batch's own content) and an
+    overwrite would silently erase the batch's output. Downstream
+    steps (index append, audit) derive from the record, so every
+    crash window re-converges: index re-append of the same keys is
+    documented-harmless (existence-only anti-join), and the audit
+    partition overwrite replaces itself."""
+    import os as _os
+
+    batch_df = batch_df.persist()
+    kept = curate_batch_frozen(
+        batch_df, model_path, id_col, text_col
+    ).persist()
+    out_dir = _os.path.join(out_path, f"batch_id={int(batch_id)}")
+    committed = _os.path.exists(_os.path.join(out_dir, "_SUCCESS"))
+    survivors = (
+        batch_df.sparkSession.read.parquet(out_dir)
+        if committed
+        else dedup_against_index(
+            kept, index_path, id_col=id_col, text_col=text_col
+        )
+    ).persist()
+    try:
+        if not committed:
+            survivors.write.mode("overwrite").parquet(out_dir)
+        # audit stats BEFORE the index append: the survivors
+        # lineage contains the anti-join against the index and
+        # would re-execute to EMPTY once the index has advanced
+        # (the same ordering hazard the Bloom sidecar documents)
+        n_input = batch_df.count()
+        n_quality = (
+            batch_df.join(
+                quality_rule_report(batch_df, id_col, text_col)
+                .filter("passes_all")
+                .select(id_col),
+                id_col,
+            ).count()
+        )
+        stats = survivors.agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
+            .cast("bigint")
+            .alias("admitted_tokens"),
+        ).collect()[0]
+        append_to_index(survivors, index_path)
+        # batch_id travels as the partition directory (discovered
+        # on read), not a data column — the overwrite keys on it
+        audit = batch_df.sparkSession.createDataFrame(
+            [
+                (
+                    int(n_input),
+                    int(n_quality),
+                    int(kept.count()),
+                    int(stats["n_admitted"]),
+                    int(stats["admitted_tokens"]),
+                )
+            ],
+            "n_input bigint, n_quality_pass bigint,"
+            " n_ppl_kept bigint, n_admitted bigint,"
+            " admitted_tokens bigint",
+        )
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(audit_path, f"batch_id={int(batch_id)}")
+        )
+    finally:
+        survivors.unpersist()
+        kept.unpersist()
+        batch_df.unpersist()

@@ -296,6 +296,38 @@ def test_apply_trie_edge_semantics(spark):
         assert a == b, (merges, a, b)
 
 
+def test_apply_trie_unicode_whitespace_parity(spark):
+    """Non-ASCII whitespace (NBSP, ideographic space) is NOT
+    whitespace to Spark's trim / Java's \\s — the trie path's Python
+    normalizer must agree byte-for-byte (Python str.strip() would
+    silently strip it; regression guard for that divergence)."""
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+
+    docs = spark.createDataFrame(
+        [
+            (1, "foo "),            # trailing NBSP glued to word
+            (2, " bar"),            # leading NBSP glued to word
+            (3, "a　b c"),           # ideographic space inside
+            (4, " \tmix ed\t "),    # ASCII ws trims, NBSP stays
+            (5, " "),               # NBSP-only doc: one token
+        ],
+        "doc_id bigint, text string",
+    )
+    merges = [("f", "o"), ("fo", "o")]
+    a = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply(docs, merges).collect()
+    }
+    b = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply_trie(docs, merges).collect()
+    }
+    assert a == b, (a, b)
+    # and the divergence the guard exists for: NBSP survives as a
+    # symbol of the word (str.strip() would have deleted it)
+    assert a[1] == ["foo", " "]
+
+
 def test_apply_trie_at_production_merge_count(spark):
     """2,000 merges apply through ONE mapInPandas — the plan the
     chained-replace path cannot build (2,000-deep expression tree).

@@ -113,6 +113,49 @@ def test_threshold_validation(spark, corpus_and_batch, tmp_path):
         neardup_against_index(batch, path, threshold=0.0)
 
 
+def test_neardup_bloom_sidecar_param_mismatch_raises(
+    spark, corpus_and_batch, tmp_path
+):
+    """A sidecar built under different num_hashes/band_size computes
+    different band keys — every probe would miss and near-dups would
+    be silently admitted. Both the probe and the append must refuse
+    a mismatched sidecar loudly."""
+    from minisql_engine_spark.operators.neardup_index import (
+        append_to_neardup_index_with_bloom,
+        init_neardup_bloom_sidecar,
+    )
+
+    corpus, _, batch = corpus_and_batch
+    path = str(tmp_path / "nidx")
+    bloom_path = str(tmp_path / "nidx.bloom")
+    init_neardup_index(corpus, path)
+    init_neardup_bloom_sidecar(spark, path, bloom_path, n_bits=1 << 14)
+
+    with pytest.raises(ValueError, match="mismatch"):
+        neardup_against_index(
+            batch,
+            path,
+            threshold=T,
+            bloom_path=bloom_path,
+            band_size=4,  # sidecar was built at the default (2)
+        )
+    with pytest.raises(ValueError, match="mismatch"):
+        neardup_against_index(
+            batch,
+            path,
+            threshold=T,
+            bloom_path=bloom_path,
+            num_hashes=NUM_HASHES - 2,
+        )
+    admitted = neardup_against_index(
+        batch, path, threshold=T, bloom_path=bloom_path
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        append_to_neardup_index_with_bloom(
+            admitted, path, bloom_path, num_hashes=NUM_HASHES - 2
+        )
+
+
 def test_neardup_bloom_sidecar_identical_admission(
     spark, corpus_and_batch, tmp_path
 ):

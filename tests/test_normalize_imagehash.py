@@ -312,3 +312,51 @@ def test_audio_fingerprints_distributed_match_local(spark):
     for r in pay.collect():
         want = audio_fingerprint(_fake_audio_array(bytes(r["payload"])))
         assert [got[r["doc_id"]][i] for i in range(len(want))] == want
+
+
+def test_null_payloads_pass_through_not_crash(spark):
+    """NULL binary payloads follow the text operators' rule: NULL in,
+    NULL (or zero frames) out — never a batch-killing TypeError. And
+    a NULL row must not perturb its batch-mates' 64-bit hashes
+    (object-dtype guard against float64 coercion)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from minisql_engine_spark.operators.multimodal import (
+        _fake_image_array,
+        audio_fingerprints,
+        dhash64,
+        image_dhash,
+        synthesize_payloads,
+    )
+
+    base = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    pay = synthesize_payloads(base).select("doc_id", "payload")
+    null_row = spark.createDataFrame(
+        [(999, None)],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+    mixed = pay.unionByName(null_row).coalesce(1)  # same Arrow batch
+
+    hashes = {
+        r["doc_id"]: r["dhash"] for r in image_dhash(mixed).collect()
+    }
+    assert hashes[999] is None
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in pay.collect()}
+    for did, p in payloads.items():
+        want = dhash64(_fake_image_array(p))
+        want = want - (1 << 64) if want >= 1 << 63 else want
+        assert hashes[did] == want, f"doc {did} hash perturbed"
+
+    fps = audio_fingerprints(mixed)
+    assert fps.filter(F.col("doc_id") == 999).count() == 0
+    assert fps.filter(F.col("doc_id") != 999).count() > 0

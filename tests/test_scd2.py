@@ -116,6 +116,27 @@ def test_duplicate_keys_rejected(spark, dim):
         )
 
 
+def test_key_only_dimension_rejected(spark, sf_dir, tmp_path):
+    """A dimension with no attribute columns has nothing to version:
+    init refuses it, and apply refuses a key-only update batch
+    (rather than crashing on a None change-predicate)."""
+    base = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k")
+    )
+    path = str(tmp_path / "dim_keyonly")
+    with pytest.raises(ValueError, match="no attribute columns"):
+        scd2_init(base, path, "k", ts=10)
+
+    full = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    path2 = str(tmp_path / "dim_full")
+    scd2_init(full, path2, "k", ts=10)
+    with pytest.raises(ValueError, match="no attribute columns"):
+        scd2_apply(spark, path2, base, "k", ts=20)
+
+
 def test_apply_matches_duckdb_oracle(spark, dim):
     """One apply replays bit-for-bit in SQL: same null-safe change
     detection, same closing/inserting, over the same base version."""

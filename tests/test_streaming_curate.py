@@ -163,3 +163,56 @@ def test_stream_curate_matches_batch(spark, staged_funnel, tmp_path):
         else 0
     )
     assert n_replay == 0
+
+
+def test_micro_batch_retry_replaces_not_appends(
+    spark, staged_funnel, tmp_path
+):
+    """foreachBatch is at-least-once: a crash after the output write
+    but before the checkpoint commit re-runs the SAME batch_id. The
+    sinks are batch_id-keyed overwrites, so the retry REPLACES its
+    own partition — output content stays exactly-once (the ADVICE-r6
+    duplication window)."""
+    from minisql_engine_spark.streaming.curate import curate_micro_batch
+
+    docs, model, seed, drop = staged_funnel
+    index = str(tmp_path / "idx_retry")
+    out = str(tmp_path / "out_retry")
+    audit = str(tmp_path / "audit_retry")
+    init_dedup_index(seed, index)
+
+    batch = spark.read.parquet(drop).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 160)
+    )
+    curate_micro_batch(batch, 0, model, index, out, audit)
+    first = sorted(
+        r["content_hash"]
+        for r in spark.read.parquet(out).select("content_hash").collect()
+    )
+    first_audit = spark.read.parquet(audit).collect()
+    assert first, "first run admitted nothing — fixture broken"
+    assert len(first_audit) == 1
+
+    # the worst retry window: crash AFTER the index append, so the
+    # index already rejects the batch's own content. The committed
+    # output partition is the decision record — the retry re-reads
+    # it, neither duplicating (the pre-fix append bug) nor wiping
+    # (what naive recompute+overwrite would do) the batch's rows.
+    curate_micro_batch(batch, 0, model, index, out, audit)
+    replay = sorted(
+        r["content_hash"]
+        for r in spark.read.parquet(out).select("content_hash").collect()
+    )
+    assert replay == first
+    arows = spark.read.parquet(audit).collect()
+    assert len(arows) == 1
+    assert (
+        arows[0]["n_admitted"] == first_audit[0]["n_admitted"] == len(first)
+    )
+
+    # and the index did not re-admit: a fresh batch of the same
+    # content is fully rejected
+    batch2 = batch.select((F.col("doc_id") + 70000).alias("doc_id"), "text")
+    curate_micro_batch(batch2, 1, model, index, out, audit)
+    again = spark.read.parquet(out).filter("batch_id = 1").count()
+    assert again == 0
