@@ -2815,10 +2815,20 @@ def _mixture_oracle() -> str:
 _ORACLES["mixture_sample"] = _mixture_oracle()
 
 
+#: r7 operating point (the r6-verdict lever pulled): rerank_factor 16
+#: — by the r6 curve the 5→16 jump moves fair recall decisively, and
+#: measured at sf0.01 on FAIR queries (ids 100–104, disjoint from the
+#: first-32-ids codebook seeds — the same seed-coincidence correction
+#: emb_ivf_topk got in r5) per-query recall@10 is 1.0 at flat cost
+#: (4.5 s → 2.3 s locally: the shortlist is re-ranked by one codegen
+#: expression, so a wider shortlist amortizes better than the extra
+#: ADC rank rows cost).
 _PQ_KW = dict(
-    m_sub=16, k_codes=32, n_iter=2, rerank_factor=5,
+    m_sub=16, k_codes=32, n_iter=2, rerank_factor=16,
     train_sample_rate=0.25,
 )
+_PQ_QIDS = [100, 101, 102, 103, 104]
+_PQ_RECALL_GATE = 0.6
 
 
 @_register(
@@ -2833,18 +2843,19 @@ def q_emb_pq_topk(spark, sf_dir):
     recall unchanged, PLANS_r5.md), corpus encoded to 16 small ints
     (16× memory compression — what makes a 100 TB index
     RAM-resident), queries ranked by broadcast ADC table lookups,
-    exact-L2 re-rank of the 5k shortlist (recall@10 0.87 vs exact).
-    Seeding, the training sample, every k-means step, encoding, ADC,
-    and the re-rank are ALL replayed by the oracle — hash-verified
-    end-to-end like emb_ivf_topk, not recall-guarded. Hot path is
-    scalar-column codegen arithmetic (no arrays, no interpreted
-    folds) with self-dots hoisted below the joins."""
-    from minisql_engine_spark.operators.pq import pq_topk
+    exact-L2 re-rank of the 160-deep shortlist. Fair queries +
+    curve-chosen rerank_factor=16 + per-query in-row recall ≥0.6
+    gate (recall@10 = 1.0 at sf0.01), with seeding, training sample,
+    every k-means step, encoding, ADC, re-rank AND the recall gate
+    itself replayed by the oracle. Hot path is scalar-column codegen
+    arithmetic with self-dots hoisted below the joins."""
+    from minisql_engine_spark.operators.pq import pq_topk_gated
 
-    return pq_topk(
+    return pq_topk_gated(
         _t(spark, sf_dir, "embeddings"),
-        query_ids=[0, 1, 2, 3, 4],
+        query_ids=_PQ_QIDS,
         k=10,
+        recall_gate=_PQ_RECALL_GATE,
         **_PQ_KW,
     )
 
@@ -2852,7 +2863,9 @@ def q_emb_pq_topk(spark, sf_dir):
 def _pq_oracle() -> str:
     from minisql_engine_spark.operators.pq import pq_topk_sql
 
-    return pq_topk_sql([0, 1, 2, 3, 4], k=10, **_PQ_KW)
+    return pq_topk_sql(
+        _PQ_QIDS, k=10, recall_gate=_PQ_RECALL_GATE, **_PQ_KW
+    )
 
 
 _ORACLES["emb_pq_topk"] = _pq_oracle()

@@ -420,6 +420,87 @@ def _rank_and_rerank(
     )
 
 
+def pq_topk_gated(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    recall_gate: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pq_kw,
+) -> DataFrame:
+    """:func:`pq_topk` (rerank mode) with the emb_ivf_topk in-row
+    recall contract: each query's rows carry ``recall`` — overlap@k
+    of the PQ result with the exact-L2 brute-force truth — and
+    queries below ``recall_gate`` are dropped entirely, so a recall
+    regression moves the driver's row-count check, not just a log
+    line. The truth scan broadcasts the (tiny) query set against the
+    corpus — one pass, no corpus self-join."""
+    if pq_kw.get("rerank_factor") is None:
+        raise ValueError("recall gating requires rerank_factor")
+    from pyspark.sql.window import Window as _W
+
+    ann = pq_topk(
+        embeddings, query_ids, k, id_col, vec_col, **pq_kw
+    )
+    vecs = embeddings.selectExpr(
+        id_col, as_double_sql(vec_col) + " as _fv"
+    )
+    qv = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_fv", "_qv")
+    )
+    nv = vecs.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed(
+        "_fv", "_nv"
+    )
+    scored = (
+        nv.crossJoin(F.broadcast(qv))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(l2_sql("_qv", "_nv")).alias("_d"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("_d"), F.col("neighbor_id")
+    )
+    brute = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    found = brute.join(
+        ann.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.count("*").alias("_n_true"))
+        .join(
+            found.groupBy("query_id").agg(F.count("*").alias("_n_found")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("_n_found"), F.lit(0))
+                / F.col("_n_true"),
+                2,
+            ).alias("recall"),
+        )
+    )
+    return ann.join(
+        F.broadcast(per_q.filter(F.col("recall") >= recall_gate)),
+        "query_id",
+    ).select(
+        "query_id", "neighbor_id", "adc_dist", "l2_dist", "rank", "recall"
+    )
+
+
 def pq_topk_sql(
     query_ids: list[int],
     k: int = 10,
@@ -432,12 +513,21 @@ def pq_topk_sql(
     n_iter: int = N_ITER,
     train_sample_rate: float = 1.0,
     rerank_factor: int | None = None,
+    recall_gate: float | None = None,
 ) -> str:
     """DuckDB oracle replaying the ENTIRE PQ pipeline of
     :func:`pq_topk` — seeding, training sample, every Lloyd step,
     encoding, ADC (and the re-rank when enabled). The oracle stays in
     list form (``list_dot_product``) — same values through the
-    round-6 absorber, independent engine idioms."""
+    round-6 absorber, independent engine idioms.
+
+    ``recall_gate`` (requires ``rerank_factor``) additionally replays
+    the per-query recall@k vs the exact-L2 brute-force truth and
+    keeps only queries at or above the gate — the emb_ivf_topk
+    pattern: a recall regression drops that query's rows, moving the
+    driver's row-count check."""
+    if recall_gate is not None and rerank_factor is None:
+        raise ValueError("recall_gate requires rerank_factor")
     sub_dim = dims // m_sub
     qlist = ", ".join(str(int(q)) for q in query_ids)
     # hoisted-self-dot pair distance — value-identical to _DUCK_L2
@@ -528,13 +618,45 @@ def pq_topk_sql(
         " AS l2_dist FROM short JOIN e q ON q.vid = query_id"
         " JOIN e n ON n.vid = neighbor_id)",
     ]
-    return (
-        "WITH " + ", ".join(ctes) +
-        " SELECT query_id, neighbor_id, adc_dist, l2_dist,"
-        " CAST(rank AS BIGINT) AS rank FROM ("
+    if recall_gate is None:
+        return (
+            "WITH " + ", ".join(ctes) +
+            " SELECT query_id, neighbor_id, adc_dist, l2_dist,"
+            " CAST(rank AS BIGINT) AS rank FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY query_id"
+            "   ORDER BY l2_dist, neighbor_id) AS rank FROM exact)"
+            f" WHERE rank <= {k}"
+        )
+    bexact = _DUCK_L2.format(a="q.v", b="n.v")
+    ctes += [
+        "ann AS MATERIALIZED (SELECT query_id, neighbor_id, adc_dist,"
+        " l2_dist, CAST(rank AS BIGINT) AS rank FROM ("
         "  SELECT *, row_number() OVER (PARTITION BY query_id"
         "   ORDER BY l2_dist, neighbor_id) AS rank FROM exact)"
-        f" WHERE rank <= {k}"
+        f" WHERE rank <= {k})",
+        # the truth: exact-L2 top-k over the whole corpus (the metric
+        # the re-rank stage optimizes — same rounded identity-form
+        # distance as the re-rank itself)
+        f"bscored AS (SELECT q.vid AS query_id, n.vid AS neighbor_id,"
+        f" {bexact} AS d FROM e n CROSS JOIN"
+        f" (SELECT vid, v FROM e WHERE vid IN ({qlist})) q"
+        " WHERE n.vid != q.vid)",
+        "brute AS (SELECT query_id, neighbor_id FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY query_id"
+        "  ORDER BY d, neighbor_id) AS r FROM bscored)"
+        f" WHERE r <= {k})",
+        "rec AS (SELECT b.query_id,"
+        " round(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "  / CAST(count(*) AS DOUBLE), 2) AS recall"
+        " FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
+        "  AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) +
+        " SELECT ann.query_id, ann.neighbor_id, ann.adc_dist,"
+        " ann.l2_dist, ann.rank, rec.recall"
+        " FROM ann JOIN rec ON rec.query_id = ann.query_id"
+        f" WHERE rec.recall >= {recall_gate}"
     )
 
 

@@ -167,3 +167,39 @@ def test_ivf_pq_bounds_candidates_and_keeps_recall(emb):
     b = plain.groupby("query_id")["neighbor_id"].apply(set).to_dict()
     overlap = sum(len(a.get(q, set()) & b[q]) / len(b[q]) for q in b) / len(b)
     assert overlap >= 0.5, overlap
+
+
+def test_pq_gated_matches_oracle_and_drops_low_recall(emb, duck):
+    """The r7 operating point: pq_topk_gated carries per-query
+    recall@k vs exact-L2 truth in-row and drops gated-out queries;
+    the SQL twin replays the gate. At the shipped operating point
+    (fair queries, rerank 16) recall is 1.0, so an impossible gate
+    must empty the result — both facts pinned."""
+    from minisql_engine_spark.operators.pq import pq_topk_gated
+
+    kw = dict(
+        m_sub=16, k_codes=32, n_iter=2, rerank_factor=16,
+        train_sample_rate=0.25,
+    )
+    qids = [100, 101, 102, 103, 104]
+    out = pq_topk_gated(emb, qids, k=10, recall_gate=0.6, **kw)
+    assert_matches_oracle(
+        out,
+        duck.execute(
+            pq_topk_sql(qids, k=10, recall_gate=0.6, **kw)
+        ).df(),
+        "pq gated rr16",
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(qids)
+    assert all(r["recall"] >= 0.6 for r in rows)
+
+    # gate bites: recall can't exceed 1.0, so a >1.0 gate drops all
+    assert (
+        pq_topk_gated(emb, qids, k=10, recall_gate=1.01, **kw).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="rerank_factor"):
+        pq_topk_gated(emb, qids, k=10, recall_gate=0.6, m_sub=16)
+    with pytest.raises(ValueError, match="rerank_factor"):
+        pq_topk_sql(qids, k=10, recall_gate=0.6, m_sub=16)
