@@ -3071,6 +3071,261 @@ def _llm_funnel_oracle() -> str:
 _ORACLES["llm_curation_funnel"] = _llm_funnel_oracle()
 
 
+@_register(
+    "streaming_curate_funnel",
+    None,  # filled below — composed from the stage SQL twins
+)
+def q_streaming_curate_funnel(spark, sf_dir):
+    """The REAL Structured-Streaming curation funnel
+    (streaming/curate.py) under the driver's gate: a frozen LM is
+    trained once on the reference corpus (save_lm_model — the CCNet
+    production shape), a durable dedup index is seeded, then a
+    3-file crawl drop (two fresh ranges + a file salted with
+    seed-content duplicates) streams through foreachBatch micro-
+    batches — quality gate → frozen-LM tail-drop → index admission,
+    with batch_id-keyed exactly-once output partitions. Returns the
+    admitted corpus (plus the micro-batch count ridden in-row); the
+    oracle replays the whole funnel content-for-content: the quality
+    rules, the frozen model's Laplace arithmetic and terciles
+    (self-scoring ≡ in-corpus, pinned in tests), and the
+    seed-content rejection. Fresh contents are disjoint by
+    construction, so the result is micro-batch-ORDER-independent —
+    what makes a streaming run hash-comparable at all."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.operators.dedup_index import (
+        init_dedup_index,
+    )
+    from minisql_engine_spark.operators.lm_score import save_lm_model
+    from minisql_engine_spark.streaming.curate import (
+        stream_curate_funnel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(("scf" + sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"minisql_scf_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    model = os.path.join(root, "lm")
+    index = os.path.join(root, "idx")
+    drop = os.path.join(root, "drop")
+    out = os.path.join(root, "out")
+    audit = os.path.join(root, "audit")
+    save_lm_model(docs, model)
+    init_dedup_index(docs.filter(F.col("doc_id") < 100), index)
+    i = F.col("doc_id")
+    f1 = docs.filter((i >= 100) & (i < 200))
+    f2 = docs.filter((i >= 300) & (i < 350)).unionByName(
+        docs.filter(i < 10).select((i + 6000).alias("doc_id"), "text")
+    )
+    f3 = docs.filter((i >= 200) & (i < 300))
+    for part in (f1, f2, f3):
+        part.coalesce(1).write.mode("append").parquet(drop)
+    schema = spark.read.parquet(drop).schema
+    q = stream_curate_funnel(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        model,
+        index,
+        out,
+        audit,
+        os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    n_batches = spark.read.parquet(audit).count()
+    return spark.read.parquet(out).select(
+        "doc_id",
+        "content_hash",
+        "n_tokens_lm",
+        F.round("ppl", 6).alias("ppl"),
+        "bucket",
+        F.lit(n_batches).cast("bigint").alias("n_batches"),
+    )
+
+
+def _streaming_funnel_oracle() -> str:
+    from minisql_engine_spark.operators.quality_rules import (
+        quality_rule_report_sql,
+    )
+
+    qr = quality_rule_report_sql("drop_docs")
+    # the report twin as a CTE: strip its WITH, keep the body
+    qr_body = qr[len("WITH") :].replace(
+        " SELECT doc_id,", ", qrep AS (SELECT doc_id,", 1
+    ) + ")"
+    return (
+        "WITH drop_docs AS MATERIALIZED ("
+        " SELECT doc_id, text FROM documents"
+        "  WHERE doc_id >= 100 AND doc_id < 350"
+        " UNION ALL SELECT doc_id + 6000, text FROM documents"
+        "  WHERE doc_id < 10)," + qr_body + ","
+        # frozen model: counts/totals/terciles from the FULL corpus
+        " toks_all AS MATERIALIZED (SELECT doc_id, unnest(string_split("
+        "  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))"
+        "  AS token FROM documents WHERE trim(text) <> ''),"
+        " counts AS MATERIALIZED (SELECT token,"
+        "  CAST(count(*) AS BIGINT) AS c FROM toks_all GROUP BY token),"
+        " totals AS (SELECT CAST(sum(c) AS BIGINT) AS t_total,"
+        "  CAST(count(*) AS BIGINT) AS v_size FROM counts),"
+        " ref0 AS (SELECT doc_id,"
+        "  -sum(log2((CAST(c AS DOUBLE) + 1.0)"
+        "    / CAST(t_total + v_size AS DOUBLE)))"
+        "   / CAST(count(*) AS DOUBLE) AS h"
+        "  FROM toks_all JOIN counts USING (token) CROSS JOIN totals"
+        "  GROUP BY doc_id),"
+        " thr AS (SELECT"
+        "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
+        "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM"
+        "  (SELECT round(power(2.0, h), 6) AS ppl FROM ref0)),"
+        # frozen scoring of the quality-gated drop docs (their tokens
+        # are all in-vocabulary — drop content comes from documents)
+        " dtoks AS (SELECT d.doc_id, unnest(string_split("
+        "  regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' '))"
+        "  AS token FROM drop_docs d JOIN qrep USING (doc_id)"
+        "  WHERE qrep.passes_all AND trim(d.text) <> ''),"
+        " score AS (SELECT doc_id,"
+        "  CAST(count(*) AS BIGINT) AS n_tokens_lm,"
+        "  -sum(log2((COALESCE(c, 0) + 1.0)"
+        "    / CAST(t_total + v_size AS DOUBLE)))"
+        "   / CAST(count(*) AS DOUBLE) AS h"
+        "  FROM dtoks LEFT JOIN counts USING (token) CROSS JOIN totals"
+        "  GROUP BY doc_id),"
+        " bucketed AS (SELECT doc_id, n_tokens_lm,"
+        "  round(power(2.0, h), 6) AS ppl,"
+        "  CASE WHEN round(power(2.0, h), 6) <= t1 THEN 'head'"
+        "   WHEN round(power(2.0, h), 6) <= t2 THEN 'middle'"
+        "   ELSE 'tail' END AS bucket FROM score CROSS JOIN thr),"
+        # admission: content hash, min-id within the drop, seed reject
+        " hashed AS (SELECT d.doc_id, b.n_tokens_lm, b.ppl, b.bucket,"
+        "  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))"
+        "   AS h FROM drop_docs d JOIN bucketed b USING (doc_id)"
+        "  WHERE b.bucket <> 'tail'),"
+        " dedup AS (SELECT * FROM (SELECT *, row_number() OVER"
+        "  (PARTITION BY h ORDER BY doc_id) AS rn FROM hashed)"
+        "  WHERE rn = 1),"
+        " seedk AS (SELECT DISTINCT"
+        "  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+        "   AS h FROM documents WHERE doc_id < 100)"
+        " SELECT d.doc_id, d.h AS content_hash, d.n_tokens_lm,"
+        "  round(d.ppl, 6) AS ppl, d.bucket,"
+        "  CAST(3 AS BIGINT) AS n_batches"
+        " FROM dedup d WHERE NOT EXISTS"
+        "  (SELECT 1 FROM seedk k WHERE k.h = d.h)"
+    )
+
+
+_ORACLES["streaming_curate_funnel"] = _streaming_funnel_oracle()
+
+
+@_register(
+    "cohort_retention",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention grid (operators/funnel.py): users cohorted by
+    the calendar day of their first event; each (cohort_day,
+    day_offset) cell counts members active that many days later
+    (offset-0 ≡ cohort size — pinned in tests). All shuffles are
+    user-keyed or on the tiny grid, map-side partials throughout;
+    date math is integer calendar-day arithmetic, exact in both
+    engines."""
+    from minisql_engine_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def _cohort_oracle() -> str:
+    from minisql_engine_spark.operators.funnel import (
+        cohort_retention_sql,
+    )
+
+    return cohort_retention_sql()
+
+
+_ORACLES["cohort_retention"] = _cohort_oracle()
+
+
+@_register(
+    "embedding_drift",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift (operators/drift.py): centroid cosine
+    distance, centroid L2 shift, and mean-squared-norm shift of the
+    odd-id embedding slice vs the even-id slice — the
+    vector-modality sibling of corpus_drift a 100 TB embedding
+    pipeline monitors per ingest batch. Per-dimension means ride the
+    exact-DECIMAL sum rule (order-independent across any shuffle
+    width); the final combinations touch dims-many rows. No pairwise
+    anything, no collect."""
+    from minisql_engine_spark.operators.drift import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def _embdrift_oracle() -> str:
+    from minisql_engine_spark.operators.drift import embedding_drift_sql
+
+    return embedding_drift_sql(
+        "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1"
+    )
+
+
+_ORACLES["embedding_drift"] = _embdrift_oracle()
+
+
+#: Fixed merge table for the trie-apply driver row: common English
+#: pairs plus chain-sensitive entries whose later merges consume the
+#: products of earlier ones — deterministic, so the chained-replace
+#: oracle replays it literally.
+_BPE_TRIE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("o", "u"), ("in", "g"),
+    ("a", "t"), ("the", "r"), ("i", "s"), ("o", "f"), ("i", "t"),
+]
+
+
+@_register(
+    "bpe_apply_trie",
+    None,  # filled below — oracle replays the CHAINED-REPLACE side
+)
+def q_bpe_apply_trie(spark, sf_dir):
+    """Production-scale BPE apply (operators/bpe.py, r6): the merge
+    table travels as ONE broadcast dict into a single Arrow
+    mapInPandas (plan depth O(1) — a 30k-merge tokenizer applies
+    without a 30k-deep expression tree), with exact sequential-sweep
+    semantics via an ascending-rank heap. The oracle replays the
+    CHAINED-REPLACE definition of the same fixed merge table in
+    DuckDB, so the hash match certifies trie ≡ chained ≡ oracle,
+    token for token with positions."""
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bpe_apply_trie(docs, _BPE_TRIE_MERGES)
+    return out.select(
+        "doc_id",
+        F.posexplode("bpe_tokens").alias("pos", "token"),
+    ).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "token"
+    )
+
+
+def _bpe_trie_oracle() -> str:
+    from minisql_engine_spark.operators.bpe import bpe_apply_sql
+
+    return bpe_apply_sql("documents", _BPE_TRIE_MERGES)
+
+
+_ORACLES["bpe_apply_trie"] = _bpe_trie_oracle()
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 _FUNNEL_WITHIN_S = 604_800  # 7 days from the anchor signup
 
@@ -3568,6 +3823,155 @@ _ORACLES["bloom_admission"] = _bloom_oracle()
 
 
 @_register(
+    "dedup_index_admission",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_dedup_index_admission(spark, sf_dir):
+    """Incremental dedup-index admission life cycle
+    (operators/dedup_index.py — the production dedup machinery a
+    100 TB crawl ingest runs on): init a REAL on-disk key index from
+    a seed corpus, admit a crawl batch salted with seed copies and
+    in-batch duplicate pairs, APPEND its survivors, then admit a
+    second batch that re-presents batch-1 content — which the
+    just-advanced index must reject. Admission never shuffles the
+    index (batch keys broadcast into the scan, survivors broadcast
+    back — plan-gated in test_plans.py/test_dedup_index.py). The
+    oracle replays the whole cycle as chained MATERIALIZED CTEs
+    (batch-1 admissions feed batch-2's key set), the incr_agg_events
+    state-threading pattern."""
+    import hashlib
+    import tempfile
+
+    from minisql_engine_spark.operators.dedup_index import (
+        dedup_index_admission_cycle,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_admidx_{tag}")
+    return dedup_index_admission_cycle(
+        _t(spark, sf_dir, "documents"), path
+    )
+
+
+def _admidx_oracle() -> str:
+    from minisql_engine_spark.operators.dedup_index import (
+        dedup_index_admission_sql,
+    )
+
+    return dedup_index_admission_sql()
+
+
+_ORACLES["dedup_index_admission"] = _admidx_oracle()
+
+
+@_register(
+    "image_near_dups",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_image_near_dups(spark, sf_dir):
+    """Perceptual image near-duplicates (operators/multimodal.py):
+    dHash (8×9 area-mean difference hash) over Arrow-decoded binary
+    payloads, 4×16-bit band bucket join (pigeonhole-exhaustive at
+    Hamming ≤ 3 — candidates are band collisions, NEVER all pairs),
+    bit_count verify. Corpus = 66 deterministic md5 payloads with 6
+    planted duplicate contents under shifted ids. The oracle
+    re-derives the ENTIRE pipeline arithmetically in SQL — payload
+    bytes, the fake decoder's tiling, integer-exact area means
+    (cross-multiplied, divisor-free), difference bits, banding, and
+    the Hamming verify — so the perceptual hash itself is
+    hash-checked, not sampled."""
+    from minisql_engine_spark.operators.multimodal import (
+        image_near_dups,
+        perceptual_corpus,
+    )
+
+    corpus = perceptual_corpus(_t(spark, sf_dir, "documents"))
+    return image_near_dups(corpus).select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )
+
+
+def _imgdup_oracle() -> str:
+    from minisql_engine_spark.operators.multimodal import (
+        image_near_dups_sql,
+    )
+
+    return image_near_dups_sql()
+
+
+_ORACLES["image_near_dups"] = _imgdup_oracle()
+
+
+@_register(
+    "audio_near_dups",
+    None,  # rows-only BY DESIGN: the fingerprint is FFT band energy
+    # (numpy rfft) — not portably replayable in SQL without
+    # transcendental bit-drift. Quality rides IN the rows instead:
+    # every row passed the BER ≤ 0.25 verify, and the whole result
+    # empties unless all planted duplicate pairs were found (the
+    # ml_lsh_suite pattern), so the driver's row-count check moves
+    # on any recall regression. Brute-force pytest oracle in
+    # tests/test_normalize_imagehash.py.
+)
+def q_audio_near_dups(spark, sf_dir):
+    """Perceptual audio near-duplicates (Haitsma–Kalker): per-frame
+    16-bit sub-fingerprints from log-band FFT energy differences,
+    candidates from EXACT (frame_idx, sub-fingerprint) equi-join
+    collisions (the paper's lookup-table trick — never pairwise),
+    verified by bit-error-rate over the aligned overlap. Corpus = 48
+    deterministic byte-parameterized tone clips: 4 planted exact
+    copies (BER 0) and 4 perturbed near-copies (small nonzero BER) —
+    all 12 implied pairs must surface and no stranger pair may, or
+    the in-row gate empties the result."""
+    from minisql_engine_spark.operators.multimodal import (
+        audio_near_dups,
+        byte_tone_decoder,
+        perceptual_corpus,
+    )
+
+    n_dups = 4
+    corpus = perceptual_corpus(
+        _t(spark, sf_dir, "documents"), n=40, n_dups=n_dups,
+        n_noisy=n_dups,
+    )
+    out = audio_near_dups(corpus, decoder=byte_tone_decoder).select(
+        "id_a",
+        "id_b",
+        "n_frames",
+        F.round("ber", 6).alias("ber"),
+        F.when(
+            (F.col("id_b") - F.col("id_a") == 1000)
+            & (F.col("id_a") < 1000),
+            "exact",
+        )
+        .when(F.col("id_b") >= 2000, "noisy")
+        .otherwise("stranger")
+        .alias("pair_type"),
+    )
+    gate = out.agg(
+        (
+            (
+                F.sum((F.col("pair_type") == "exact").cast("int"))
+                == n_dups
+            )
+            & (
+                F.sum((F.col("pair_type") == "noisy").cast("int"))
+                == 2 * n_dups
+            )
+            & (
+                F.sum((F.col("pair_type") == "stranger").cast("int"))
+                == 0
+            )
+        ).alias("_ok")
+    )
+    return out.crossJoin(F.broadcast(gate)).filter(F.col("_ok")).drop(
+        "_ok"
+    )
+
+
+@_register(
     "hll_distinct",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -3935,6 +4339,70 @@ def _scd2_oracle() -> str:
     )
 
 
+def _scd2_asof_oracle() -> str:
+    return (
+        "WITH dim AS MATERIALIZED (" + _scd2_oracle() + "),"
+        " facts AS (SELECT o_orderkey AS fact_id,"
+        "  o_orderkey % 25 AS k, 10 + o_orderkey % 200 AS ts"
+        "  FROM orders WHERE o_orderkey < 2000)"
+        " SELECT f.fact_id, f.k, f.ts, d.name, d.region,"
+        "  d.valid_from FROM facts f JOIN dim d ON d.k = f.k"
+        "  AND d.valid_from <= f.ts"
+        "  AND (d.valid_to IS NULL OR d.valid_to > f.ts)"
+    )
+
+
+@_register("scd2_asof_enrichment", _scd2_asof_oracle())
+def q_scd2_asof_enrichment(spark, sf_dir):
+    """SCD2 as-of fact enrichment (sources/scd2.py — THE query a
+    Type-2 dimension exists for): after the same init(ts=10) →
+    apply(ts=100) cycle as scd2_dimension, each fact row (derived
+    from orders: key = o_orderkey % 25, event time spanning both
+    sides of the change) joins the dimension version valid AT ITS
+    OWN timestamp via one half-open range join. Intervals partition
+    time per key, so every fact matches exactly one version; facts
+    before ts=100 see the old attributes, facts at/after see the
+    new. The dimension side broadcasts — history never shuffles, no
+    fact movement (the 100 TB plan shape)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.scd2 import (
+        scd2_apply,
+        scd2_enrich_asof,
+        scd2_init,
+    )
+    from minisql_engine_spark.sources.snapshots import read_snapshot
+
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("region"),
+    )
+    tag = hashlib.md5(("scd2asof" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_scd2a_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_init(dim, path, "k", ts=10)
+    upd = spark.createDataFrame(
+        [(0, "RENAMED", 0), (1, "ARGENTINA", 99), (900, "ATLANTIS", 4)],
+        "k bigint, name string, region bigint",
+    )
+    scd2_apply(spark, path, upd, "k", ts=100)
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("fact_id"),
+            (F.col("o_orderkey") % 25).alias("k"),
+            (F.lit(10) + F.col("o_orderkey") % 200).alias("ts"),
+        )
+    )
+    return scd2_enrich_asof(
+        facts, read_snapshot(spark, path), "k", "ts"
+    )
+
+
 @_register("scd2_dimension", _scd2_oracle())
 def q_scd2_dimension(spark, sf_dir):
     """SCD Type-2 dimension maintenance (sources/scd2.py, r6): the
@@ -4107,12 +4575,43 @@ _ARCHIVED: frozenset[str] = frozenset(
         # family keeps live enforcement without a driver slot.
         "pipeline_curation",
         "bucketed_join_zero_shuffle",
+        # twenty-sixth (r7 wave) — room for dedup_index_admission +
+        # image_near_dups + audio_near_dups + scd2_asof_enrichment +
+        # streaming_curate_funnel + cohort_retention + embedding_drift
+        # + bpe_apply_trie. Every rotated name is hash-green ≥2
+        # consecutive driver rounds and its family keeps a richer (or
+        # newly-promoted) driver row: dedup keeps simhash/semantic/
+        # spans + the new admission cycle; multimodal swaps the
+        # feature-extract row for the two perceptual near-dup rows;
+        # the funnel family swaps event_funnel for cohort_retention;
+        # drift swaps corpus_drift for embedding_drift (psi stays);
+        # similarity keeps ivf/pq/lsh + ivf_index_search; text keeps
+        # frequent_tokens/normalize_nfc + the BPE rows; pandas-UDF
+        # keeps the two new mapInPandas perceptual rows; TPC-H q1
+        # joins the rest of the suite in parametrized pytest parity.
+        "dedup_minhash_lsh",
+        "multimodal_features",
+        "pandas_group_features",
+        "emb_cosine_topk",
+        "tpch_q1_pricing_summary",
+        "text_metrics",
+        "event_funnel",
+        "corpus_drift",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r7 wave — brand new driver rows, never driver-checked
+    "dedup_index_admission",
+    "image_near_dups",
+    "audio_near_dups",
+    "scd2_asof_enrichment",
+    "streaming_curate_funnel",
+    "cohort_retention",
+    "embedding_drift",
+    "bpe_apply_trie",
     # r6 second wave — brand new operators, never driver-checked
     "normalize_nfc",
     "scd2_dimension",

@@ -112,6 +112,17 @@ HEADLINE = (
     # r6 second wave: Unicode normalization + SCD2 dimension cycle
     "normalize_nfc",
     "scd2_dimension",
+    # r7: incremental-index admission cycle, perceptual near-dups,
+    # SCD2 as-of fact enrichment, the REAL streaming curation funnel,
+    # cohort retention, embedding drift, production BPE apply
+    "dedup_index_admission",
+    "image_near_dups",
+    "audio_near_dups",
+    "scd2_asof_enrichment",
+    "streaming_curate_funnel",
+    "cohort_retention",
+    "embedding_drift",
+    "bpe_apply_trie",
 )
 
 

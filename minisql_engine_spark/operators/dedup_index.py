@@ -419,3 +419,122 @@ def append_to_index_with_bloom(
             shutil.rmtree(
                 _os.path.join(bloom_path, entry), ignore_errors=True
             )
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable admission cycle (r7): the init → admit → append →
+# re-present → admit sequence as one replayable operator
+# ---------------------------------------------------------------------------
+
+
+def _admission_batches(docs: DataFrame, id_col: str, text_col: str):
+    """Three deterministic batches derived from the corpus table —
+    the same derivation the SQL twin performs, so the whole cycle is
+    hash-comparable: a seed corpus, then two crawl drops salted with
+    (a) copies of seed content (the index must reject), (b) in-batch
+    duplicate pairs (the min-id rule must collapse), and (c) content
+    admitted one batch earlier (the APPENDED index must reject)."""
+    i, t = F.col(id_col), F.col(text_col)
+    seed = docs.filter(i < 250).select(id_col, text_col)
+    b1 = (
+        docs.filter((i >= 250) & (i < 350))
+        .select(id_col, text_col)
+        .unionByName(
+            docs.filter(i < 5).select(
+                (i + 9000).alias(id_col), text_col
+            )
+        )
+        .unionByName(
+            docs.filter((i >= 250) & (i < 255)).select(
+                (i + 9100).alias(id_col), text_col
+            )
+        )
+    )
+    b2 = (
+        docs.filter((i >= 350) & (i < 450))
+        .select(id_col, text_col)
+        .unionByName(
+            docs.filter((i >= 250) & (i < 260)).select(
+                (i + 9200).alias(id_col), text_col
+            )
+        )
+        .unionByName(
+            docs.filter((i >= 5) & (i < 10)).select(
+                (i + 9300).alias(id_col), text_col
+            )
+        )
+    )
+    return seed, b1, b2
+
+
+def dedup_index_admission_cycle(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the full incremental-admission life cycle against a REAL
+    on-disk index at ``path`` (recreated each call — the maintenance
+    cycle IS the operator, like the IVM driver row): init on the
+    seed, admit batch 1, append, admit batch 2 against the advanced
+    index, append. Returns ``(batch, doc_id, content_hash)`` of every
+    admitted row — the driver-facing proof that batch-2 re-presents
+    of batch-1 content are rejected by the index batch 1 just built,
+    while genuinely fresh content flows through."""
+    seed, b1, b2 = _admission_batches(docs, id_col, text_col)
+    init_dedup_index(seed, path, id_col, text_col)
+    out = []
+    for n, batch in ((1, b1), (2, b2)):
+        admitted = dedup_against_index(
+            batch, path, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)  # freeze BEFORE the index moves
+        append_to_index(admitted, path)
+        out.append(
+            admitted.select(
+                F.lit(n).cast("bigint").alias("batch"),
+                F.col(id_col),
+                "content_hash",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def dedup_index_admission_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dedup_index_admission_cycle`: the same
+    batch derivation and admission rule as chained MATERIALIZED CTEs
+    (batch-1 admissions feed batch 2's key set — state threading in
+    SQL, the incr_agg_events pattern). NOT EXISTS (not NOT IN)
+    mirrors Spark's anti-join NULL-key semantics."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return (
+        f"WITH d AS MATERIALIZED (SELECT {id_col} AS i, md5({norm}) AS h"
+        f"  FROM {table}),"
+        " seed_keys AS (SELECT DISTINCT h FROM d WHERE i < 250),"
+        " b1 AS ("
+        "  SELECT i, h FROM d WHERE i >= 250 AND i < 350"
+        "  UNION ALL SELECT i + 9000, h FROM d WHERE i < 5"
+        "  UNION ALL SELECT i + 9100, h FROM d WHERE i >= 250 AND i < 255),"
+        " b1_in AS (SELECT i, h FROM ("
+        "   SELECT i, h, row_number() OVER (PARTITION BY h ORDER BY i)"
+        "    AS rn FROM b1) WHERE rn = 1),"
+        " adm1 AS MATERIALIZED (SELECT i, h FROM b1_in b WHERE NOT EXISTS"
+        "  (SELECT 1 FROM seed_keys k WHERE k.h = b.h)),"
+        " keys1 AS MATERIALIZED (SELECT h FROM seed_keys"
+        "  UNION SELECT h FROM adm1),"
+        " b2 AS ("
+        "  SELECT i, h FROM d WHERE i >= 350 AND i < 450"
+        "  UNION ALL SELECT i + 9200, h FROM d WHERE i >= 250 AND i < 260"
+        "  UNION ALL SELECT i + 9300, h FROM d WHERE i >= 5 AND i < 10),"
+        " b2_in AS (SELECT i, h FROM ("
+        "   SELECT i, h, row_number() OVER (PARTITION BY h ORDER BY i)"
+        "    AS rn FROM b2) WHERE rn = 1),"
+        " adm2 AS (SELECT i, h FROM b2_in b WHERE NOT EXISTS"
+        "  (SELECT 1 FROM keys1 k WHERE k.h = b.h))"
+        f" SELECT CAST(1 AS BIGINT) AS batch, i AS {id_col},"
+        "  h AS content_hash FROM adm1"
+        f" UNION ALL SELECT CAST(2 AS BIGINT), i, h FROM adm2"
+    )

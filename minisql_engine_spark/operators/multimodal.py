@@ -812,3 +812,152 @@ def audio_near_dups(
     out = out.localCheckpoint(eager=True)
     fps.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable perceptual near-dup corpora (r7): deterministic
+# payload corpora + a full-arithmetic SQL replay of the dHash path
+# ---------------------------------------------------------------------------
+
+
+def perceptual_corpus(
+    docs: DataFrame,
+    n: int = 60,
+    n_dups: int = 6,
+    n_noisy: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, payload) corpus for the near-dup driver rows: the
+    first ``n`` ids carry their own md5-digest payload (the
+    synthesize_payloads rule), the first ``n_dups`` contents are
+    re-presented under ids ``1000+src`` (planted exact perceptual
+    duplicates), and the first ``n_noisy`` under ids ``2000+src``
+    with a 17th marker byte — :func:`byte_tone_decoder` renders
+    those as the SAME tones plus a small deterministic perturbation
+    (a near-but-not-exact copy, nonzero BER). Everything re-derives
+    from the id alone, so both engines can replay it."""
+    did = F.col(id_col).cast("bigint")
+    base = docs.filter(did < n).select(
+        did.alias("doc_id"),
+        F.unhex(F.md5(did.cast("string"))).alias("payload"),
+    )
+    dups = docs.filter(did < n_dups).select(
+        (did + 1000).alias("doc_id"),
+        F.unhex(F.md5(did.cast("string"))).alias("payload"),
+    )
+    out = base.unionByName(dups)
+    if n_noisy:
+        noisy = docs.filter(did < n_noisy).select(
+            (did + 2000).alias("doc_id"),
+            F.concat(
+                F.unhex(F.md5(did.cast("string"))),
+                F.unhex(F.lit("01")),
+            ).alias("payload"),
+        )
+        out = out.unionByName(noisy)
+    return out
+
+
+def image_near_dups_sql(
+    table: str = "documents",
+    n: int = 60,
+    n_dups: int = 6,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``image_near_dups(perceptual_corpus(...))`` —
+    the ENTIRE perceptual pipeline re-derived arithmetically: md5
+    payload bytes → the fake decoder's 16×16 tiling (pixel (R,C) =
+    byte[(R·16+C) mod 16]) → 8×9 area means with the exact integer
+    bucket boundaries of _gray_resize_mean (means compared by
+    integer cross-multiplication — divisor-free, so no float-tie
+    hazard) → per-row 8-bit difference patterns (the full 64-bit
+    dHash = Σ rowpat_r·2^(8r); banding and Hamming work on the row
+    patterns directly, keeping every value BIGINT-safe) → the same
+    4×16-bit band bucket join → bit_count verify ≤ ``max_hamming``."""
+    # column buckets of _gray_resize_mean(·, 8, 9) over a 16-wide
+    # image: cb[j] = (j*16)//9
+    cb = [(j * 16) // 9 for j in range(10)]
+    cb_rows = ", ".join(
+        f"({j}, {cb[j]}, {cb[j + 1]})" for j in range(9)
+    )
+    return (
+        "WITH corpus AS ("
+        f" SELECT CAST({id_col} AS BIGINT) AS i,"
+        f"  CAST({id_col} AS BIGINT) AS src FROM {table}"
+        f"  WHERE {id_col} < {n}"
+        f" UNION ALL SELECT CAST({id_col} + 1000 AS BIGINT),"
+        f"  CAST({id_col} AS BIGINT) FROM {table}"
+        f"  WHERE {id_col} < {n_dups}),"
+        # the 16 payload bytes, from the same md5-of-id-string rule
+        " pbytes AS MATERIALIZED (SELECT i, c.c,"
+        "  ('0x' || substr(md5(CAST(src AS VARCHAR)), 2 * c.c + 1, 2))"
+        "   ::BIGINT AS bv"
+        "  FROM corpus, (SELECT unnest(range(0, 16)) AS c) c),"
+        # 8×9 cell sums: pixel (R,C) = byte[(R*16+C) % 16]; row
+        # bucket r = R//2 (exact halves), col buckets from cb
+        " cells AS MATERIALIZED (SELECT i, rr.r, cbs.j,"
+        "  sum(b.bv) AS s, count(*) AS cnt"
+        "  FROM (SELECT unnest(range(0, 16)) AS pr) pr"
+        "  CROSS JOIN (SELECT unnest(range(0, 16)) AS pc) pc"
+        "  CROSS JOIN LATERAL (SELECT pr.pr // 2 AS r) rr"
+        f"  JOIN (VALUES {cb_rows}) AS cbs(j, lo, hi)"
+        "   ON pc.pc >= cbs.lo AND pc.pc < cbs.hi"
+        "  JOIN pbytes b ON b.c = (pr.pr * 16 + pc.pc) % 16"
+        "  GROUP BY i, rr.r, cbs.j),"
+        # difference bits by integer cross-multiplication:
+        # mean(j+1) > mean(j)  ⇔  s1*cnt0 > s0*cnt1
+        " rowpat AS MATERIALIZED (SELECT a.i, a.r,"
+        "  CAST(sum(CASE WHEN b.s * a.cnt > a.s * b.cnt"
+        "   THEN 1 << CAST(a.j AS INT) ELSE 0 END) AS BIGINT) AS pat"
+        "  FROM cells a JOIN cells b ON b.i = a.i AND b.r = a.r"
+        "   AND b.j = a.j + 1"
+        "  WHERE a.j < 8 GROUP BY a.i, a.r),"
+        # 16-bit band keys: band b = rows 2b (low byte) and 2b+1
+        " bands AS (SELECT p0.i, p0.r // 2 AS band,"
+        "  p0.pat + 256 * p1.pat AS key"
+        "  FROM rowpat p0 JOIN rowpat p1"
+        "   ON p1.i = p0.i AND p1.r = p0.r + 1"
+        "  WHERE p0.r % 2 = 0),"
+        " cand AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b"
+        "  FROM bands a JOIN bands b"
+        "   ON a.band = b.band AND a.key = b.key AND a.i < b.i),"
+        " ham AS (SELECT c.id_a, c.id_b,"
+        "  CAST(sum(bit_count(xor(pa.pat, pb.pat))) AS BIGINT)"
+        "   AS hamming"
+        "  FROM cand c JOIN rowpat pa ON pa.i = c.id_a"
+        "  JOIN rowpat pb ON pb.i = c.id_b AND pb.r = pa.r"
+        "  GROUP BY c.id_a, c.id_b)"
+        " SELECT id_a, id_b, hamming FROM ham"
+        f" WHERE hamming <= {max_hamming}"
+    )
+
+
+def byte_tone_decoder(payload: bytes):
+    """Deterministic synthetic-audio decoder for driver rows: a
+    4-tone harmonic mixture whose frequencies come from the payload
+    bytes (2048 samples @ 8 kHz, 1/k amplitude rolloff — broadband
+    like real audio, so band-energy signs carry information). The
+    16-byte-tiled fake decoder is DEGENERATE for fingerprinting
+    (period-8 signal → identical band patterns for every payload);
+    this one gives unrelated payloads unrelated fingerprints while
+    identical payloads stay bit-identical."""
+    import numpy as np
+
+    if not payload:
+        payload = b"\x00\x01"
+    b = bytes(payload)
+    noisy = len(b) == 17 and b[16] == 1
+    if noisy:
+        b = b[:16]
+    n, rate = 2048, 8000
+    t = np.arange(n, dtype=np.float64) / rate
+    x = np.zeros(n, dtype=np.float64)
+    for k in range(4):
+        f = 180.0 + 13.0 * b[k % len(b)] + 7.0 * k
+        x += (8000.0 / (k + 1)) * np.sin(2.0 * np.pi * f * t)
+    if noisy:
+        # deterministic high-frequency perturbation: same tones,
+        # slightly different band energies -> small nonzero BER
+        x += 900.0 * np.sin(2.0 * np.pi * 3310.0 * t + 0.7)
+    return np.clip(x, -32768, 32767).astype(np.int16).reshape(-1, 1)

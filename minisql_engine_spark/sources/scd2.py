@@ -219,3 +219,32 @@ def scd2_apply_sql(
         " SELECT * FROM hist UNION ALL SELECT * FROM unchanged"
         " UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM inserted"
     )
+
+
+def scd2_enrich_asof(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Enrich each fact row with the dimension version valid AT ITS
+    OWN timestamp — THE query SCD2 exists for. One range-predicate
+    join on half-open [valid_from, valid_to) intervals; because the
+    intervals partition time per key, each fact matches exactly one
+    version. The dimension side broadcasts (dimensions are small —
+    at 100 TB the FACTS are big; history is never shuffled), so the
+    plan is a broadcast nested-loop/hash range join with zero fact
+    movement."""
+    dcols = [c for c in dim.columns if c != key_col]
+    d = dim.select(
+        F.col(key_col).alias("_dk"),
+        *[F.col(c) for c in dcols],
+    )
+    cond = (
+        (facts[key_col] == d["_dk"])
+        & (d["valid_from"] <= facts[ts_col])
+        & (d["valid_to"].isNull() | (d["valid_to"] > facts[ts_col]))
+    )
+    return facts.join(F.broadcast(d), cond).drop(
+        "_dk", "valid_to", "is_current"
+    )

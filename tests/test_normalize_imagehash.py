@@ -360,3 +360,57 @@ def test_null_payloads_pass_through_not_crash(spark):
     fps = audio_fingerprints(mixed)
     assert fps.filter(F.col("doc_id") == 999).count() == 0
     assert fps.filter(F.col("doc_id") != 999).count() > 0
+
+
+def test_tone_decoder_near_dups_structure(spark, sf_dir):
+    """The driver's audio_near_dups corpus (byte-parameterized tone
+    clips, 4 exact + 4 perturbed copies): exactly the 12 implied
+    pairs surface — exact pairs at BER 0, noisy pairs at small
+    nonzero BER — and no stranger pair passes the verify. Pinned by
+    local brute force over the same decoder + fingerprint."""
+    import numpy as np
+
+    from minisql_engine_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dups,
+        byte_tone_decoder,
+        perceptual_corpus,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = perceptual_corpus(docs, n=40, n_dups=4, n_noisy=4)
+    rows = audio_near_dups(corpus, decoder=byte_tone_decoder).collect()
+    got = {(r["id_a"], r["id_b"]): r["ber"] for r in rows}
+
+    # local brute force with the same decoder and fingerprints
+    payloads = {
+        r["doc_id"]: bytes(r["payload"]) for r in corpus.collect()
+    }
+    fps = {
+        did: audio_fingerprint(byte_tone_decoder(p))
+        for did, p in payloads.items()
+    }
+    expect = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            fa, fb = fps[a], fps[b]
+            n = min(len(fa), len(fb))
+            if n == 0 or not any(x == y for x, y in zip(fa, fb)):
+                continue  # no exact sub-fingerprint collision
+            errs = sum(
+                bin((x ^ y) & 0xFFFF).count("1")
+                for x, y in zip(fa[:n], fb[:n])
+            )
+            ber = errs / (n * 16.0)
+            if ber <= 0.25:
+                expect[(a, b)] = ber
+    assert set(got) == set(expect)
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-9, k
+    exact = {k for k in got if k[1] - k[0] == 1000 and k[0] < 1000}
+    noisy = {k for k in got if k[1] >= 2000}
+    assert len(exact) == 4 and all(got[k] == 0.0 for k in exact)
+    assert len(noisy) == 8 and all(got[k] > 0.0 for k in noisy)
+    assert len(got) == 12  # no strangers
