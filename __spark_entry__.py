@@ -3280,6 +3280,70 @@ def _embdrift_oracle() -> str:
 _ORACLES["embedding_drift"] = _embdrift_oracle()
 
 
+@_register(
+    "drift_from_views",
+    None,  # filled below — the one-shot corpus_drift twin, filtered
+)
+def q_drift_from_views(spark, sf_dir):
+    """Drift from incrementally-maintained vocabulary views
+    (operators/drift.py + sources/aggview.py — the production
+    monitoring shape): two token-count views are maintained over
+    THREE ingest batches each (init + two merges of the IVM state),
+    then the token drift metrics (JS divergence / OOV rate / new
+    token types) are computed from the STORED views alone —
+    O(vocabulary) cost, zero document scans, because the scanning
+    already happened batch-by-batch. The oracle is the ONE-SHOT
+    corpus_drift over the same slices: the hash match proves
+    incremental-view monitoring ≡ full recompute."""
+    import hashlib
+    import tempfile
+
+    from minisql_engine_spark.operators.drift import (
+        drift_from_token_views,
+        token_counts_batch,
+    )
+    from minisql_engine_spark.sources.aggview import (
+        init_agg_view,
+        read_agg_view,
+        update_agg_view,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = {"n": ("count", None)}
+    tag = hashlib.md5(("dfv" + sf_dir).encode()).hexdigest()[:12]
+    views = {}
+    for name, rem in (("a", 0), ("b", 1)):
+        half = docs.filter(F.col("doc_id") % 2 == rem)
+        path = os.path.join(
+            tempfile.gettempdir(), f"minisql_dfv_{tag}_{name}"
+        )
+        batches = [
+            token_counts_batch(half.filter(F.col("doc_id") % 3 == i))
+            for i in range(3)
+        ]
+        init_agg_view(batches[0], path, "t", m)
+        for b in batches[1:]:
+            update_agg_view(spark, path, b, "t", m)
+        views[name] = read_agg_view(spark, path, m)
+    return drift_from_token_views(views["a"], views["b"])
+
+
+def _drift_views_oracle() -> str:
+    from minisql_engine_spark.operators.drift import corpus_drift_sql
+
+    return (
+        "SELECT metric, value FROM ("
+        + corpus_drift_sql(
+            "documents", "doc_id % 2 = 0", "doc_id % 2 = 1"
+        )
+        + ") WHERE metric IN ('js_divergence_tokens',"
+        " 'oov_token_rate', 'new_token_types') ORDER BY metric"
+    )
+
+
+_ORACLES["drift_from_views"] = _drift_views_oracle()
+
+
 #: Fixed merge table for the trie-apply driver row: common English
 #: pairs plus chain-sensitive entries whose later merges consume the
 #: products of earlier ones — deterministic, so the chained-replace
@@ -4597,6 +4661,12 @@ _ARCHIVED: frozenset[str] = frozenset(
         "text_metrics",
         "event_funnel",
         "corpus_drift",
+        # + drift_from_views (second r7 batch): winsorize_clip is
+        # hash-green r5/r6 and the stats family keeps four richer
+        # rows (hist_quantiles, mad_outlier_flags, profile_events,
+        # stats_corr) plus stats_quantiles' archived parity for the
+        # exact-quantile arithmetic winsorize shares.
+        "winsorize_clip",
     }
 )
 
@@ -4611,6 +4681,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "streaming_curate_funnel",
     "cohort_retention",
     "embedding_drift",
+    "drift_from_views",
     "bpe_apply_trie",
     # r6 second wave — brand new operators, never driver-checked
     "normalize_nfc",

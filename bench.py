@@ -122,6 +122,7 @@ HEADLINE = (
     "streaming_curate_funnel",
     "cohort_retention",
     "embedding_drift",
+    "drift_from_views",
     "bpe_apply_trie",
 )
 

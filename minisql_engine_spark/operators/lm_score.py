@@ -355,24 +355,37 @@ def save_lm_model(
     toks = ref_docs.select(
         F.col(id_col),
         F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
-    )
-    counts = toks.groupBy("token").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    _os.makedirs(path, exist_ok=True)
-    counts.write.mode("overwrite").parquet(_os.path.join(path, "counts"))
-    cdf = spark.read.parquet(_os.path.join(path, "counts"))
-    tot = cdf.agg(
-        F.sum("c").cast("bigint").alias("t"),
-        F.count("*").cast("bigint").alias("v"),
-    ).collect()[0]
-    scored = _score_frozen(
-        ref_docs, cdf, int(tot["t"]), int(tot["v"]), id_col, text_col
-    )
-    thr = scored.agg(
-        F.expr("percentile(ppl, 0.3333333333333333)").alias("t1"),
-        F.expr("percentile(ppl, 0.6666666666666666)").alias("t2"),
-    ).collect()[0]
+    ).persist()  # one corpus pass feeds BOTH counts and threshold
+    # scoring — without the persist training re-normalizes and
+    # re-explodes the reference corpus twice (profiled r7)
+    try:
+        counts = toks.groupBy("token").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        _os.makedirs(path, exist_ok=True)
+        counts.write.mode("overwrite").parquet(
+            _os.path.join(path, "counts")
+        )
+        cdf = spark.read.parquet(_os.path.join(path, "counts"))
+        tot = cdf.agg(
+            F.sum("c").cast("bigint").alias("t"),
+            F.count("*").cast("bigint").alias("v"),
+        ).collect()[0]
+        scored = _score_frozen(
+            ref_docs,
+            cdf,
+            int(tot["t"]),
+            int(tot["v"]),
+            id_col,
+            text_col,
+            _toks=toks,
+        )
+        thr = scored.agg(
+            F.expr("percentile(ppl, 0.3333333333333333)").alias("t1"),
+            F.expr("percentile(ppl, 0.6666666666666666)").alias("t2"),
+        ).collect()[0]
+    finally:
+        toks.unpersist()
     with open(_os.path.join(path, _LM_MODEL_META), "w") as f:
         _json.dump(
             {
@@ -392,14 +405,28 @@ def _score_frozen(
     v_size: int,
     id_col: str,
     text_col: str,
+    _toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_tokens_lm, xent_bits, ppl) under the frozen model —
     identical arithmetic to :func:`lm_perplexity` except the
     denominators are constants and unseen tokens take the Laplace
-    floor (count 0) via a LEFT join."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
+    floor (count 0) via a LEFT join.
+
+    The counts relation BROADCASTS: a frozen unigram vocabulary is
+    Zipf-bounded (the same contract as BPE's vocabulary guard), so a
+    micro-batch scoring job must never shuffle the model — without
+    the hint a small streaming batch sort-merge-joins the whole
+    vocabulary per batch, which dominated the streaming funnel's
+    per-batch cost (profiled r7)."""
+    toks = (
+        _toks
+        if _toks is not None
+        else docs.select(
+            F.col(id_col),
+            F.explode(
+                _ws_tokens(_norm_text(F.col(text_col)))
+            ).alias("token"),
+        )
     )
     denom = float(t_total + v_size)
     logp = F.log2(
@@ -407,7 +434,7 @@ def _score_frozen(
         / F.lit(denom)
     )
     return (
-        toks.join(counts, "token", "left")
+        toks.join(F.broadcast(counts), "token", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens_lm"),
