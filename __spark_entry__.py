@@ -4448,9 +4448,14 @@ def q_scd2_asof_enrichment(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), f"minisql_scd2a_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     scd2_init(dim, path, "k", ts=10)
-    upd = spark.createDataFrame(
-        [(0, "RENAMED", 0), (1, "ARGENTINA", 99), (900, "ATLANTIS", 4)],
-        "k bigint, name string, region bigint",
+    # JVM LocalRelation, not createDataFrame: a pickled literal
+    # frame in a write lineage spins a Python worker per write job
+    # (~5 s — see streaming/curate.py r7 note)
+    upd = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k, name,"
+        " CAST(region AS BIGINT) AS region FROM VALUES"
+        " (0, 'RENAMED', 0), (1, 'ARGENTINA', 99),"
+        " (900, 'ATLANTIS', 4) AS t(k, name, region)"
     )
     scd2_apply(spark, path, upd, "k", ts=100)
     facts = (
@@ -4495,9 +4500,14 @@ def q_scd2_dimension(spark, sf_dir):
     # rebuilt every call — the init→apply cycle IS the operator
     shutil.rmtree(path, ignore_errors=True)
     scd2_init(dim, path, "k", ts=10)
-    upd = spark.createDataFrame(
-        [(0, "RENAMED", 0), (1, "ARGENTINA", 99), (900, "ATLANTIS", 4)],
-        "k bigint, name string, region bigint",
+    # JVM LocalRelation, not createDataFrame: a pickled literal
+    # frame in a write lineage spins a Python worker per write job
+    # (~5 s — see streaming/curate.py r7 note)
+    upd = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k, name,"
+        " CAST(region AS BIGINT) AS region FROM VALUES"
+        " (0, 'RENAMED', 0), (1, 'ARGENTINA', 99),"
+        " (900, 'ATLANTIS', 4) AS t(k, name, region)"
     )
     scd2_apply(spark, path, upd, "k", ts=100)
     return read_snapshot(spark, path)
