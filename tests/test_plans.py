@@ -550,3 +550,104 @@ def test_psi_drift_tiny_aggregates_broadcast_totals(spark, sf_dir):
     # '_groupingexpression' is Catalyst's alias for the inline bucket
     # CASE expression — same key, pre-projection
     assert keys <= {"bucket", "_groupingexpression"}, keys
+
+
+def test_scd2_asof_enrich_broadcasts_dimension(spark, sf_dir, tmp_path):
+    """SCD2 as-of fact enrichment: at 100 TB the FACTS are big and the
+    dimension history is small — the versioned-interval join must
+    broadcast the dimension and never move a fact row (no Exchange on
+    the fact side, no SortMergeJoin anywhere)."""
+    from minisql_engine_spark.sources.scd2 import (
+        scd2_apply,
+        scd2_enrich_asof,
+        scd2_init,
+    )
+    from minisql_engine_spark.sources.snapshots import read_snapshot
+
+    dim = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    path = str(tmp_path / "scd2")
+    scd2_init(dim, path, "k", ts=10)
+    upd = spark.sql(
+        "SELECT CAST(k AS BIGINT) AS k, name FROM VALUES"
+        " (0, 'RENAMED') AS t(k, name)"
+    )
+    scd2_apply(spark, path, upd, "k", ts=100)
+    facts = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("fact_id"),
+        (F.col("o_orderkey") % 25).alias("k"),
+        (F.lit(10) + F.col("o_orderkey") % 200).alias("ts"),
+    )
+    plan = plan_of(
+        scd2_enrich_asof(facts, read_snapshot(spark, path), "k", "ts")
+    )
+    assert "SortMergeJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    )
+    # zero fact movement: no shuffle exchange at all — broadcast
+    # exchanges are the dimension side by construction
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_image_near_dups_band_join_never_cartesian(spark, sf_dir):
+    """Perceptual image near-dups: candidates must come from the
+    4×16-bit band equi-join — a hash join keyed on (band, key) — and
+    the plan may never degenerate to CartesianProduct or a
+    non-equi BroadcastNestedLoopJoin over the corpus."""
+    from minisql_engine_spark.operators.multimodal import (
+        image_near_dups,
+        perceptual_corpus,
+    )
+
+    corpus = perceptual_corpus(
+        load_table(spark, sf_dir, "documents")
+    )
+    plan = plan_of(image_near_dups(corpus))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(band" in plan or "BroadcastHashJoin" in plan
+
+
+def test_audio_near_dups_candidates_equi_join(spark, sf_dir):
+    """Audio near-dups (Haitsma–Kalker): the candidate stage is the
+    exact (frame_idx, sub-fingerprint) lookup-table equi-join; the
+    BER verify then joins candidates back. Nothing in the plan may
+    pairwise-compare the corpus (no CartesianProduct, no non-equi
+    nested loop)."""
+    from minisql_engine_spark.operators.multimodal import (
+        audio_fingerprints,
+        byte_tone_decoder,
+        perceptual_corpus,
+    )
+
+    # gate the plan of the candidate join itself (audio_near_dups
+    # localCheckpoints its result, which truncates the lineage the
+    # gate needs to read)
+    fps = audio_fingerprints(
+        perceptual_corpus(
+            load_table(spark, sf_dir, "documents"), n=40, n_dups=4,
+            n_noisy=4,
+        ),
+        decoder=byte_tone_decoder,
+    )
+    a = fps.select(
+        F.col("doc_id").alias("id_a"), "frame_idx", F.col("fp").alias("fa")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id_b"), "frame_idx", F.col("fp").alias("fb")
+    )
+    cand = (
+        a.join(b, ["frame_idx"])
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (F.col("fa") == F.col("fb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
