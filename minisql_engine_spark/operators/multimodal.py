@@ -586,15 +586,31 @@ def image_near_dups(
             stacklevel=2,
         )
     hashes = image_dhash(df, payload_col, id_col, "dhash", decoder)
+    return hash_near_pairs(hashes, id_col, "dhash", max_hamming)
+
+
+def hash_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs from a 64-bit hash relation via the
+    4×16-bit band bucket join + exact Hamming verify — the candidate
+    machinery of :func:`image_near_dups`, factored so any 64-bit
+    perceptual/similarity hash (dHash, SimHash variants) can reuse it
+    and so the pigeonhole-exhaustiveness property is testable against
+    brute force directly on hash relations
+    (tests/test_properties.py)."""
     bands = hashes.select(
         F.col(id_col),
-        "dhash",
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("dhash"), b * 16)
+                        F.shiftright(F.col(hash_col), b * 16)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("key"),
                     )
@@ -602,16 +618,16 @@ def image_near_dups(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "dhash", "bk.band", "bk.key")
+    ).select(id_col, "_h", "bk.band", "bk.key")
     a = bands.select(
         F.col(id_col).alias("id_a"),
-        F.col("dhash").alias("h_a"),
+        F.col("_h").alias("h_a"),
         "band",
         "key",
     )
     b = bands.select(
         F.col(id_col).alias("id_b"),
-        F.col("dhash").alias("h_b"),
+        F.col("_h").alias("h_b"),
         "band",
         "key",
     )

@@ -314,3 +314,149 @@ def test_duplicate_spans_match_bruteforce(spark, corpus, k, min_count):
         ).collect()
     }
     assert got == _brute_spans(corpus, k, min_count)
+
+
+# --- r7 surfaces: banded hash near-pairs, SCD2 history, BPE trie -----------
+
+# clusters of near hashes: a base plus variants with 0-6 bits flipped,
+# so examples exercise both sides of the Hamming-3 boundary
+_HASH_CLUSTER = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=63),
+            min_size=0,
+            max_size=6,
+            unique=True,
+        ),
+        min_size=0,
+        max_size=3,
+    ),
+)
+
+
+@SLOW
+@given(clusters=st.lists(_HASH_CLUSTER, min_size=1, max_size=4))
+def test_hash_near_pairs_matches_bruteforce(spark, clusters):
+    """The 4×16-bit band join is EXHAUSTIVE at Hamming ≤ 3
+    (pigeonhole: 4 bands, ≤3 differing bits → some band untouched)
+    and the verify filters everything else — so on any hash relation
+    the operator must equal the brute-force O(n²) answer."""
+    from minisql_engine_spark.operators.multimodal import (
+        _signed64,
+        hash_near_pairs,
+    )
+
+    hashes: list[int] = []
+    for base, variants in clusters:
+        hashes.append(base)
+        for flips in variants:
+            h = base
+            for b in flips:
+                h ^= 1 << b
+            hashes.append(h)
+    rows = [(i, _signed64(h)) for i, h in enumerate(hashes)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hash_near_pairs(sdf, max_hamming=3).collect()
+    }
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 3:
+                want.add((i, j, d))
+    assert got == want
+
+
+_SCD2_BATCH = st.dictionaries(
+    st.integers(min_value=0, max_value=3),          # key
+    st.integers(min_value=0, max_value=2),          # attribute value
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(_SCD2_BATCH, min_size=1, max_size=3))
+def test_scd2_intervals_partition_time(spark, batches):
+    """After ANY apply sequence, each key's version intervals
+    partition time: sorted by valid_from they are contiguous
+    (next.valid_from == prev.valid_to), non-overlapping, and exactly
+    the last one is open (valid_to NULL, is_current) — the invariant
+    that makes as-of enrichment return exactly one match."""
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.scd2 import scd2_apply, scd2_init
+    from minisql_engine_spark.sources.snapshots import read_snapshot
+
+    path = tempfile.mkdtemp(prefix="scd2prop_")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init = spark.createDataFrame(
+            [(k, -1) for k in range(2)], "k bigint, v bigint"
+        )
+        scd2_init(init, path, "k", ts=0)
+        for i, batch in enumerate(batches):
+            upd = spark.createDataFrame(
+                [(k, v) for k, v in batch.items()], "k bigint, v bigint"
+            )
+            scd2_apply(spark, path, upd, "k", ts=10 * (i + 1))
+        hist = read_snapshot(spark, path).collect()
+        by_key: dict[int, list] = {}
+        for r in hist:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, rows in by_key.items():
+            rows.sort(key=lambda r: r["valid_from"])
+            for prev, nxt in zip(rows, rows[1:]):
+                assert prev["valid_to"] == nxt["valid_from"], (k, rows)
+            assert all(not r["is_current"] for r in rows[:-1])
+            assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_BPE_TEXT = st.text(
+    alphabet=st.sampled_from("ab c 　\t\n x"),
+    min_size=0,
+    max_size=24,
+)
+_BPE_PIECE = st.text(
+    alphabet=st.sampled_from("abcx"), min_size=1, max_size=3
+)
+
+
+@SLOW
+@given(
+    texts=st.lists(_BPE_TEXT, min_size=1, max_size=4),
+    merges=st.lists(
+        st.tuples(_BPE_PIECE, _BPE_PIECE), min_size=0, max_size=4
+    ),
+)
+def test_bpe_trie_equals_chained_random(spark, texts, merges):
+    """bpe_apply_trie must equal bpe_apply token-for-token on
+    arbitrary text — including the Unicode whitespace (NBSP,
+    ideographic space, em space) whose normalization divergence the
+    r6 advisor caught — and arbitrary merge tables (including
+    chain-sensitive and never-firing entries)."""
+    from minisql_engine_spark.operators.bpe import bpe_apply, bpe_apply_trie
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply(sdf, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    b = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_apply_trie(sdf, merges)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert a == b
