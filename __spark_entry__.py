@@ -1603,10 +1603,16 @@ def q_emb_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qids = [100, 101, 102, 103, 104]
+    # materialize the two tiny (k·|queries|-row) intermediates once:
+    # each feeds two consumer joins, and without the checkpoint the
+    # IVF probe pipeline and the brute-force corpus scan both
+    # execute twice (same fix as pq_topk_gated)
     ann = ivf_topk(
         emb, query_ids=qids, k=10, n_probe=_IVF_N_PROBE, refine_iters=2
+    ).localCheckpoint(eager=True)
+    brute = brute_force_topk(emb, query_ids=qids, k=10).localCheckpoint(
+        eager=True
     )
-    brute = brute_force_topk(emb, query_ids=qids, k=10)
     found = brute.select("query_id", "neighbor_id").join(
         ann.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],

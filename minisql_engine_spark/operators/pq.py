@@ -440,9 +440,13 @@ def pq_topk_gated(
         raise ValueError("recall gating requires rerank_factor")
     from pyspark.sql.window import Window as _W
 
+    # materialize once: ann feeds BOTH the recall semi-join and the
+    # final output join — without this the whole PQ pipeline
+    # (codebook Lloyd steps, corpus encode, ADC, re-rank) executes
+    # twice per consumer tree. k·|queries| rows, trivially small.
     ann = pq_topk(
         embeddings, query_ids, k, id_col, vec_col, **pq_kw
-    )
+    ).localCheckpoint(eager=True)
     vecs = embeddings.selectExpr(
         id_col, as_double_sql(vec_col) + " as _fv"
     )
@@ -466,10 +470,13 @@ def pq_topk_gated(
     w = _W.partitionBy("query_id").orderBy(
         F.col("_d"), F.col("neighbor_id")
     )
+    # same double-consumer shape: the brute-force truth feeds the
+    # semi-join AND the per-query totals — one corpus scan, not two
     brute = (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     found = brute.join(
         ann.select("query_id", "neighbor_id"),
