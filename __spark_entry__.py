@@ -1795,16 +1795,26 @@ def q_ml_lsh_suite(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
 
-    ml_pairs = ml_minhash_near_dups(docs).select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
-        F.col("jaccard_distance").alias("dist"),
+    # pair tables are tiny but their LSH subtrees are not — each
+    # feeds two consumers (quality gate + output), so materialize
+    # once (same fix as the recall-gated ANN entries)
+    ml_pairs = (
+        ml_minhash_near_dups(docs)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("jaccard_distance").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
     )
-    strong = minhash_lsh_dedup(docs, threshold=0.5).filter(
-        F.col("jaccard") >= 0.9
-    ).select(
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
+    strong = (
+        minhash_lsh_dedup(docs, threshold=0.5)
+        .filter(F.col("jaccard") >= 0.9)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+        )
+        .localCheckpoint(eager=True)
     )
     agree = (
         strong.join(ml_pairs, ["id_a", "id_b"], "left_semi")
@@ -1825,7 +1835,9 @@ def q_ml_lsh_suite(spark, sf_dir):
         )
     )
 
-    ann_raw = ml_brp_nearest_neighbors(emb, query_id=0, k=10)
+    ann_raw = ml_brp_nearest_neighbors(
+        emb, query_id=0, k=10
+    ).localCheckpoint(eager=True)
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     qv = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     true10 = (
@@ -1938,8 +1950,14 @@ def q_emb_ann(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
-    ann = lsh_ann_topk(emb, query_ids=qids, k=10, multi_probe=True)
-    brute = brute_force_topk(emb, query_ids=qids, k=10)
+    # tiny double-consumer intermediates materialized once — the
+    # same fix as pq_topk_gated/emb_ivf_topk
+    ann = lsh_ann_topk(
+        emb, query_ids=qids, k=10, multi_probe=True
+    ).localCheckpoint(eager=True)
+    brute = brute_force_topk(emb, query_ids=qids, k=10).localCheckpoint(
+        eager=True
+    )
     found = brute.select("query_id", "neighbor_id").join(
         ann.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
