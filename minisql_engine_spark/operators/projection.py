@@ -95,14 +95,32 @@ def jl_project(
         raise ValueError(f"cannot project empty/NULL vectors (d={dim})")
     scale = float(d_out) ** 0.5
 
-    def elem(i: int) -> str:
-        # Spark arrays are 0-indexed in the [] syntax
-        return f"cast({vec_col}[{i}] as double)"
+    # Each component is a FOLD over the signed elements, not an
+    # inlined ±x_0 ± x_1 … term chain: multiplying by ±1.0 is exact
+    # and left-to-right fold addition is the same IEEE order, so the
+    # values are bit-identical to the chain form — but the plan
+    # carries d_out small loops instead of d_out×d inlined terms,
+    # which cut per-job Catalyst/codegen overhead ~3× at 64→16
+    # (measured r7: the chain plan cost ~2.3 s PER JOB at sf0.1 on
+    # 6k rows — optimizer time, not arithmetic). The DuckDB twin
+    # folds through list_reduce with the same prepended-0.0 seed,
+    # the bridge lsh_sig_ctes_sql proved bit-exact.
+    def signs_array(j: int) -> str:
+        return (
+            "array("
+            + ",".join(
+                "1.0D" if jl_sign(i, j) > 0 else "-1.0D"
+                for i in range(dim)
+            )
+            + ")"
+        )
 
     comps = F.array(
         *[
             F.expr(
-                f"round(({_component_terms(dim, j, elem)}) / {scale!r}, 6)"
+                f"round(aggregate(zip_with(cast({vec_col} as"
+                f" array<double>), {signs_array(j)}, (x, s) -> x * s),"
+                f" 0D, (acc, x) -> acc + x) / {scale!r}, 6)"
             )
             for j in range(d_out)
         ]
@@ -141,19 +159,24 @@ def jl_project_sql(
 ) -> str:
     """DuckDB oracle twin of :func:`jl_project` — the same derived
     signs (computed here in Python from the same md5 rule), the same
-    left-to-right term order, the same single rounded divide."""
+    left-to-right fold order (list_reduce over a prepended 0.0 seed ≡
+    Spark's ``aggregate(…, 0D, (acc,x) -> acc+x)``), the same single
+    rounded divide."""
     scale = float(d_out) ** 0.5
-
-    def elem(i: int) -> str:
-        # DuckDB lists are 1-indexed
-        return f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
 
     selects = []
     for j in range(d_out):
-        chain = _component_terms(d_in, j, elem)
+        signs = "[" + ",".join(
+            "1.0" if jl_sign(i, j) > 0 else "-1.0" for i in range(d_in)
+        ) + "]"
+        fold = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(CAST({vec_col} AS DOUBLE[]),"
+            f" (x, i) -> x * ({signs}[i]))), (acc, x) -> acc + x)"
+        )
         selects.append(
             f"SELECT {id_col}, {j} AS j,"
-            f" round(({chain}) / {scale!r}, 6) AS comp FROM {table}"
+            f" round(({fold}) / {scale!r}, 6) AS comp FROM {table}"
         )
     return (
         " UNION ALL ".join(selects) + f" ORDER BY {id_col}, j"
