@@ -4537,6 +4537,91 @@ def q_scd2_dimension(spark, sf_dir):
     return read_snapshot(spark, path)
 
 
+@_register(
+    "skew_salted_join",
+    "SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty"
+    " FROM (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0"
+    "   ELSE l_orderkey % 25 END AS k, l_quantity FROM lineitem) b"
+    " JOIN nation ON n_nationkey = k"
+    " GROUP BY n_name",
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigation salted join (operators/skew.py — the
+    deterministic fallback when one key dominates so heavily even
+    AQE's skew split overwhelms an executor; the null-key /
+    power-law-entity case at 100 TB): 75% of lineitem rows are forced
+    onto key 0, the big side takes a per-row salt in [0,8), the tiny
+    dimension replicates once per salt, and the join runs on
+    (key, salt) so the hot key spreads across 8 tasks. The oracle is
+    the PLAIN unsalted join — the hash match proves salting is
+    semantically transparent (exact row multiplicity), which is the
+    entire contract of the technique."""
+    from minisql_engine_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("bigint")
+        .alias("k"),
+        "l_quantity",
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"), "n_name"
+    )
+    return salted_join(li, nat, "k", n_salts=8).groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        R.exact_sum("l_quantity", "sum_qty"),
+    )
+
+
+@_register(
+    "snapshot_compaction",
+    "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+)
+def q_snapshot_compaction(spark, sf_dir):
+    """Lakehouse small-file compaction cycle (sources/snapshots.py):
+    three append commits accumulate three data dirs (the 100 TB
+    ingest path — appends never read or rewrite an existing byte,
+    so scan cost grows with FILE COUNT, not bytes), then
+    ``compact_snapshot`` rewrites the live content into one
+    bin-packed dir as a new content-identical version. The query
+    RAISES unless the compacted manifest really holds a single data
+    dir (executed-layout gate, like snapshot_merge_pruned's
+    carried-files check), and the oracle is simply the full table —
+    content identity across the rewrite is the whole contract.
+    Old versions still time-travel to the pre-compaction layout."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.snapshots import (
+        _read_manifest,
+        append_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tag = hashlib.md5(("compact" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_cmp_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), path)
+    for rem in (1, 2):
+        append_snapshot(docs.filter(F.col("doc_id") % 3 == rem), path)
+    if len(_read_manifest(path, 3)["data_dirs"]) != 3:
+        raise RuntimeError("appends did not accumulate 3 data dirs")
+    v = compact_snapshot(spark, path)
+    if len(_read_manifest(path, v)["data_dirs"]) != 1:
+        raise RuntimeError(
+            "compaction did not produce a single data dir"
+        )
+    return read_snapshot(spark, path).select("doc_id", "text", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -4701,12 +4786,24 @@ _ARCHIVED: frozenset[str] = frozenset(
         # stats_corr) plus stats_quantiles' archived parity for the
         # exact-quantile arithmetic winsorize shares.
         "winsorize_clip",
+        # third r7 batch — room for skew_salted_join +
+        # snapshot_compaction: quality_rules is hash-green r5s3–r7 and
+        # its full rule-report SQL now replays inside BOTH funnel
+        # driver rows (llm_curation_funnel, streaming_curate_funnel);
+        # rolling_features is hash-green r5s3–r7 and the timeseries
+        # family keeps cohort_retention live plus resample/asof
+        # archived parity.
+        "quality_rules",
+        "rolling_features",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r7 third batch — never driver-checked
+    "skew_salted_join",
+    "snapshot_compaction",
     # r7 wave — brand new driver rows, never driver-checked
     "dedup_index_admission",
     "image_near_dups",

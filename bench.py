@@ -124,6 +124,9 @@ HEADLINE = (
     "embedding_drift",
     "drift_from_views",
     "bpe_apply_trie",
+    # r7 third batch: salting transparency + compaction cycle
+    "skew_salted_join",
+    "snapshot_compaction",
 )
 
 
