@@ -4556,7 +4556,12 @@ def q_skew_salted_join(spark, sf_dir):
     (key, salt) so the hot key spreads across 8 tasks. The oracle is
     the PLAIN unsalted join — the hash match proves salting is
     semantically transparent (exact row multiplicity), which is the
-    entire contract of the technique."""
+    entire contract of the technique. The small side carries a
+    shuffle-merge hint: Catalyst would otherwise broadcast the tiny
+    dimension and no key would shuffle at all — the row pins the
+    SHUFFLED path, the one where a hot key actually melts an
+    executor and the salt actually spreads it (plan-gated in
+    test_plans.py: join keys include _salt)."""
     from minisql_engine_spark.operators.skew import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -4569,7 +4574,9 @@ def q_skew_salted_join(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("bigint").alias("k"), "n_name"
     )
-    return salted_join(li, nat, "k", n_salts=8).groupBy("n_name").agg(
+    return salted_join(
+        li, nat.hint("merge"), "k", n_salts=8
+    ).groupBy("n_name").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         R.exact_sum("l_quantity", "sum_qty"),
     )

@@ -651,3 +651,20 @@ def test_audio_near_dups_candidates_equi_join(spark, sf_dir):
     plan = plan_of(cand)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark, sf_dir):
+    """The skew_salted_join driver row must run the SHUFFLED join path
+    (shuffle-merge hint — a broadcast would sidestep skew entirely)
+    with _salt in the partitioning keys, so the dominant key's rows
+    spread across n_salts tasks instead of melting one."""
+    import importlib
+
+    em = importlib.import_module("__spark_entry__")
+    plan = plan_of(em.queries()["skew_salted_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
+    import re
+
+    part_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("_salt" in k for k in part_keys), part_keys
