@@ -124,9 +124,11 @@ HEADLINE = (
     "embedding_drift",
     "drift_from_views",
     "bpe_apply_trie",
-    # r7 third batch: salting transparency + compaction cycle
+    # r7 third batch: salting transparency + compaction cycle +
+    # multi-dimensional clustered layout
     "skew_salted_join",
     "snapshot_compaction",
+    "zorder_pruned_scan",
 )
 
 
