@@ -4629,6 +4629,90 @@ def q_snapshot_compaction(spark, sf_dir):
     return read_snapshot(spark, path).select("doc_id", "text", "lang")
 
 
+#: fixed staging path for the JSONL fixture — constant (not sf-keyed)
+#: because the ORACLE string must embed it at import time; the query
+#: (re)writes the file from its own sf_dir immediately before the
+#: driver/parity harness runs the oracle, so both engines always
+#: parse the same bytes.
+_JSONL_STAGE = os.path.join("/tmp", "minisql_jsonl_fixture")
+
+
+@_register(
+    "jsonl_corrupt_capture",
+    "SELECT doc_id, lang, text, n_chars FROM read_json("
+    f"'{_JSONL_STAGE}/data.jsonl', format='newline_delimited',"
+    " ignore_errors=true, columns={doc_id: 'BIGINT',"
+    " lang: 'VARCHAR', text: 'VARCHAR', n_chars: 'BIGINT'})"
+    " WHERE doc_id IS NOT NULL",
+)
+def q_jsonl_corrupt_capture(spark, sf_dir):
+    """Schema-explicit JSONL ingest with corrupt-row capture
+    (sources/writers.read_jsonl — the crawl-drop format every LLM
+    pipeline ingests): 40 documents are serialized to JSON lines
+    with 3 deliberately-corrupt lines interleaved (brace garbage, a
+    truncated object, non-JSON text), then read back under an
+    explicit schema in PERMISSIVE mode — one pass, no inference
+    scan, corrupt rows landing in ``_corrupt_record`` instead of
+    failing the job or silently widening columns. The query RAISES
+    unless exactly 3 corrupt rows were captured and exactly 40
+    parsed (the capture contract); the hash gate then compares the
+    parsed relation against DuckDB parsing the SAME staged bytes
+    (ignore_errors turns its corrupt lines into all-NULL rows,
+    filtered on the NOT NULL key both engines agree on)."""
+    import json as _json
+
+    from minisql_engine_spark.sources.writers import read_jsonl
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()  # bounded: 40 rows by contract
+    )
+    # each corrupt line must FAIL WITHIN ITS LINE in both engines: a
+    # truncated object ('{"doc_id":') makes DuckDB's reader consume
+    # the NEXT (good) line as continuation, silently eating a record
+    corrupt = ["}{", '{"doc_id": oops}', "this line is not json"]
+    os.makedirs(_JSONL_STAGE, exist_ok=True)
+    with open(os.path.join(_JSONL_STAGE, "data.jsonl"), "w") as f:
+        for i, r in enumerate(docs):
+            if i % 13 == 5:
+                f.write(corrupt[(i // 13) % len(corrupt)] + "\n")
+            f.write(
+                _json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "lang": r["lang"],
+                        "text": r["text"],
+                        "n_chars": r["n_chars"],
+                    }
+                )
+                + "\n"
+            )
+    raw = read_jsonl(
+        spark,
+        os.path.join(_JSONL_STAGE, "data.jsonl"),
+        schema="doc_id bigint, lang string, text string,"
+        " n_chars bigint, _corrupt_record string",
+    ).persist()  # Spark disallows corrupt-column-only queries on the
+    # raw lazy read; the persist also makes it one file pass
+    try:
+        n_bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        good = raw.filter(F.col("_corrupt_record").isNull()).select(
+            "doc_id", "lang", "text", "n_chars"
+        )
+        n_good = good.count()
+        if n_bad != 3 or n_good != 40:
+            raise RuntimeError(
+                f"corrupt-row capture broke: {n_bad} corrupt /"
+                f" {n_good} parsed (want 3 / 40)"
+            )
+        return good.localCheckpoint(eager=True)
+    finally:
+        raw.unpersist()
+
+
 @_register(
     "zorder_pruned_scan",
     "WITH mm AS (SELECT min(o_totalprice) AS mn,"
@@ -4875,6 +4959,10 @@ _ARCHIVED: frozenset[str] = frozenset(
         # hash-green r5s3–r7 and the span-cut machinery replays
         # inside llm_curation_funnel's oracle chain every round.
         "duplicate_spans",
+        # + jsonl_corrupt_capture (same batch): mad_outlier_flags is
+        # hash-green r5s4–r7 and the stats family keeps
+        # hist_quantiles, profile_events, and stats_corr live.
+        "mad_outlier_flags",
     }
 )
 
@@ -4885,6 +4973,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "skew_salted_join",
     "snapshot_compaction",
     "zorder_pruned_scan",
+    "jsonl_corrupt_capture",
     # r7 wave — brand new driver rows, never driver-checked
     "dedup_index_admission",
     "image_near_dups",

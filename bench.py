@@ -129,6 +129,7 @@ HEADLINE = (
     "skew_salted_join",
     "snapshot_compaction",
     "zorder_pruned_scan",
+    "jsonl_corrupt_capture",
 )
 
 
