@@ -4629,6 +4629,61 @@ def q_snapshot_compaction(spark, sf_dir):
     return read_snapshot(spark, path).select("doc_id", "text", "lang")
 
 
+@_register("ivf_index_maintenance", _ivf_oracle("(5,6,7,8,9)", 2, None))
+def q_ivf_index_maintenance(spark, sf_dir):
+    """IVF index MAINTENANCE life cycle (operators/ann_index.py —
+    what actually happens to an ANN index in production): build from
+    2/3 of the corpus, append the remaining third in two batches
+    against the FROZEN centroids (appends never retrain — the 100 TB
+    ingest path), then compact when a cell exceeds its bound —
+    re-training the coarse quantizer over the full stored corpus and
+    rewriting the cell layout. The query RAISES unless compaction
+    actually triggered and reported its before/after drift record.
+    Because stored vectors are the exact doubles the embeddings cast
+    to, a compacted index is bit-identical to a fresh full-corpus
+    build — so the SAME Lloyd-replay oracle that certifies
+    ivf_index_search certifies the whole grow→compact→search cycle
+    (queries 5–9, disjoint from that entry's 0–4)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.operators.ann_index import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_cell_stats,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+    from minisql_engine_spark.operators.similarity import (
+        clear_centroid_cache,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(("ivfmaint" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_ivfm_{tag}")
+    # rebuilt every call — the grow→compact cycle IS the operator
+    shutil.rmtree(path, ignore_errors=True)
+    i = F.col("vec_id")
+    write_ivf_index(emb.filter(i % 3 != 0), path, refine_iters=2)
+    clear_centroid_cache()
+    append_to_ivf_index(emb.filter(i % 6 == 0), path)
+    append_to_ivf_index(emb.filter(i % 6 == 3), path)
+    big = max(
+        r["n_vectors"]
+        for r in ivf_cell_stats(spark, path).collect()
+    )
+    rep = compact_ivf_index(spark, path, max_cell_size=big - 1)
+    clear_centroid_cache()
+    if not rep["compacted"] or rep["mean_dist_after"] is None:
+        raise RuntimeError(
+            f"compaction did not trigger/report: {rep!r}"
+        )
+    queries = emb.filter(i.isin([5, 6, 7, 8, 9]))
+    out = ivf_index_topk(spark, path, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 #: fixed staging path for the JSONL fixture — constant (not sf-keyed)
 #: because the ORACLE string must embed it at import time; the query
 #: (re)writes the file from its own sf_dir immediately before the
@@ -4963,6 +5018,12 @@ _ARCHIVED: frozenset[str] = frozenset(
         # hash-green r5s4–r7 and the stats family keeps
         # hist_quantiles, profile_events, and stats_corr live.
         "mad_outlier_flags",
+        # + ivf_index_maintenance (same batch): stats_corr is
+        # hash-green r5s3–r7, the most expensive remaining stats row
+        # (documented DECIMAL(38,12) trade), and the family keeps
+        # hist_quantiles + profile_events live; the exact-corr
+        # arithmetic stays parity-tested via the archive each run.
+        "stats_corr",
     }
 )
 
@@ -4974,6 +5035,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "snapshot_compaction",
     "zorder_pruned_scan",
     "jsonl_corrupt_capture",
+    "ivf_index_maintenance",
     # r7 wave — brand new driver rows, never driver-checked
     "dedup_index_admission",
     "image_near_dups",

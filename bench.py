@@ -130,6 +130,7 @@ HEADLINE = (
     "snapshot_compaction",
     "zorder_pruned_scan",
     "jsonl_corrupt_capture",
+    "ivf_index_maintenance",
 )
 
 
