@@ -4665,7 +4665,12 @@ def q_ivf_index_maintenance(spark, sf_dir):
     # rebuilt every call — the grow→compact cycle IS the operator
     shutil.rmtree(path, ignore_errors=True)
     i = F.col("vec_id")
-    write_ivf_index(emb.filter(i % 3 != 0), path, refine_iters=2)
+    # refine_iters=0 on the INITIAL build: the final layout depends
+    # only on compaction's own retraining (which uses the oracle's
+    # 2 Lloyd iterations over the full stored corpus), so refining
+    # centroids that compaction throws away would just double the
+    # training cost (measured: the cycle is Lloyd-bound)
+    write_ivf_index(emb.filter(i % 3 != 0), path, refine_iters=0)
     clear_centroid_cache()
     append_to_ivf_index(emb.filter(i % 6 == 0), path)
     append_to_ivf_index(emb.filter(i % 6 == 3), path)

@@ -130,7 +130,12 @@ HEADLINE = (
     "snapshot_compaction",
     "zorder_pruned_scan",
     "jsonl_corrupt_capture",
-    "ivf_index_maintenance",
+    # NOT ivf_index_maintenance: the grow→append→compact→search cycle
+    # runs TWO full Lloyd trainings + five sequential index writes
+    # (~7.5 s at sf0.1, job-count-bound, not plan-bound); its search
+    # path is already timed by emb_ivf_topk + ivf_index_search and
+    # the cycle itself is driver-hash-gated at sf0.01 every round —
+    # same reasoning as the pandas_group_features exclusion above.
 )
 
 
