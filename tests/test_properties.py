@@ -460,3 +460,31 @@ def test_bpe_trie_equals_chained_random(spark, texts, merges):
         .collect()
     }
     assert a == b
+
+
+@SLOW
+@given(
+    big=TABLE,
+    small=TABLE,
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_multiset_equals_plain_join(
+    spark, big, small, n_salts
+):
+    """salted_join must preserve EXACT row multiplicity vs the plain
+    join for any duplicate-key tables and any salt count — the
+    transparency contract the skew_salted_join driver row
+    hash-certifies at scale, here locked across the input space
+    (including empty sides and all-one-key skew)."""
+    from minisql_engine_spark.operators.skew import salted_join
+
+    b = _df(spark, big, ["k", "v"])
+    s = _df(spark, small, ["k", "w"])
+    got = Counter(
+        (r.k, r.v, r.w)
+        for r in salted_join(b, s, "k", n_salts=n_salts).collect()
+    )
+    want = Counter(
+        (r.k, r.v, r.w) for r in b.join(s, "k").collect()
+    )
+    assert got == want
