@@ -1289,17 +1289,17 @@ _MINHASH_CTE = (
 )
 
 
-@_register(
-    "dedup_minhash_lsh",
-    _MINHASH_CTE
-    + ", verified AS (SELECT id_a, id_b, jaccard FROM ("
+# verified pairs + transitive closure → min reachable id per node: the
+# oracle twin of operators/clustering.connected_components. Shared by
+# dedup_minhash_lsh and split_leakage_safe (the split assigns at
+# cluster granularity, so its oracle replays the same closure).
+_MINHASH_VERIFIED_COMP = (
+    ", verified AS (SELECT id_a, id_b, jaccard FROM ("
     "   SELECT i.id_a, i.id_b,"
     "    round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
     "   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a"
     "   JOIN sizes sb ON sb.doc_id = i.id_b)"
     "  WHERE jaccard >= 0.5),"
-    # transitive closure of the verified pairs → min reachable id per
-    # node: the oracle twin of operators/clustering.connected_components
     " nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM verified"
     "   UNION SELECT id_b FROM verified)),"
     " e2 AS (SELECT id_a AS s, id_b AS t FROM verified"
@@ -1307,7 +1307,14 @@ _MINHASH_CTE = (
     " reach(id, r) AS (SELECT id, id FROM nodes"
     "   UNION SELECT e2.t, reach.r FROM reach JOIN e2 ON e2.s = reach.id),"
     " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
-    " SELECT v.id_a, v.id_b, v.jaccard, c.component FROM verified v"
+)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    _MINHASH_CTE
+    + _MINHASH_VERIFIED_COMP
+    + " SELECT v.id_a, v.id_b, v.jaccard, c.component FROM verified v"
     " JOIN comp c ON c.id = v.id_a",
 )
 def q_dedup_minhash(spark, sf_dir):
@@ -4842,6 +4849,264 @@ def q_zorder_pruned_scan(spark, sf_dir):
     )
 
 
+# --- r8 wave: hybrid retrieval (RRF), leakage-safe splits, PageRank --------
+
+
+_HYBRID_QIDS = (100, 101, 102, 103, 104)
+_HYBRID_K_LIST = 20  # per-retriever list depth fed into the fusion
+_HYBRID_K = 10       # fused top-k returned
+
+
+def _hybrid_oracle() -> str:
+    from minisql_engine_spark.operators.retrieval import (
+        RRF_K,
+        RRF_UNIT,
+        bm25_ranked_cte_sql,
+    )
+
+    ids = ",".join(str(i) for i in _HYBRID_QIDS)
+    return (
+        f"WITH dn AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),"
+        " q AS (SELECT CAST(doc_id AS VARCHAR) AS query_id,"
+        "  array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' ')"
+        f"  AS query_text FROM dn WHERE doc_id IN ({ids})),"
+        + bm25_ranked_cte_sql(q_cte="q")
+        + ", ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "   FROM embeddings),"
+        f" dq AS (SELECT vec_id AS qid, v AS qv FROM ev"
+        f"  WHERE vec_id IN ({ids})),"
+        " de_scored AS (SELECT CAST(qid AS VARCHAR) AS query_id,"
+        "  vec_id AS doc_id,"
+        "  round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))"
+        "   * sqrt(list_dot_product(v, v))), 6) AS score"
+        "  FROM ev CROSS JOIN dq WHERE vec_id != qid),"
+        " de_ranked AS (SELECT query_id, doc_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank"
+        "  FROM de_scored),"
+        f" fu AS (SELECT query_id, doc_id, {RRF_UNIT} // ({RRF_K} + rank)"
+        f"   AS c FROM bm25_ranked WHERE rank <= {_HYBRID_K_LIST}"
+        f"  UNION ALL SELECT query_id, doc_id, {RRF_UNIT} // ({RRF_K} + rank)"
+        f"   FROM de_ranked WHERE rank <= {_HYBRID_K_LIST}),"
+        " fused AS (SELECT query_id, doc_id,"
+        "  CAST(sum(c) AS BIGINT) AS rrf_units,"
+        "  CAST(count(*) AS BIGINT) AS n_lists"
+        "  FROM fu GROUP BY query_id, doc_id)"
+        " SELECT query_id, doc_id, rrf_units, n_lists,"
+        "  CAST(fused_rank AS INT) AS fused_rank FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY rrf_units DESC, doc_id) AS fused_rank FROM fused)"
+        f" WHERE fused_rank <= {_HYBRID_K}"
+    )
+
+
+@_register("hybrid_rrf_retrieval", _hybrid_oracle())
+def q_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (§2.4 retrieval
+    family): a lexical BM25 list and a dense cosine list per query,
+    fused with integer-exact RRF (operators/retrieval.rrf_fuse).
+    Query text is DERIVED in-plan (first 8 normalized tokens of the
+    query document) and the query vector is the matching embeddings
+    row, so the oracle replays both retrievers AND the fusion with no
+    literals. The two lists disagree by construction (synthetic
+    embeddings are independent of the text) — exactly the condition
+    under which fusion arithmetic, tie-breaks, and the consensus
+    count (n_lists) are all load-bearing. Reference contrast:
+    sqlengine.py has no retrieval surface at all."""
+    from minisql_engine_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from minisql_engine_spark.operators.similarity import brute_force_topk
+    from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = (
+        docs.filter(F.col("doc_id").isin(list(_HYBRID_QIDS)))
+        .select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.array_join(
+                F.slice(_ws_tokens(_norm_text(F.col("text"))), 1, 8), " "
+            ).alias("query_text"),
+        )
+    )
+    sparse = bm25_topk(docs, qdf, k=_HYBRID_K_LIST).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=list(_HYBRID_QIDS),
+        k=_HYBRID_K_LIST,
+    ).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([sparse, dense], k=_HYBRID_K)
+
+
+@_register(
+    "split_leakage_safe",
+    _MINHASH_CTE
+    + _MINHASH_VERIFIED_COMP
+    + ", rep AS (SELECT d2.doc_id,"
+    "   CAST(coalesce(c.component, d2.doc_id) AS BIGINT) AS rep"
+    "   FROM documents d2 LEFT JOIN comp c ON c.id = d2.doc_id),"
+    " bkt AS (SELECT doc_id, rep,"
+    "   (CAST(list_sum([(strpos('0123456789abcdef',"
+    "    substr(md5(CAST(rep AS VARCHAR)), i, 1)) - 1)"
+    "    * power(16, 8 - i) for i in range(1, 9)]) AS BIGINT)"
+    "    % 10) AS bucket FROM rep)"
+    " SELECT doc_id, rep, bucket,"
+    "  CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'"
+    "  ELSE 'test' END AS split FROM bkt",
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/splits.py):
+    near-dup clusters (MinHash+LSH pairs → connected components) are
+    assigned WHOLE to one split via an md5 bucket of the cluster
+    representative — the decontaminated-split operation every
+    training corpus needs. The oracle replays pairs, closure, md5
+    bucket arithmetic, and the split mapping; the in-query gates
+    re-check the leakage contract structurally (a straddling pair
+    raises) and non-vacuously (at least one multi-doc cluster must
+    exist). Reference contrast: sqlengine.py has no sampling/split
+    surface."""
+    from pyspark.storagelevel import StorageLevel
+
+    from minisql_engine_spark.operators.dedup import (
+        _FPS_CACHE,
+        minhash_lsh_dedup,
+    )
+    from minisql_engine_spark.operators.splits import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _FPS_CACHE.append(pairs)
+    out = leakage_safe_split(docs, pairs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _FPS_CACHE.append(out)
+    straddle = (
+        pairs.select("id_a", "id_b")
+        .join(
+            out.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            out.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("int")
+            ).alias("n_straddle"),
+        )
+        .collect()[0]
+    )
+    if straddle["n_pairs"] == 0:
+        raise RuntimeError(
+            "no near-dup pairs at sf — the leakage gate is vacuous"
+        )
+    if straddle["n_straddle"]:
+        raise RuntimeError(
+            f"{straddle['n_straddle']} near-dup pairs straddle splits "
+            "— cluster-granularity assignment regressed"
+        )
+    return out
+
+
+_PAGERANK_ITERS = 6
+_PAGERANK_TOP = 25
+
+
+def _pagerank_oracle() -> str:
+    from minisql_engine_spark.operators.graph import pagerank_ctes_sql
+
+    edges_cte = (
+        "WITH be AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR)"
+        "  AS src, 's' || CAST(l.l_suppkey AS VARCHAR) AS dst"
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
+        " SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be"
+    )
+    return (
+        "WITH "
+        + pagerank_ctes_sql(edges_cte, n_iter=_PAGERANK_ITERS)
+        + " SELECT node, pr_units, CAST(pos AS INT) AS pos FROM"
+        " (SELECT node, rank AS pr_units,"
+        "  row_number() OVER (ORDER BY rank DESC, node) AS pos"
+        f"  FROM pr{_PAGERANK_ITERS})"
+        f" WHERE pos <= {_PAGERANK_TOP}"
+    )
+
+
+@_register("pagerank_customer_supplier", _pagerank_oracle())
+def q_pagerank_customer_supplier(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.py) over the symmetric
+    customer–supplier trade graph (distinct (custkey, suppkey) edges
+    from orders ⋈ lineitem, both directions): 6 Pregel-as-join
+    iterations, fixed-point units, every floor-division replayed in
+    the oracle's chained CTEs — the iterative-graph-analytics family
+    (entity ranking over link structure) verified end-to-end. An
+    in-query gate checks rank-mass conservation (Σ pr_units within
+    the documented floor-leak bound of SCALE). Reference contrast:
+    sqlengine.py has no iterative operators."""
+    from pyspark.sql.window import Window
+
+    from minisql_engine_spark.operators.graph import (
+        SCALE,
+        _PR_CACHE,
+        pagerank,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    base = (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            F.concat(
+                F.lit("c"), F.col("o_custkey").cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("s"), F.col("l_suppkey").cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=_PAGERANK_ITERS).persist()
+    _PR_CACHE.append(pr)
+    mass = pr.agg(
+        F.sum("pr_units").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    # each iteration floors once per edge plus once for the teleport
+    # term per node; 1% of SCALE is orders of magnitude above any
+    # real graph's leak and catches arithmetic regressions
+    if not (SCALE * 0.99 <= mass["m"] <= SCALE):
+        raise RuntimeError(
+            f"rank mass {mass['m']} outside the floor-leak bound "
+            f"for SCALE={SCALE}, n={mass['n']}"
+        )
+    w = Window.orderBy(F.col("pr_units").desc(), F.col("node"))
+    return (
+        pr.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _PAGERANK_TOP)
+        .select("node", "pr_units", F.col("pos").cast("int").alias("pos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -5029,12 +5294,38 @@ _ARCHIVED: frozenset[str] = frozenset(
         # hist_quantiles + profile_events live; the exact-corr
         # arithmetic stays parity-tested via the archive each run.
         "stats_corr",
+        # r8 wave — room for hybrid_rrf_retrieval + split_leakage_safe
+        # + pagerank_customer_supplier. All three rotated names are
+        # hash-green ≥2 consecutive driver rounds (r5–r7) and their
+        # families keep richer live rows: editsim_pairs' SymSpell
+        # neighborhood machinery stays pytest- and archive-verified
+        # while dedup keeps simhash/semantic/spans + both admission
+        # cycles live; stats_quantiles' exact-quantile arithmetic
+        # replays inside hist_quantiles (live) and winsorize_clip
+        # (archived); timeseries_resample's family keeps
+        # cohort_retention live plus rolling/asof archived parity.
+        "editsim_pairs",
+        # (stats_quantiles / timeseries_resample were already parked
+        # in earlier waves — the r8 slots come from these two:)
+        # bm25_retrieval's statistics, formula, and ranking replay
+        # VERBATIM inside hybrid_rrf_retrieval's oracle (the
+        # bm25_ranked CTE chain is the shared builder), so the lexical
+        # retriever keeps a richer driver row; frequent_tokens is
+        # hash-green r5–r7 and the frequency-sketch family keeps
+        # cms_frequency live plus the SpaceSaving arithmetic in
+        # archive parity.
+        "bm25_retrieval",
+        "frequent_tokens",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r8 wave — brand new driver rows, never driver-checked
+    "hybrid_rrf_retrieval",
+    "split_leakage_safe",
+    "pagerank_customer_supplier",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

@@ -1,0 +1,197 @@
+"""Iterative graph analytics over DataFrame edge lists: PageRank.
+
+A large-scale curation pipeline ranks entities by link structure —
+domains by hyperlinks, documents by citation, users by interaction —
+and the canonical algorithm is PageRank. The engine's variant is
+**integer-exact**: ranks live in fixed-point units (``SCALE = 10**12``
+units = rank mass 1.0) and every per-edge contribution is a single
+integer floor-division, so the per-node sum is order-independent
+(exact integer addition commutes) and the whole iteration is
+bit-reproducible across any shuffle order — and therefore replayable
+in a SQL oracle as chained CTEs (``pagerank_ctes_sql``), the same
+verification style as the Lloyd/IVF and min-label-propagation
+replays. Floating-point PageRank cannot make that promise: ten
+iterations of double sums over a shuffled groupBy accumulate
+fold-order noise that no edge rounding absorbs.
+
+Semantics (damping ``d = 85/100``, documented rational, never a raw
+double):
+
+* ``r_0(v)   = SCALE DIV N`` for every node,
+* ``r_t+1(v) = (SCALE * 15) DIV (100 * N)
+              + sum over in-edges (u -> v) of
+                (r_t(u) * 85) DIV (100 * deg(u))``.
+
+Floor division leaks at most ``deg(u)`` units per node per iteration
+(the classic fixed-point mass leak), bounded and deterministic; the
+ranking — the product — is unaffected for any real graph because
+SCALE is 12 orders above the leak.
+
+Scale notes (100 TB):
+* The edge list (with out-degree attached) is persisted ONCE and is
+  the only large relation; every iteration shuffles just the
+  ``(node, rank)`` table — two longs per node — in one
+  join-on-src + groupBy-dst round, the Pregel-as-join shape.
+* Each iteration's rank table is ``localCheckpoint``-ed: ranks feed
+  the next join AND the convergence/monitor reads, and without a
+  lineage cut the logical plan doubles per round (measured failure
+  mode documented in clustering.py — same fix).
+* No dangling-node correction is needed when the caller passes a
+  symmetric edge list (every node then has out-degree >= 1); for
+  directed graphs the teleport term still keeps ranks finite, the
+  dangling mass simply leaks (documented; matching the oracle).
+
+Cites the reference only for contrast: ``sqlengine.py`` has no
+iterative operators; this is extension surface (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 1.0 of rank mass = 10**12 units
+SCALE = 10**12
+#: damping as a rational — numerator / denominator of d
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+# lifecycle parity with clustering._CC_CACHE: the persisted edge list
+# and the returned (localCheckpoint-backed) rank table are held here
+# so benchmarks can release them between runs
+_PR_CACHE: list = []
+
+
+def clear_graph_cache() -> None:
+    """Unpersist cached edge lists / drop rank-table references."""
+    for df in _PR_CACHE:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PR_CACHE.clear()
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, pr_units) after ``n_iter`` integer-exact PageRank
+    iterations over the (directed) ``edges`` relation. ``pr_units``
+    is in SCALE fixed-point units (divide by ``SCALE`` for the
+    conventional [0, 1] rank).
+
+    Pass a SYMMETRIC edge list for undirected graphs (both
+    directions present); nodes are everything appearing as ``src``
+    or ``dst``. Duplicate edges count twice — dedup upstream if the
+    graph is simple.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # edges carry their out-degree so each iteration is ONE join with
+    # the rank table, not two
+    ed = e.join(deg, "src").persist()
+    _PR_CACHE.append(ed)
+
+    # N and the teleport term, in-plan (single-row broadcast — the
+    # same shape as BM25's corpus stats; nothing collected)
+    stats = nodes.agg(F.count("*").alias("n_nodes")).select(
+        "n_nodes",
+        F.expr(f"({SCALE}L * {DAMP_DEN - DAMP_NUM}) DIV (100 * n_nodes)")
+        .alias("teleport"),
+        F.expr(f"{SCALE}L DIV n_nodes").alias("r0"),
+    )
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(stats))
+        .select("node", F.col("r0").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {DAMP_NUM}L) DIV ({DAMP_DEN}L * deg)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # left join from nodes: a node with no in-edges still gets
+        # the teleport term (cannot happen on symmetric inputs, but
+        # the directed contract must hold)
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "node",
+                (
+                    F.col("teleport")
+                    + F.coalesce(F.col("in_mass"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    _PR_CACHE.append(ranks)
+    return ranks.select("node", F.col("rank").alias("pr_units"))
+
+
+def pagerank_ctes_sql(
+    edges_cte: str,
+    n_iter: int = 8,
+) -> str:
+    """DuckDB CTE chain replaying :func:`pagerank` bit-for-bit.
+
+    ``edges_cte`` must be a CTE body producing ``(src, dst)`` as
+    VARCHAR. Returns CTE text defining ``pr{n_iter}(node, rank)``;
+    embed inside ``WITH <edges_cte_named 'pe'>, <this>`` and select
+    from ``pr{n_iter}``. Integer floor-div (``//``) matches Spark's
+    ``DIV`` for non-negative operands (see the simhash oracle note
+    on DuckDB CAST rounding — floor-div avoids it)."""
+    # MATERIALIZED on every multi-consumer CTE: pn/ped/pstats are read
+    # each iteration and pr{t} twice (contribution join + the next
+    # left join) — without the hint DuckDB may inline, doubling the
+    # plan per iteration (same reason the IVF oracle materializes its
+    # assignment CTE)
+    parts = [
+        f"pe AS MATERIALIZED ({edges_cte})",
+        "pn AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM pe UNION SELECT dst FROM pe))",
+        "pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM pe GROUP BY src)",
+        "ped AS MATERIALIZED (SELECT pe.src, pe.dst, pdeg.deg FROM pe"
+        " JOIN pdeg ON pe.src = pdeg.src)",
+        "pstats AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT)"
+        " AS n_nodes,"
+        f" ({SCALE} * {DAMP_DEN - DAMP_NUM}) // (100 * count(*))"
+        " AS teleport,"
+        f" {SCALE} // count(*) AS r0 FROM pn)",
+        "pr0 AS MATERIALIZED (SELECT node, CAST(r0 AS BIGINT) AS rank"
+        " FROM pn CROSS JOIN pstats)",
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"pc{t} AS (SELECT ped.dst AS node,"
+            f" sum((pr{t}.rank * {DAMP_NUM}) // ({DAMP_DEN} * ped.deg))"
+            " AS in_mass"
+            f" FROM ped JOIN pr{t} ON ped.src = pr{t}.node"
+            " GROUP BY ped.dst)"
+        )
+        parts.append(
+            f"pr{t + 1} AS MATERIALIZED (SELECT pn.node,"
+            " CAST(pstats.teleport + coalesce(pc.in_mass, 0) AS BIGINT)"
+            f" AS rank FROM pn LEFT JOIN pc{t} pc ON pn.node = pc.node"
+            " CROSS JOIN pstats)"
+        )
+    return ", ".join(parts)

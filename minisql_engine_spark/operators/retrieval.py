@@ -223,3 +223,121 @@ def bm25_topk_sql(
 def _sql_str(s: str) -> str:
     """Single-quoted SQL string literal (quotes doubled)."""
     return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF)
+# ---------------------------------------------------------------------------
+
+#: fixed-point unit for RRF contributions: 1.0 = 10**15 units, so a
+#: rank-r entry contributes RRF_UNIT DIV (rrf_k + r) — ONE integer
+#: floor-division, exact and identical in Spark and DuckDB. Summing
+#: doubles 1/(k+r) across a shuffle is fold-order-dependent at the
+#: last ulp; integer units make the fused score order-independent and
+#: bit-replayable (house style: see operators/graph.py SCALE).
+RRF_UNIT = 10**15
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, id_col, rrf_units, n_lists, fused_rank) — classic
+    reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    over any number of per-query ranked lists, each a DataFrame with
+    (query_id, id_col, rank), rank 1 = best.
+
+    ``rrf_units`` = Σ_lists RRF_UNIT DIV (rrf_k + rank) in fixed-point
+    units; ``n_lists`` counts how many input lists surfaced the item
+    (retrieval diagnostics: 2 = consensus hit). Final top-``k`` per
+    query, ties broken by ``id_col`` ascending.
+
+    Scale: each input list is already top-k-per-query sized (k·|q|
+    rows); the fusion is a union + one tiny hash aggregate + window
+    top-k — nothing corpus-sized enters the plan.
+    """
+    contrib = None
+    for df in ranked_lists:
+        part = df.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.col(id_col).cast("long").alias(id_col),
+            F.expr(f"{RRF_UNIT}L DIV ({rrf_k} + rank)").alias("c"),
+        )
+        contrib = part if contrib is None else contrib.unionByName(part)
+    if contrib is None:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c").alias("rrf_units"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_units").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "rrf_units",
+            "n_lists",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
+    )
+
+
+def bm25_ranked_cte_sql(
+    q_cte: str = "q",
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Composable DuckDB CTE text computing ``bm25_ranked(query_id,
+    {id_col}, score, rank)`` — the same statistics and formula as
+    :func:`bm25_topk_sql`, but taking its queries from an existing
+    CTE ``q_cte(query_id, query_text)`` so callers (the RRF hybrid
+    oracle) can DERIVE query text in SQL instead of passing literals.
+    Embed inside a WITH list; no top-k filter is applied here."""
+    return (
+        f" bm_toks AS (SELECT {id_col}, unnest(string_split("
+        f"  regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g'),"
+        f"  ' ')) AS token FROM {table} WHERE trim({text_col}) <> ''),"
+        f" bm_tf AS (SELECT {id_col}, token,"
+        "  CAST(count(*) AS BIGINT) AS tf FROM bm_toks"
+        f"  GROUP BY {id_col}, token),"
+        f" bm_dl AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS dl"
+        f"  FROM bm_tf GROUP BY {id_col}),"
+        " bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,"
+        "  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl"
+        "  FROM bm_dl),"
+        " bm_qterms AS (SELECT DISTINCT query_id, unnest(string_split("
+        "  regexp_replace(lower(trim(query_text)), '\\s+', ' ', 'g'),"
+        f"  ' ')) AS token FROM {q_cte}),"
+        " bm_tfq AS (SELECT bm_tf.* FROM bm_tf"
+        "  WHERE token IN (SELECT token FROM bm_qterms)),"
+        " bm_df AS (SELECT token, CAST(count(*) AS BIGINT) AS df"
+        "  FROM bm_tfq GROUP BY token),"
+        f" bm_scored AS (SELECT bm_qterms.query_id, bm_tfq.{id_col},"
+        "  round(sum("
+        "   ln(1.0 + (CAST(bm_stats.n_corpus - bm_df.df AS DOUBLE) + 0.5)"
+        "        / (CAST(bm_df.df AS DOUBLE) + 0.5))"
+        f"   * (CAST(bm_tfq.tf AS DOUBLE) * {k1 + 1.0!r}"
+        f"      / (CAST(bm_tfq.tf AS DOUBLE) + {k1!r}"
+        f"         * ({1.0 - b!r} + {b!r} * CAST(bm_dl.dl AS DOUBLE)"
+        "            / bm_stats.avgdl)))"
+        "  ), 6) AS score"
+        "  FROM bm_tfq JOIN bm_df ON bm_tfq.token = bm_df.token"
+        "  JOIN bm_qterms ON bm_tfq.token = bm_qterms.token"
+        f"  JOIN bm_dl ON bm_tfq.{id_col} = bm_dl.{id_col}"
+        "  CROSS JOIN bm_stats"
+        f"  GROUP BY bm_qterms.query_id, bm_tfq.{id_col}),"
+        f" bm25_ranked AS (SELECT query_id, {id_col}, score,"
+        "  CAST(rank AS INT) AS rank"
+        " FROM (SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"  ORDER BY score DESC, {id_col}) AS rank FROM bm_scored))"
+    )

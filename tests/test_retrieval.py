@@ -114,3 +114,64 @@ def test_lm_perplexity_uniform_single_doc(spark):
     # c(t)=1, T=4, V=4 → p = 2/8 = 0.25 → H = 2 bits → ppl = 4
     assert row.xent_bits == pytest.approx(2.0)
     assert row.ppl == pytest.approx(4.0)
+
+
+# --- RRF fusion -------------------------------------------------------------
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, rank int"
+    )
+
+
+def test_rrf_matches_python_replay(spark):
+    from minisql_engine_spark.operators.retrieval import (
+        RRF_K,
+        RRF_UNIT,
+        rrf_fuse,
+    )
+
+    a = [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)]
+    b = [("q", 3, 1), ("q", 4, 2), ("q", 1, 3)]
+    got = {
+        r["doc_id"]: (r["rrf_units"], r["n_lists"])
+        for r in rrf_fuse(
+            [_ranked(spark, a), _ranked(spark, b)], k=10
+        ).collect()
+    }
+    want: dict = {}
+    for rows in (a, b):
+        for _, d, rk in rows:
+            u, n = want.get(d, (0, 0))
+            want[d] = (u + RRF_UNIT // (RRF_K + rk), n + 1)
+    assert got == want
+
+
+def test_rrf_list_order_invariant_and_consensus_wins(spark):
+    from minisql_engine_spark.operators.retrieval import rrf_fuse
+
+    a = [("q", 1, 1), ("q", 7, 2)]
+    b = [("q", 2, 1), ("q", 7, 2)]
+    ab = rrf_fuse([_ranked(spark, a), _ranked(spark, b)], k=5).collect()
+    ba = rrf_fuse([_ranked(spark, b), _ranked(spark, a)], k=5).collect()
+    assert sorted(map(tuple, ab)) == sorted(map(tuple, ba))
+    top = min(ab, key=lambda r: r["fused_rank"])
+    # doc 7 appears in BOTH lists at rank 2: 2/(k+2) > 1/(k+1)
+    assert top["doc_id"] == 7 and top["n_lists"] == 2
+
+
+def test_rrf_tiebreak_by_doc_id(spark):
+    from minisql_engine_spark.operators.retrieval import rrf_fuse
+
+    a = [("q", 9, 1), ("q", 4, 2)]
+    b = [("q", 4, 1), ("q", 9, 2)]
+    out = rrf_fuse([_ranked(spark, a), _ranked(spark, b)], k=5).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])] == [4, 9]
+
+
+def test_rrf_requires_a_list(spark):
+    from minisql_engine_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
