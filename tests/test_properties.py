@@ -488,3 +488,52 @@ def test_salted_join_multiset_equals_plain_join(
         (r.k, r.v, r.w) for r in b.join(s, "k").collect()
     )
     assert got == want
+
+
+# --- integer PageRank ≡ driver-side replay on random graphs ----------------
+
+EDGE = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=6),
+)
+
+
+@given(
+    pairs=st.lists(EDGE, min_size=1, max_size=14),
+    iters=st.integers(min_value=0, max_value=4),
+)
+@SLOW
+def test_pagerank_matches_python_on_random_graphs(spark, pairs, iters):
+    """The distributed integer PageRank equals a driver-side Python
+    replay of the same floor arithmetic on arbitrary directed
+    multigraphs (self-loops, parallel edges, dangling sinks) — the
+    shuffle order can never change a single unit."""
+    from minisql_engine_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        SCALE,
+        clear_graph_cache,
+        pagerank,
+    )
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM)) // (100 * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: teleport for v in nodes}
+        for s, t in edges:
+            nxt[t] += (rank[s] * DAMP_NUM) // (DAMP_DEN * deg[s])
+        rank = nxt
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["pr_units"]
+        for r in pagerank(df, n_iter=iters).collect()
+    }
+    clear_graph_cache()
+    assert got == rank

@@ -97,3 +97,16 @@ def test_custom_bucket_weights(spark):
         want = "train" if b < 2 else ("val" if b == 2 else "test")
         assert r["split"] == want
     clear_clustering_cache()
+
+
+def test_split_plan_broadcasts_component_map(spark):
+    """The corpus-side left join must broadcast the pair-graph-sized
+    component map — the corpus itself never shuffles (the 100 TB
+    contract in the module docstring)."""
+    out = leakage_safe_split(
+        _docs(spark, 200), _pairs(spark, [(1, 2), (2, 3)])
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    clear_clustering_cache()
