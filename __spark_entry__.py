@@ -5024,6 +5024,77 @@ def q_split_leakage_safe(spark, sf_dir):
     return out
 
 
+_MMR_QIDS = (100, 101, 102, 103, 104)
+_MMR_SHORTLIST = 20
+_MMR_K = 8
+
+
+def _mmr_oracle() -> str:
+    from minisql_engine_spark.operators.mmr import mmr_ctes_sql
+    from minisql_engine_spark.operators.similarity import DUCK_COS
+
+    ids = ",".join(str(i) for i in _MMR_QIDS)
+    rel = DUCK_COS.format(a="mq.qv", b="me.v")
+    return (
+        "WITH me AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " mq AS (SELECT vec_id AS qid, v AS qv FROM me"
+        f"  WHERE vec_id IN ({ids})),"
+        " msc AS (SELECT CAST(qid AS VARCHAR) AS query_id,"
+        f"  vec_id AS doc_id, {rel} AS rel, me.v"
+        "  FROM me CROSS JOIN mq WHERE vec_id != qid),"
+        " mcand AS MATERIALIZED (SELECT query_id, doc_id, rel, v FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY rel DESC, doc_id) AS r FROM msc)"
+        f"  WHERE r <= {_MMR_SHORTLIST}),"
+        + mmr_ctes_sql(_MMR_K, cand_cte="mcand")
+        # round(score, 6) here is DuckDB's scaled-nearbyint double
+        # rounding; the pandas twin (_round6) replicates exactly that
+        # — MMR scores are 0.5*(a-b) of round-6 inputs, so ~half sit
+        # a hair off the 7th-digit-5 boundary where rounding-
+        # convention mismatches show up as 1e-6 flips (measured both
+        # ways before pinning this pair).
+        + " SELECT query_id, doc_id, rel, round(score, 6) AS mmr_score,"
+        f" CAST(sel_rank AS INT) AS sel_rank FROM msel{_MMR_K}"
+    )
+
+
+@_register("mmr_diverse_topk", _mmr_oracle())
+def q_mmr_diverse_topk(spark, sf_dir):
+    """MMR diversity re-ranking (operators/mmr.py): brute-force
+    cosine top-20 shortlist per query, then greedy maximal-marginal-
+    relevance selection of a diverse top-8 inside a grouped Arrow
+    applyInPandas — the custom-operator path for inherently
+    sequential per-group logic. The oracle unrolls all 8 greedy steps
+    as CTEs, replaying every argmax, tie-break, and the bit-identical
+    0.5*(rel - maxsim) double expression — so the Python loop itself
+    is hash-certified. Reference contrast: sqlengine.py has no
+    retrieval surface."""
+    from minisql_engine_spark.operators.mmr import mmr_rerank
+    from minisql_engine_spark.operators.similarity import (
+        _as_double,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(
+        emb, query_ids=list(_MMR_QIDS), k=_MMR_SHORTLIST
+    )
+    cands = topk.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col("embedding")).alias("v"),
+        ),
+        "neighbor_id",
+    ).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("score").alias("rel"),
+        "v",
+    )
+    return mmr_rerank(cands, k=_MMR_K)
+
+
 _PAGERANK_ITERS = 6
 _PAGERANK_TOP = 25
 
@@ -5031,16 +5102,23 @@ _PAGERANK_TOP = 25
 def _pagerank_oracle() -> str:
     from minisql_engine_spark.operators.graph import pagerank_ctes_sql
 
+    # integer node ids: even = customer 2k, odd = supplier 2k+1 —
+    # longs shuffle/hash far cheaper than 'c123' strings across the
+    # iteration joins (the same reason hash keys everywhere else in
+    # the package stay numeric)
     edges_cte = (
-        "WITH be AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR)"
-        "  AS src, 's' || CAST(l.l_suppkey AS VARCHAR) AS dst"
+        "WITH be AS (SELECT DISTINCT CAST(2 * o.o_custkey AS BIGINT)"
+        "  AS src, CAST(2 * l.l_suppkey + 1 AS BIGINT) AS dst"
         "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"
         " SELECT src, dst FROM be UNION ALL SELECT dst, src FROM be"
     )
     return (
         "WITH "
         + pagerank_ctes_sql(edges_cte, n_iter=_PAGERANK_ITERS)
-        + " SELECT node, pr_units, CAST(pos AS INT) AS pos FROM"
+        + " SELECT node, CASE WHEN node % 2 = 0"
+        "  THEN 'c' || CAST(node // 2 AS VARCHAR)"
+        "  ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,"
+        " pr_units, CAST(pos AS INT) AS pos FROM"
         " (SELECT node, rank AS pr_units,"
         "  row_number() OVER (ORDER BY rank DESC, node) AS pos"
         f"  FROM pr{_PAGERANK_ITERS})"
@@ -5069,24 +5147,34 @@ def q_pagerank_customer_supplier(spark, sf_dir):
 
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    base = (
+    # distinct on the INTEGER key pair, then ONE explode emits both
+    # directions — a union of base with base-swapped would execute
+    # the join+distinct subtree twice (measured ~2× the edge-build
+    # cost); node ids stay BIGINT (even = customer 2k, odd =
+    # supplier 2k+1) because longs shuffle/hash far cheaper than
+    # prefixed strings across the iteration joins
+    pairs = (
         lineitem.join(
             orders, F.col("l_orderkey") == F.col("o_orderkey")
         )
-        .select(
-            F.concat(
-                F.lit("c"), F.col("o_custkey").cast("string")
-            ).alias("src"),
-            F.concat(
-                F.lit("s"), F.col("l_suppkey").cast("string")
-            ).alias("dst"),
-        )
+        .select("o_custkey", "l_suppkey")
         .distinct()
     )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    pr = pagerank(edges, n_iter=_PAGERANK_ITERS).persist()
+    c = (F.lit(2) * F.col("o_custkey")).cast("long")
+    s = (F.lit(2) * F.col("l_suppkey") + 1).cast("long")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst")),
+                F.struct(s.alias("src"), c.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # customer+supplier node set is dimension-sized → broadcast the
+    # rank table each iteration; the cached edge list never reshuffles
+    pr = pagerank(
+        edges, n_iter=_PAGERANK_ITERS, broadcast_ranks=True
+    ).persist()
     _PR_CACHE.append(pr)
     mass = pr.agg(
         F.sum("pr_units").alias("m"), F.count("*").alias("n")
@@ -5100,10 +5188,19 @@ def q_pagerank_customer_supplier(spark, sf_dir):
             f"for SCALE={SCALE}, n={mass['n']}"
         )
     w = Window.orderBy(F.col("pr_units").desc(), F.col("node"))
+    entity = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node DIV 2").cast("string"),
+    )
     return (
         pr.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= _PAGERANK_TOP)
-        .select("node", "pr_units", F.col("pos").cast("int").alias("pos"))
+        .select(
+            "node",
+            entity.alias("entity"),
+            "pr_units",
+            F.col("pos").cast("int").alias("pos"),
+        )
     )
 
 
@@ -5316,6 +5413,11 @@ _ARCHIVED: frozenset[str] = frozenset(
         # archive parity.
         "bm25_retrieval",
         "frequent_tokens",
+        # + mmr_diverse_topk (same wave): hashvec_tfidf is hash-green
+        # r5s5–r7; the text→ANN bridge stays archive-parity-tested and
+        # its densified-vector consumers (cosine/IVF/PQ/LSH) all keep
+        # live driver rows.
+        "hashvec_tfidf",
     }
 )
 
@@ -5326,6 +5428,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "split_leakage_safe",
     "pagerank_customer_supplier",
+    "mmr_diverse_topk",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

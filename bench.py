@@ -136,10 +136,12 @@ HEADLINE = (
     # path is already timed by emb_ivf_topk + ivf_index_search and
     # the cycle itself is driver-hash-gated at sf0.01 every round —
     # same reasoning as the pandas_group_features exclusion above.
-    # r8: hybrid RRF retrieval, cluster-granularity splits, PageRank
+    # r8: hybrid RRF retrieval, cluster-granularity splits, PageRank,
+    # MMR diversity re-ranking
     "hybrid_rrf_retrieval",
     "split_leakage_safe",
     "pagerank_customer_supplier",
+    "mmr_diverse_topk",
 )
 
 

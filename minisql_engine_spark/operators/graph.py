@@ -77,6 +77,7 @@ def pagerank(
     n_iter: int = 8,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """(node, pr_units) after ``n_iter`` integer-exact PageRank
     iterations over the (directed) ``edges`` relation. ``pr_units``
@@ -87,29 +88,57 @@ def pagerank(
     directions present); nodes are everything appearing as ``src``
     or ``dst``. Duplicate edges count twice — dedup upstream if the
     graph is simple.
+
+    ``broadcast_ranks=True`` broadcasts the (node, rank) table into
+    each iteration's join instead of shuffling the cached edge list
+    against it — the right call when the node set is dimension-sized
+    (entity graphs: customers, suppliers, domains), cutting the
+    per-iteration shuffle from edge-sized to the partial-aggregate
+    partials. Leave False when |V| itself is beyond broadcast (web
+    graphs) — the co-partitioned join is the scale path there.
     """
+    # The caller's edge expression (often a join + distinct) feeds
+    # nodes, deg, AND the iteration edges — persist it once or the
+    # upstream subtree executes three times (measured 3 full
+    # lineitem-join passes on the driver entry before this cache).
+    # Node ids keep the caller's type: prefer INTEGER ids (longs
+    # hash/shuffle several times cheaper than strings across 6+
+    # iterations — encode entity kind in a bit, not a prefix char).
     e = edges.select(
-        F.col(src).cast("string").alias("src"),
-        F.col(dst).cast("string").alias("dst"),
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+    ).persist()
+    _PR_CACHE.append(e)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edges carry their out-degree so each iteration is ONE join with
     # the rank table, not two
     ed = e.join(deg, "src").persist()
     _PR_CACHE.append(ed)
+    # nodes and the 1-row stats are consumed TWICE PER ITERATION
+    # (left join + teleport crossJoin) — localCheckpoint both so the
+    # per-iteration plan reads materialized tables instead of
+    # re-running the distinct/aggregate subtrees every round
+    # (measured: 9.1 s → see PLANS_r8; same lineage rule as
+    # clustering.py).
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # N and the teleport term, in-plan (single-row broadcast — the
     # same shape as BM25's corpus stats; nothing collected)
-    stats = nodes.agg(F.count("*").alias("n_nodes")).select(
-        "n_nodes",
-        F.expr(f"({SCALE}L * {DAMP_DEN - DAMP_NUM}) DIV (100 * n_nodes)")
-        .alias("teleport"),
-        F.expr(f"{SCALE}L DIV n_nodes").alias("r0"),
+    stats = (
+        nodes.agg(F.count("*").alias("n_nodes"))
+        .select(
+            "n_nodes",
+            F.expr(
+                f"({SCALE}L * {DAMP_DEN - DAMP_NUM}) DIV (100 * n_nodes)"
+            ).alias("teleport"),
+            F.expr(f"{SCALE}L DIV n_nodes").alias("r0"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     ranks = (
@@ -117,9 +146,10 @@ def pagerank(
         .select("node", F.col("r0").alias("rank"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
+            ed.join(rk, ed["src"] == rk["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank * {DAMP_NUM}L) DIV ({DAMP_DEN}L * deg)")
@@ -141,8 +171,16 @@ def pagerank(
                     + F.coalesce(F.col("in_mass"), F.lit(0))
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # ranks_t is referenced ONCE per round (the contribution
+        # join), so the lineage grows LINEARLY — unlike the label
+        # tables in clustering.py, which double. Checkpoint every few
+        # rounds to bound planning cost without paying a
+        # materialization job per iteration (each eager checkpoint is
+        # a full scheduled job; 6 of them dominated the driver entry's
+        # warm time before this batching).
+        if (it + 1) % 3 == 0 and it + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     _PR_CACHE.append(ranks)
     return ranks.select("node", F.col("rank").alias("pr_units"))
 
@@ -153,8 +191,9 @@ def pagerank_ctes_sql(
 ) -> str:
     """DuckDB CTE chain replaying :func:`pagerank` bit-for-bit.
 
-    ``edges_cte`` must be a CTE body producing ``(src, dst)`` as
-    VARCHAR. Returns CTE text defining ``pr{n_iter}(node, rank)``;
+    ``edges_cte`` must be a CTE body producing ``(src, dst)`` with
+    the same types the Spark side used (integer ids preferred).
+    Returns CTE text defining ``pr{n_iter}(node, rank)``;
     embed inside ``WITH <edges_cte_named 'pe'>, <this>`` and select
     from ``pr{n_iter}``. Integer floor-div (``//``) matches Spark's
     ``DIV`` for non-negative operands (see the simhash oracle note
