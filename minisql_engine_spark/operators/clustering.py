@@ -162,3 +162,101 @@ def dedup_clusters(
         F.col("id").alias("member_id"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> tuple[DataFrame, int]:
+    """(labels, rounds): the alternating star-contraction connected
+    components of Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14) — the O(log n)-ROUND upgrade over
+    :func:`connected_components` for adversarial diameters (a chain
+    of n near-dup docs needs ~n propagation rounds but ~log n
+    contraction rounds). Returns the same (id, component) surface
+    with component = min id of the component, plus the round count —
+    callers (and the equivalence property test) can assert the
+    logarithmic behavior.
+
+    One round = large-star then small-star:
+
+    * large-star centers every node u over its full neighborhood and
+      rewires each STRICTLY LARGER neighbor to m = min(N(u) + {u});
+    * small-star directs every edge high→low, centers u over its
+      smaller-or-equal neighbors S, and rewires S + {u} to min(S).
+
+    Both are a groupBy-min + an equi-join — no collect_list, so a
+    celebrity hub never materializes its neighborhood in one task;
+    the per-round shuffles are edge-sized with map-side partial mins.
+    Each round's edge set is localCheckpoint-ed (it feeds the min
+    aggregate AND the rewire join — the same doubling-lineage rule as
+    the propagation loop). Convergence = the edge set is exactly the
+    star forest, witnessed by an anti-join emptiness check (count
+    equality alone could alias a swap).
+    """
+    fwd = pairs.select(
+        F.col(id_a).cast("long").alias("u"),
+        F.col(id_b).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    # canonical high→low orientation, deduped
+    e = (
+        fwd.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # --- large-star over the SYMMETRIC neighborhood ------------
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # --- small-star on the high→low orientation ----------------
+        # after large-star every emitted edge is already (higher,
+        # lower); center u over its smaller neighbors S: min(S) = mn
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        rewired = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        centers = smins.select("u", F.col("mn").alias("v"))
+        new_e = rewired.union(centers).distinct().localCheckpoint()
+        # --- fixpoint: edge sets identical (order-free) ------------
+        if (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).count() == 0
+        ):
+            e = new_e
+            break
+        e = new_e
+    else:
+        warnings.warn(
+            f"connected_components_star: not converged after "
+            f"{max_rounds} rounds"
+        )
+    # e is now a star forest (child → root): components are the
+    # roots; every child labels with its root, every root with itself
+    labels = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .union(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    _CC_CACHE.append(labels)
+    return labels, rounds

@@ -142,3 +142,68 @@ def test_cc_equals_union_find(spark, pairs):
     }
     clear_clustering_cache()
     assert got == _union_find_components(pairs)
+
+
+# --- alternating star contraction (Kiveris SoCC'14) -------------------------
+
+
+def test_star_contraction_equals_propagation_basic(spark):
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(1, 2), (2, 3), (10, 11), (40, 41), (41, 42), (5, 5)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    got_df, rounds = connected_components_star(df)
+    got = {(r["id"], r["component"]) for r in got_df.collect()}
+    # the propagation version includes self-loop node 5; star
+    # contraction drops self-loops (a node with only a self-edge is
+    # a singleton, same contract as no edge at all)
+    want = {t for t in want if t != (5, 5)}
+    assert got == want
+    assert rounds <= 5
+    clear_clustering_cache()
+
+
+def test_star_contraction_chain_is_logarithmic(spark):
+    """A 60-node path needs ~60 label-propagation rounds but only
+    O(log n) contraction rounds — the adversarial-diameter scale
+    claim, measured."""
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+        connected_components_star,
+    )
+
+    n = 60
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(df)
+    rows = labels.collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n + 1
+    assert rounds <= 14, rounds
+    clear_clustering_cache()
+
+
+def test_star_contraction_empty_and_single_edge(spark):
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    labels, _ = connected_components_star(empty)
+    assert labels.count() == 0
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    labels, rounds = connected_components_star(one)
+    assert {
+        (r["id"], r["component"]) for r in labels.collect()
+    } == {(7, 3), (3, 3)}
+    clear_clustering_cache()

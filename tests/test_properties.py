@@ -537,3 +537,38 @@ def test_pagerank_matches_python_on_random_graphs(spark, pairs, iters):
     }
     clear_graph_cache()
     assert got == rank
+
+
+# --- star-contraction CC ≡ min-label propagation on random graphs ----------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_star_contraction_equals_propagation_random(spark, pairs):
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+        connected_components,
+        connected_components_star,
+    )
+
+    real = [(a, b) for a, b in pairs if a != b]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "id_a long, id_b long")
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    got_df, _ = connected_components_star(df)
+    got = {(r["id"], r["component"]) for r in got_df.collect()}
+    clear_clustering_cache()
+    assert got == want
