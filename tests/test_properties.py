@@ -572,3 +572,44 @@ def test_star_contraction_equals_propagation_random(spark, pairs):
     got = {(r["id"], r["component"]) for r in got_df.collect()}
     clear_clustering_cache()
     assert got == want
+
+
+# --- RRF fusion ≡ driver-side replay on random ranked lists ----------------
+
+RANKED_LIST = st.lists(
+    st.integers(min_value=0, max_value=9), min_size=1, max_size=8, unique=True
+)
+
+
+@given(lists=st.lists(RANKED_LIST, min_size=1, max_size=3))
+@SLOW
+def test_rrf_fuse_matches_python_on_random_lists(spark, lists):
+    """Integer RRF fusion over arbitrary ranked lists equals the
+    Python fold: per-doc unit sums, consensus counts, and the
+    (units desc, doc asc) ranking — list order never matters."""
+    from minisql_engine_spark.operators.retrieval import (
+        RRF_K,
+        RRF_UNIT,
+        rrf_fuse,
+    )
+
+    dfs = []
+    want: dict = {}
+    for docs in lists:
+        rows = [("q", d, i + 1) for i, d in enumerate(docs)]
+        dfs.append(
+            spark.createDataFrame(
+                rows, "query_id string, doc_id long, rank int"
+            )
+        )
+        for _, d, rk in rows:
+            u, n = want.get(d, (0, 0))
+            want[d] = (u + RRF_UNIT // (RRF_K + rk), n + 1)
+    out = rrf_fuse(dfs, k=100).collect()
+    got = {r["doc_id"]: (r["rrf_units"], r["n_lists"]) for r in out}
+    assert got == want
+    order = [
+        r["doc_id"]
+        for r in sorted(out, key=lambda r: r["fused_rank"])
+    ]
+    assert order == sorted(want, key=lambda d: (-want[d][0], d))
