@@ -5095,6 +5095,67 @@ def q_mmr_diverse_topk(spark, sf_dir):
     return mmr_rerank(cands, k=_MMR_K)
 
 
+_NB_ORACLE = (
+    f"WITH ntoks AS MATERIALIZED (SELECT doc_id, lang AS k,"
+    f" unnest(string_split({_NORM_SQL}, ' ')) AS token"
+    " FROM documents WHERE trim(text) <> ''),"
+    " ncls AS (SELECT k, CAST(count(DISTINCT doc_id) AS BIGINT)"
+    "  AS n_docs FROM ntoks GROUP BY k),"
+    " ntotal AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM ncls),"
+    " npri AS MATERIALIZED (SELECT k,"
+    "  log2(CAST(n_docs AS DOUBLE) / n) AS log_prior"
+    "  FROM ncls CROSS JOIN ntotal),"
+    " nck AS (SELECT k, token, CAST(count(*) AS BIGINT) AS c"
+    "  FROM ntoks GROUP BY k, token),"
+    " nnk AS (SELECT k, CAST(sum(c) AS BIGINT) AS nk FROM nck"
+    "  GROUP BY k),"
+    " nv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v"
+    "  FROM ntoks),"
+    " ntf AS (SELECT doc_id, k AS actual, token,"
+    "  CAST(count(*) AS BIGINT) AS tf FROM ntoks"
+    "  GROUP BY doc_id, k, token),"
+    " nsc AS (SELECT ntf.doc_id, ntf.actual, c.k,"
+    "  sum(ntf.tf * coalesce("
+    "   log2((CAST(nck.c AS DOUBLE) + 1.0) / (nnk.nk + nv.v)),"
+    "   log2(1.0 / (nnk.nk + nv.v)))) AS ll"
+    "  FROM ntf CROSS JOIN (SELECT k FROM ncls) c"
+    "  LEFT JOIN nck ON nck.k = c.k AND nck.token = ntf.token"
+    "  JOIN nnk ON nnk.k = c.k CROSS JOIN nv"
+    "  GROUP BY ntf.doc_id, ntf.actual, c.k),"
+    " nwp AS (SELECT s.doc_id, s.actual, s.k,"
+    "  round(s.ll + p.log_prior, 6) AS score"
+    "  FROM nsc s JOIN npri p ON p.k = s.k),"
+    " npred AS MATERIALIZED (SELECT doc_id, actual, k AS predicted,"
+    "  score, (k = actual) AS correct FROM ("
+    "   SELECT *, row_number() OVER (PARTITION BY doc_id"
+    "    ORDER BY score DESC, k) AS r FROM nwp) WHERE r = 1),"
+    " nacc AS (SELECT round(CAST(count(*) FILTER (correct) AS DOUBLE)"
+    "  / count(*), 6) AS accuracy FROM npred)"
+    " SELECT doc_id, actual, predicted, score, correct, accuracy"
+    " FROM npred CROSS JOIN nacc"
+)
+
+
+@_register("nb_doc_classifier", _NB_ORACLE)
+def q_nb_doc_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes document classifier
+    (operators/classify.py) — the shallow supervised-classifier
+    family of a curation pipeline (fastText-fidelity language-ID /
+    quality gating): Laplace-smoothed per-class token
+    log-likelihoods + priors, argmax with round-6 scores and
+    class-ascending tie-breaks. Trained and scored in-sample on the
+    documents corpus; the oracle replays COUNTS, smoothing, priors,
+    scoring, argmax, AND the corpus accuracy — which rides every row,
+    so the hash pins the exact value (the synthetic corpus carries
+    no real language signal, accuracy ≈ the majority prior; the
+    discriminative behavior itself is pinned on planted-signal
+    corpora in tests/test_classify.py). Reference contrast:
+    sqlengine.py has no model surface."""
+    from minisql_engine_spark.operators.classify import nb_classify_self
+
+    return nb_classify_self(_t(spark, sf_dir, "documents"))
+
+
 _PAGERANK_ITERS = 6
 _PAGERANK_TOP = 25
 
@@ -5418,6 +5479,11 @@ _ARCHIVED: frozenset[str] = frozenset(
         # its densified-vector consumers (cosine/IVF/PQ/LSH) all keep
         # live driver rows.
         "hashvec_tfidf",
+        # + nb_doc_classifier (same wave): profile_events is
+        # hash-green r5s4–r7 and the DESCRIBE-surface arithmetic
+        # (pruned per-column scans) stays archive-parity-tested;
+        # stats keeps hist_quantiles live.
+        "profile_events",
     }
 )
 
@@ -5429,6 +5495,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "split_leakage_safe",
     "pagerank_customer_supplier",
     "mmr_diverse_topk",
+    "nb_doc_classifier",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

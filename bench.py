@@ -142,6 +142,7 @@ HEADLINE = (
     "split_leakage_safe",
     "pagerank_customer_supplier",
     "mmr_diverse_topk",
+    "nb_doc_classifier",
 )
 
 
