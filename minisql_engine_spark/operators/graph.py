@@ -78,6 +78,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = False,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, pr_units) after ``n_iter`` integer-exact PageRank
     iterations over the (directed) ``edges`` relation. ``pr_units``
@@ -88,6 +89,15 @@ def pagerank(
     directions present); nodes are everything appearing as ``src``
     or ``dst``. Duplicate edges count twice — dedup upstream if the
     graph is simple.
+
+    ``weight`` names an INTEGER edge-weight column (e.g. interaction
+    counts): each edge then carries rank proportional to its share
+    of the source's total outgoing weight,
+    ``(rank * 85 * w) DIV (100 * W_u)`` — still one floor division,
+    still exact. Keep ``max(w) * SCALE * 85 < 2**63`` (w up to ~10^5
+    at the default SCALE); normalize heavier weights upstream.
+    Zero/negative weights are rejected upstream concerns — they make
+    the share expression leak or flip sign.
 
     ``broadcast_ranks=True`` broadcasts the (node, rank) table into
     each iteration's join instead of shuffling the cached edge list
@@ -104,12 +114,14 @@ def pagerank(
     # Node ids keep the caller's type: prefer INTEGER ids (longs
     # hash/shuffle several times cheaper than strings across 6+
     # iterations — encode entity kind in a bit, not a prefix char).
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-    ).persist()
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("w"))
+    e = edges.select(*cols).persist()
     _PR_CACHE.append(e)
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # unweighted = all-ones weights: deg doubles as W_u either way
+    wsum = F.sum("w") if weight is not None else F.count("*")
+    deg = e.groupBy("src").agg(wsum.cast("long").alias("deg"))
     # edges carry their out-degree so each iteration is ONE join with
     # the rank table, not two
     ed = e.join(deg, "src").persist()
@@ -146,14 +158,18 @@ def pagerank(
         .select("node", F.col("r0").alias("rank"))
         .localCheckpoint(eager=True)
     )
+    share = (
+        f"(rank * {DAMP_NUM}L * w) DIV ({DAMP_DEN}L * deg)"
+        if weight is not None
+        else f"(rank * {DAMP_NUM}L) DIV ({DAMP_DEN}L * deg)"
+    )
     for it in range(n_iter):
         rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             ed.join(rk, ed["src"] == rk["node"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr(f"(rank * {DAMP_NUM}L) DIV ({DAMP_DEN}L * deg)")
-                .alias("c"),
+                F.expr(share).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
@@ -188,11 +204,13 @@ def pagerank(
 def pagerank_ctes_sql(
     edges_cte: str,
     n_iter: int = 8,
+    weighted: bool = False,
 ) -> str:
     """DuckDB CTE chain replaying :func:`pagerank` bit-for-bit.
 
-    ``edges_cte`` must be a CTE body producing ``(src, dst)`` with
-    the same types the Spark side used (integer ids preferred).
+    ``edges_cte`` must be a CTE body producing ``(src, dst)`` — plus
+    an integer ``w`` when ``weighted`` — with the same types the
+    Spark side used (integer ids preferred).
     Returns CTE text defining ``pr{n_iter}(node, rank)``;
     embed inside ``WITH <edges_cte_named 'pe'>, <this>`` and select
     from ``pr{n_iter}``. Integer floor-div (``//``) matches Spark's
@@ -203,14 +221,16 @@ def pagerank_ctes_sql(
     # left join) — without the hint DuckDB may inline, doubling the
     # plan per iteration (same reason the IVF oracle materializes its
     # assignment CTE)
+    wsum = "sum(w)" if weighted else "count(*)"
+    wcol = ", pe.w" if weighted else ""
     parts = [
         f"pe AS MATERIALIZED ({edges_cte})",
         "pn AS MATERIALIZED (SELECT DISTINCT node FROM"
         " (SELECT src AS node FROM pe UNION SELECT dst FROM pe))",
-        "pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        f"pdeg AS (SELECT src, CAST({wsum} AS BIGINT) AS deg"
         " FROM pe GROUP BY src)",
-        "ped AS MATERIALIZED (SELECT pe.src, pe.dst, pdeg.deg FROM pe"
-        " JOIN pdeg ON pe.src = pdeg.src)",
+        f"ped AS MATERIALIZED (SELECT pe.src, pe.dst, pdeg.deg{wcol}"
+        " FROM pe JOIN pdeg ON pe.src = pdeg.src)",
         "pstats AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT)"
         " AS n_nodes,"
         f" ({SCALE} * {DAMP_DEN - DAMP_NUM}) // (100 * count(*))"
@@ -219,11 +239,12 @@ def pagerank_ctes_sql(
         "pr0 AS MATERIALIZED (SELECT node, CAST(r0 AS BIGINT) AS rank"
         " FROM pn CROSS JOIN pstats)",
     ]
+    wmul = " * ped.w" if weighted else ""
     for t in range(n_iter):
         parts.append(
             f"pc{t} AS (SELECT ped.dst AS node,"
-            f" sum((pr{t}.rank * {DAMP_NUM}) // ({DAMP_DEN} * ped.deg))"
-            " AS in_mass"
+            f" sum((pr{t}.rank * {DAMP_NUM}{wmul})"
+            f" // ({DAMP_DEN} * ped.deg)) AS in_mass"
             f" FROM ped JOIN pr{t} ON ped.src = pr{t}.node"
             " GROUP BY ped.dst)"
         )

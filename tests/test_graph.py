@@ -113,3 +113,69 @@ def test_pagerank_zero_iters_is_uniform_init(spark):
     }
     assert got == {"a": SCALE // 3, "b": SCALE // 3, "c": SCALE // 3}
     clear_graph_cache()
+
+
+def _py_pagerank_weighted(edges: list, n_iter: int) -> dict:
+    nodes = sorted({n for s, t, _ in edges for n in (s, t)})
+    n = len(nodes)
+    wsum: dict = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0) + w
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM)) // (100 * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        nxt = {v: teleport for v in nodes}
+        for s, t, w in edges:
+            nxt[t] += (rank[s] * DAMP_NUM * w) // (DAMP_DEN * wsum[s])
+        rank = nxt
+    return rank
+
+
+def test_weighted_pagerank_three_way_parity(spark):
+    """Weighted integer PageRank: Spark ≡ Python replay ≡ the DuckDB
+    CTE chain, unit-for-unit; and a heavier edge pulls rank."""
+    import duckdb
+
+    from minisql_engine_spark.operators.graph import pagerank_ctes_sql
+
+    pairs = [("a", "b", 9), ("a", "c", 1), ("c", "a", 2), ("b", "a", 4)]
+    edges = pairs + [("b", "c", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["pr_units"]
+        for r in pagerank(df, n_iter=4, weight="w").collect()
+    }
+    want = _py_pagerank_weighted(edges, 4)
+    assert got == want
+    # b receives 9/10 of a's damped mass, c only 1/10 of a's plus
+    # b's spillover: b must outrank c
+    assert got["b"] > got["c"]
+    vals = ", ".join(f"('{s}', '{t}', {w})" for s, t, w in edges)
+    sql = (
+        "WITH "
+        + pagerank_ctes_sql(
+            f"SELECT * FROM (VALUES {vals}) v(src, dst, w)",
+            n_iter=4,
+            weighted=True,
+        )
+        + " SELECT node, rank FROM pr4"
+    )
+    duck = {n: r for n, r in duckdb.connect().execute(sql).fetchall()}
+    assert duck == want
+    clear_graph_cache()
+
+
+def test_weighted_equals_unweighted_on_uniform_weights(spark):
+    pairs = _sym([("a", "b"), ("b", "c"), ("c", "a")])
+    dfw = spark.createDataFrame(
+        [(s, t, 7) for s, t in pairs], "src string, dst string, w long"
+    )
+    dfu = spark.createDataFrame(pairs, "src string, dst string")
+    # equal weights cancel: (rank*85*7) DIV (100*7k) == (rank*85) DIV
+    # (100*k) does NOT hold exactly for floor-div in general, but the
+    # SHARE structure is identical on a regular graph with uniform
+    # weights and uniform ranks — assert rank equality there
+    gw = {r["node"]: r["pr_units"] for r in pagerank(dfw, n_iter=3, weight="w").collect()}
+    gu = {r["node"]: r["pr_units"] for r in pagerank(dfu, n_iter=3).collect()}
+    assert gw == gu
+    clear_graph_cache()
