@@ -5095,6 +5095,87 @@ def q_mmr_diverse_topk(spark, sf_dir):
     return mmr_rerank(cands, k=_MMR_K)
 
 
+@_register(
+    "snapshot_diff_cdc",
+    "SELECT 'append' AS step, 'added' AS op, doc_id + 10000 AS doc_id,"
+    " 'NEW:' || text AS text, lang, source, n_chars"
+    " FROM documents WHERE doc_id < 30"
+    " UNION ALL SELECT 'merge', 'added', doc_id, 'PATCHED:' || text,"
+    " lang, source, n_chars FROM documents WHERE doc_id < 40"
+    " UNION ALL SELECT 'merge', 'removed', doc_id, text,"
+    " lang, source, n_chars FROM documents WHERE doc_id < 40",
+)
+def q_snapshot_diff_cdc(spark, sf_dir):
+    """Lakehouse CDC: version-to-version diff over the snapshot
+    format (sources/snapshots.diff_snapshots). Commits v1 (range-
+    clustered base) → v2 (append) → v3 (file-pruned MERGE), then
+    emits diff(v1→v2) ∪ diff(v2→v3). Shared manifest entries never
+    leave disk, so the append diff reads ZERO history (gated: its
+    only_from set must be empty) and the merge diff reads only the
+    replaced dir + its rewrite (gated: some dir must have carried) —
+    the untouched rows of the rewritten file cancel in the
+    multiset anti-diff, so the oracle is pure content arithmetic
+    over `documents`, independent of the physical file layout. The
+    archived `snapshot_merge_pruned` row's pruned-MERGE machinery
+    replays INSIDE this cycle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        diff_dirs,
+        diff_snapshots,
+        merge_snapshot_pruned,
+        write_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_cdc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = write_snapshot(
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ),
+        path,
+    )
+    batch = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("NEW:"), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    v2 = append_snapshot(batch, path)
+    upd = docs.filter(F.col("doc_id") < 40).withColumn(
+        "text", F.concat(F.lit("PATCHED:"), F.col("text"))
+    )
+    merge_snapshot_pruned(spark, path, upd, "doc_id")
+    v3 = v2 + 1
+    of12, _, _ = diff_dirs(path, v1, v2)
+    if of12:
+        raise RuntimeError(
+            f"append diff would read {len(of12)} historical dirs — "
+            "the zero-read CDC contract regressed"
+        )
+    _, _, shared23 = diff_dirs(path, v2, v3)
+    if not shared23:
+        raise RuntimeError(
+            "pruned merge shared no dirs with its base — the diff "
+            "read the whole table instead of the change"
+        )
+    d12 = diff_snapshots(spark, path, v1, v2).select(
+        F.lit("append").alias("step"), "*"
+    )
+    d23 = diff_snapshots(spark, path, v2, v3).select(
+        F.lit("merge").alias("step"), "*"
+    )
+    return d12.unionByName(d23)
+
+
 _NB_ORACLE = (
     f"WITH ntoks AS MATERIALIZED (SELECT doc_id, lang AS k,"
     f" unnest(string_split({_NORM_SQL}, ' ')) AS token"
@@ -5484,6 +5565,13 @@ _ARCHIVED: frozenset[str] = frozenset(
         # (pruned per-column scans) stays archive-parity-tested;
         # stats keeps hist_quantiles live.
         "profile_events",
+        # + snapshot_diff_cdc (same wave): snapshot_merge_pruned is
+        # hash-green r5s5–r7 and its pruned-MERGE cycle now replays
+        # INSIDE the CDC row (v2→v3 is a pruned merge whose diff is
+        # gated on dir sharing); the lakehouse family keeps
+        # delete_range_pruned, snapshot_compaction, zorder, and both
+        # SCD2 rows live.
+        "snapshot_merge_pruned",
     }
 )
 
@@ -5496,6 +5584,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pagerank_customer_supplier",
     "mmr_diverse_topk",
     "nb_doc_classifier",
+    "snapshot_diff_cdc",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

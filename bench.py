@@ -143,6 +143,7 @@ HEADLINE = (
     "pagerank_customer_supplier",
     "mmr_diverse_topk",
     "nb_doc_classifier",
+    "snapshot_diff_cdc",
 )
 
 

@@ -685,3 +685,118 @@ def vacuum_snapshots(base_path: str, keep_last: int = 1) -> list[int]:
                 os.remove(e)
         os.remove(mp)
     return doomed
+
+
+# ---------------------------------------------------------------------------
+# CDC: version-to-version diff
+# ---------------------------------------------------------------------------
+
+
+def diff_dirs(
+    base_path: str, v_from: int, v_to: int
+) -> tuple[list[str], list[str], list[str]]:
+    """(only_from, only_to, shared) concrete parquet FILES between
+    two versions. Manifest entries are expanded to files before
+    comparing because a pruned MERGE carries survivors at FILE
+    granularity while its base manifest lists whole dirs — entry-
+    level set comparison would call everything different. Shared
+    files are identical BY REFERENCE (immutable data) and contribute
+    nothing to a diff — the pruning fact that makes
+    :func:`diff_snapshots` cheap: an append commit diffs at ZERO
+    read of history, a pruned MERGE reads only the replaced files
+    and their rewrite."""
+    mf = _manifest_files(_read_manifest(base_path, v_from)["data_dirs"])
+    mt = _manifest_files(_read_manifest(base_path, v_to)["data_dirs"])
+    sf, st = set(mf), set(mt)
+    return (
+        [e for e in mf if e not in st],
+        [e for e in mt if e not in sf],
+        [e for e in mf if e in st],
+    )
+
+
+def _read_dirs_conformed(
+    spark: SparkSession,
+    entries: list[str],
+    adds: list[dict],
+    target_cols: list[str],
+) -> DataFrame:
+    """Read a subset of a version's manifest entries, applying that
+    version's schema-evolution defaults, then conform to
+    ``target_cols`` (missing columns must be covered by an add's
+    typed default — anything else is a real schema divergence and
+    raises)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    by_name = {a["name"]: a for a in adds}
+    parts = []
+    for d in entries:
+        part = spark.read.parquet(d)
+        for c in target_cols:
+            if c in part.columns:
+                continue
+            if c not in by_name:
+                raise ValueError(
+                    f"column {c!r} missing from {d} with no "
+                    "recorded schema-evolution default"
+                )
+            a = by_name[c]
+            part = part.withColumn(
+                a["name"], F.lit(a["default"]).cast(a["dtype"])
+            )
+        parts.append(part.select(*target_cols))
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    base_path: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """CDC between two committed versions: one row per change with
+    ``op`` = 'added' (present in ``v_to``, absent in ``v_from``) or
+    'removed' (the reverse), MULTISET semantics (``exceptAll`` — a
+    duplicate appended twice appears twice). Manifest entries shared
+    by both versions never leave disk: only the dirs unique to one
+    side are read, so the cost tracks the size of the CHANGE, not the
+    table. Rows that co-occur in the differing dirs (e.g. the
+    untouched tail of a rewritten file) cancel in the anti-diff.
+
+    Metadata-only schema evolution between the versions produces an
+    EMPTY diff: old dirs conform to the new schema through the
+    recorded typed default — the same fill ``read_snapshot`` applies.
+    """
+    man_to = _read_manifest(base_path, v_to)
+    man_from = _read_manifest(base_path, v_from)
+    only_from, only_to, _ = diff_dirs(base_path, v_from, v_to)
+
+    from pyspark.sql import functions as F
+
+    # target schema = v_to's read schema
+    probe = read_snapshot(spark, base_path, v_to)
+    cols = probe.columns
+    empty = spark.createDataFrame([], probe.schema)
+    to_rows = (
+        _read_dirs_conformed(
+            spark, only_to, man_to.get("adds", []), cols
+        )
+        if only_to
+        else empty
+    )
+    from_rows = (
+        _read_dirs_conformed(
+            spark, only_from, man_from.get("adds", []), cols
+        )
+        if only_from
+        else empty
+    )
+    added = to_rows.exceptAll(from_rows).select(
+        F.lit("added").alias("op"), *cols
+    )
+    removed = from_rows.exceptAll(to_rows).select(
+        F.lit("removed").alias("op"), *cols
+    )
+    return added.unionByName(removed)

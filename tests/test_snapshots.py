@@ -607,3 +607,121 @@ def test_delete_range_pruned_quoted_string_bounds(spark, base, tmp_path):
     delete_range_pruned(spark, p2, "name", "b'", "c'ز")
     got = sorted(r["name"] for r in read_snapshot(spark, p2).collect())
     assert got == ["a'1", "d'4"]
+
+
+# --- CDC: diff_snapshots -----------------------------------------------------
+
+
+def test_diff_append_is_added_only_and_zero_read(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        diff_dirs,
+        diff_snapshots,
+    )
+
+    docs, path = base
+    batch = docs.limit(0).union(
+        spark.createDataFrame(
+            [(9001, "new one", "srcX"), (9002, "new two", "srcX")],
+            docs.schema,
+        )
+    )
+    v2 = append_snapshot(batch, path)
+    only_from, only_to, shared = diff_dirs(path, 1, v2)
+    assert only_from == []        # history never read
+    assert len(only_to) >= 1 and shared
+    out = diff_snapshots(spark, path, 1, v2).collect()
+    assert {r["op"] for r in out} == {"added"}
+    assert sorted(r["doc_id"] for r in out) == [9001, 9002]
+
+
+def test_diff_multiset_duplicates_survive(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        diff_snapshots,
+    )
+
+    docs, path = base
+    dup = spark.createDataFrame(
+        [(7777, "twice", "s"), (7777, "twice", "s")], docs.schema
+    )
+    v2 = append_snapshot(dup, path)
+    out = diff_snapshots(spark, path, 1, v2).collect()
+    assert len(out) == 2 and all(r["doc_id"] == 7777 for r in out)
+
+
+def test_diff_merge_emits_exact_change_and_reverse(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        diff_snapshots,
+        merge_snapshot_pruned,
+    )
+
+    docs, path = base
+    upd = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("X:"), F.col("text"))
+    )
+    v3 = merge_snapshot_pruned(spark, path, upd, "doc_id")
+    out = diff_snapshots(spark, path, 1, v3).collect()
+    added = {r["doc_id"] for r in out if r["op"] == "added"}
+    removed = {r["doc_id"] for r in out if r["op"] == "removed"}
+    assert added == removed == set(range(10))
+    assert all(
+        r["text"].startswith("X:") for r in out if r["op"] == "added"
+    )
+    # direction flips op
+    rev = diff_snapshots(spark, path, v3, 1).collect()
+    assert {r["op"] for r in rev if r["doc_id"] < 10} == {
+        "added",
+        "removed",
+    }
+    assert all(
+        not r["text"].startswith("X:")
+        for r in rev
+        if r["op"] == "added"
+    )
+
+
+def test_diff_compaction_is_empty(spark, base):
+    """Compaction is a content-identical rewrite: the CDC diff across
+    it must be EXACTLY empty even though every byte moved."""
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        diff_snapshots,
+    )
+
+    docs, path = base
+    append_snapshot(
+        spark.createDataFrame([(9001, "x", "s")], docs.schema), path
+    )
+    v3 = compact_snapshot(spark, path)
+    assert diff_snapshots(spark, path, v3 - 1, v3).count() == 0
+
+
+def test_diff_metadata_only_evolution_is_empty(spark, base):
+    from minisql_engine_spark.sources.snapshots import (
+        add_snapshot_column,
+        diff_snapshots,
+    )
+
+    docs, path = base
+    v2 = add_snapshot_column(path, "flag", "int", 0)
+    assert diff_snapshots(spark, path, 1, v2).count() == 0
+    # and an append AFTER evolution diffs only the new rows, with
+    # pre-evolution files conformed through the recorded default
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+    )
+
+    batch = read_snapshot(spark, path).filter(
+        F.col("doc_id") < 0
+    )  # empty, evolved schema
+    batch = spark.createDataFrame(
+        [(9001, "post", "s", 5)], batch.schema
+    )
+    v3 = append_snapshot(batch, path)
+    out = diff_snapshots(spark, path, v2, v3).collect()
+    assert [(r["op"], r["doc_id"], r["flag"]) for r in out] == [
+        ("added", 9001, 5)
+    ]
