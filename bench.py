@@ -188,10 +188,14 @@ def main() -> None:
     # variance, but this makes the isolation structural. Within a
     # query, warm→timed cache reuse stays (index reuse IS the usage
     # pattern for ANN).
+    from minisql_engine_spark.operators.classify import (
+        clear_classify_cache,
+    )
     from minisql_engine_spark.operators.clustering import (
         clear_clustering_cache,
     )
     from minisql_engine_spark.operators.dedup import clear_simhash_cache
+    from minisql_engine_spark.operators.graph import clear_graph_cache
     from minisql_engine_spark.operators.editsim import clear_editsim_cache
     from minisql_engine_spark.operators.hashvec import clear_hashvec_cache
     from minisql_engine_spark.operators.retrieval import (
@@ -210,6 +214,8 @@ def main() -> None:
         clear_semdedup_cache()
         clear_retrieval_cache()
         clear_llm_pipeline_cache()
+        clear_graph_cache()
+        clear_classify_cache()
 
     runs = {n: qs[n] for n in HEADLINE if n in qs}
     runs["flagship"] = em.flagship
