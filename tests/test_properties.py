@@ -613,3 +613,83 @@ def test_rrf_fuse_matches_python_on_random_lists(spark, lists):
         for r in sorted(out, key=lambda r: r["fused_rank"])
     ]
     assert order == sorted(want, key=lambda d: (-want[d][0], d))
+
+
+# --- CDC diff ≡ full-read anti-diff under arbitrary commit sequences --------
+
+OPS = st.lists(
+    st.sampled_from(["append", "merge", "delete", "compact"]),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS, seed=st.integers(min_value=0, max_value=99))
+def test_snapshot_diff_equals_full_read_diff(spark, tmp_path_factory, ops, seed):
+    """diff_snapshots must equal the anti-diff of FULL version reads
+    for every consecutive version pair, whatever mix of append /
+    pruned-merge / pruned-delete / compaction produced them — the
+    file-granularity pruning can never change the answer, only the
+    bytes read (the r8 manifest-granularity bug class, pinned)."""
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        delete_range_pruned,
+        diff_snapshots,
+        list_versions,
+        merge_snapshot_pruned,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdc") / "tbl")
+    rows = [(i, f"t{i}", i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string, grp long")
+    write_snapshot(
+        df.repartitionByRange(3, "id").sortWithinPartitions("id"), path
+    )
+    for i, op in enumerate(ops):
+        k = (seed + i * 7) % 30
+        if op == "append":
+            append_snapshot(
+                spark.createDataFrame(
+                    [(1000 + seed * 10 + i, "new", 9)],
+                    "id long, text string, grp long",
+                ),
+                path,
+            )
+        elif op == "merge":
+            upd = spark.createDataFrame(
+                [(k, f"patched{i}", 5)], "id long, text string, grp long"
+            )
+            merge_snapshot_pruned(spark, path, upd, "id")
+        elif op == "delete":
+            delete_range_pruned(
+                spark, path, "id", lo=k, hi=k + 3
+            )
+        else:
+            compact_snapshot(spark, path)
+    versions = list_versions(path)
+    for vf, vt in zip(versions, versions[1:]):
+        full_f = read_snapshot(spark, path, vf)
+        full_t = read_snapshot(spark, path, vt)
+        want_added = sorted(
+            map(tuple, full_t.exceptAll(full_f).collect())
+        )
+        want_removed = sorted(
+            map(tuple, full_f.exceptAll(full_t).collect())
+        )
+        got = diff_snapshots(spark, path, vf, vt).collect()
+        got_added = sorted(
+            tuple(r)[1:] for r in got if r["op"] == "added"
+        )
+        got_removed = sorted(
+            tuple(r)[1:] for r in got if r["op"] == "removed"
+        )
+        assert got_added == want_added, (vf, vt, ops)
+        assert got_removed == want_removed, (vf, vt, ops)
