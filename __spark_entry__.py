@@ -5095,6 +5095,35 @@ def q_mmr_diverse_topk(spark, sf_dir):
     return mmr_rerank(cands, k=_MMR_K)
 
 
+def _curriculum_oracle() -> str:
+    from minisql_engine_spark.operators.curriculum import (
+        curriculum_order_sql,
+    )
+
+    return curriculum_order_sql("n_chars", n_buckets=4)
+
+
+@_register("curriculum_order", _curriculum_oracle())
+def q_curriculum_order(spark, sf_dir):
+    """Reproducible curriculum ordering (operators/curriculum.py) —
+    the last stage of the training-composition story (curate →
+    mixture → pack → ORDER): exact-quantile difficulty buckets over
+    n_chars (one broadcast threshold row, the proven
+    percentile ≡ quantile_cont pairing) + md5(seed‖id) in-bucket
+    shuffle → one row_number total position. One total sort; rebuilds
+    are byte-identical — the reproducibility a naive orderBy(rand())
+    cannot give. The oracle replays thresholds, buckets, priorities,
+    and the full permutation. Reference contrast: sqlengine.py has no
+    ordering surface beyond result formatting."""
+    from minisql_engine_spark.operators.curriculum import (
+        curriculum_order,
+    )
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), "n_chars", n_buckets=4
+    )
+
+
 @_register(
     "snapshot_diff_cdc",
     "SELECT 'append' AS step, 'added' AS op, doc_id + 10000 AS doc_id,"
@@ -5572,6 +5601,12 @@ _ARCHIVED: frozenset[str] = frozenset(
         # delete_range_pruned, snapshot_compaction, zorder, and both
         # SCD2 rows live.
         "snapshot_merge_pruned",
+        # + curriculum_order (same wave): jl_projection is hash-green
+        # r5s4–r7, its sign-array fold form is pinned by the archived
+        # oracle + the distance-calibration property, and the
+        # projection family has no richer live candidate — the slot
+        # buys the training-composition story its last driver row.
+        "jl_projection",
     }
 )
 
@@ -5585,6 +5620,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "mmr_diverse_topk",
     "nb_doc_classifier",
     "snapshot_diff_cdc",
+    "curriculum_order",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

@@ -144,6 +144,7 @@ HEADLINE = (
     "mmr_diverse_topk",
     "nb_doc_classifier",
     "snapshot_diff_cdc",
+    "curriculum_order",
 )
 
 
