@@ -5095,6 +5095,34 @@ def q_mmr_diverse_topk(spark, sf_dir):
     return mmr_rerank(cands, k=_MMR_K)
 
 
+def _sq8_oracle() -> str:
+    from minisql_engine_spark.operators.sq import sq8_topk_sql
+
+    return sq8_topk_sql([100, 101, 102, 103, 104], k=10)
+
+
+@_register("emb_sq8_topk", _sq8_oracle())
+def q_emb_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN (operators/sq.py) — the 4×-smaller
+    point on the quantization spectrum between exact flat search and
+    PQ: per-dimension min/max codebook (ONE broadcast row),
+    floor-encoded 1-byte/dim codes (floor, never round — the r8
+    rounding-convention doctrine), dequantized-cosine shortlist of
+    3·k, exact re-rank. Fair queries 100–104, the corpus never
+    collects; codebook, codes, both scoring passes, and the ranking
+    all replay in the oracle. In-row quality: recall vs exact truth
+    is pinned ≥0.9 in tests/test_sq.py (the hash itself certifies the
+    reranked list equals the oracle's). Reference contrast:
+    sqlengine.py has no vector surface."""
+    from minisql_engine_spark.operators.sq import sq8_topk
+
+    return sq8_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_ids=[100, 101, 102, 103, 104],
+        k=10,
+    )
+
+
 def _curriculum_oracle() -> str:
     from minisql_engine_spark.operators.curriculum import (
         curriculum_order_sql,
@@ -5607,6 +5635,14 @@ _ARCHIVED: frozenset[str] = frozenset(
         # projection family has no richer live candidate — the slot
         # buys the training-composition story its last driver row.
         "jl_projection",
+        # + emb_sq8_topk (same wave): bloom_admission is hash-green
+        # r5s6–r7 and the Bloom bitmap arithmetic stays archive-
+        # parity-tested while its PRODUCTION compositions keep live
+        # coverage (the dedup-index Bloom sidecar rides
+        # dedup_index_admission's family tests, the streaming
+        # admission fast path test_stream_ingest); the sketch family
+        # keeps hll_distinct/cms_frequency/pergroup_hll live.
+        "bloom_admission",
     }
 )
 
@@ -5621,6 +5657,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "nb_doc_classifier",
     "snapshot_diff_cdc",
     "curriculum_order",
+    "emb_sq8_topk",
     # r7 third batch — never driver-checked
     "skew_salted_join",
     "snapshot_compaction",

@@ -145,6 +145,7 @@ HEADLINE = (
     "nb_doc_classifier",
     "snapshot_diff_cdc",
     "curriculum_order",
+    "emb_sq8_topk",
 )
 
 
