@@ -693,3 +693,146 @@ def test_snapshot_diff_equals_full_read_diff(spark, tmp_path_factory, ops, seed)
         )
         assert got_added == want_added, (vf, vt, ops)
         assert got_removed == want_removed, (vf, vt, ops)
+
+
+# --- leakage-safe split ≡ union-find + md5 replay on random graphs ---------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_docs=st.integers(min_value=16, max_value=40),
+)
+@SLOW
+def test_leakage_split_matches_union_find(spark, pairs, n_docs):
+    """Representatives equal a driver-side union-find's min roots and
+    the bucket equals the md5 fold — for arbitrary pair graphs, so no
+    pair can ever straddle splits."""
+    import hashlib
+
+    from minisql_engine_spark.operators.clustering import (
+        clear_clustering_cache,
+    )
+    from minisql_engine_spark.operators.splits import leakage_safe_split
+
+    real = [(a, b) for a, b in pairs if a != b]
+    if not real:
+        return
+    parent = list(range(16))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in real:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_docs)], "doc_id long"
+    )
+    prs = spark.createDataFrame(real, "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, prs).collect()}
+    clear_clustering_cache()
+    assert len(out) == n_docs
+    for i in range(n_docs):
+        want_rep = find(i) if i < 16 else i
+        assert out[i]["rep"] == want_rep, (i, real)
+        want_bucket = (
+            int(
+                hashlib.md5(str(want_rep).encode()).hexdigest()[:8], 16
+            )
+            % 10
+        )
+        assert out[i]["bucket"] == want_bucket
+    for a, b in real:
+        assert out[a]["split"] == out[b]["split"]
+
+
+# --- Naive Bayes ≡ python replay on random corpora --------------------------
+
+
+def _py_nb(rows):
+    """Driver-side NB with the same smoothing and Spark's decimal
+    HALF_UP round-6 (F.round == BigDecimal(double) HALF_UP ==
+    Decimal(float).quantize(HALF_UP))."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(
+            Decimal(x).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    toks = {d: t.split() for d, k, t in rows if t.split()}
+    lab = {d: k for d, k, _ in rows}
+    classes = sorted({lab[d] for d in toks})
+    nd = Counter(lab[d] for d in toks)
+    ck = defaultdict(Counter)
+    for d in toks:
+        ck[lab[d]].update(toks[d])
+    nk = {k: sum(ck[k].values()) for k in classes}
+    vocab = len({w for d in toks for w in toks[d]})
+    total = sum(nd.values())
+    out = {}
+    for d in toks:
+        best = None
+        for k in classes:
+            ll = sum(
+                tf
+                * math.log2((ck[k].get(w, 0) + 1.0) / (nk[k] + vocab))
+                for w, tf in Counter(toks[d]).items()
+            )
+            score = r6(ll + math.log2(nd[k] / total))
+            cand = (-score, k)
+            if best is None or cand < best:
+                best = cand
+        out[d] = (best[1], -best[0])
+    return out
+
+
+TOKENS = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.lists(TOKENS, min_size=0, max_size=5),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@SLOW
+def test_nb_matches_python_on_random_corpora(spark, docs):
+    from minisql_engine_spark.operators.classify import (
+        clear_classify_cache,
+        nb_classify_self,
+    )
+
+    rows = [
+        (i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(docs)
+    ]
+    if not any(t.strip() for _, _, t in rows):
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["predicted"], r["score"])
+        for r in nb_classify_self(df).collect()
+    }
+    clear_classify_cache()
+    assert got == _py_nb(rows)
