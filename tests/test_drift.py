@@ -205,3 +205,85 @@ def test_psi_identical_is_zero_and_shift_detected(spark):
     shifted = psi_drift(a, b, "v", 0.0, 50.0).collect()
     tot2 = [r for r in shifted if r["bucket"] == -100][0]
     assert tot2["psi_term"] > 0.25
+
+
+def test_fx6_bitwise_twin_of_duckdb_fuzz(spark):
+    """The module's portable round edge ``_fx6`` (floor(x·1e6+0.5)/1e6,
+    pure IEEE ops) must be BIT-identical between Spark and DuckDB —
+    including values landing precisely on scaled .5 boundaries, the
+    class that broke raw round(x,6) pairing in round 8 (embedding_drift
+    driver hash miss). Values are staged through real DOUBLE columns in
+    both engines (literals would parse as DECIMAL in DuckDB)."""
+    import random
+    import struct
+
+    import duckdb as _duck
+
+    from minisql_engine_spark.operators.drift import _fx6, _fx6_sql
+
+    rng = random.Random(9)
+    vals = [rng.uniform(-2, 2) for _ in range(2000)]
+    # boundary-heavy: halves of 6-decimal numbers, exact binary
+    # fractions, and tiny negatives (the -0.0 trap)
+    vals += [
+        ((i * 2 + 1) / 2) / 10**6 * s
+        for i in range(500)
+        for s in (1.0, -1.0)
+    ]
+    vals += [k / 2**9 for k in range(-64, 65)] + [-1e-9, -0.0, 0.0]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got_spark = [
+        r["r"] for r in sdf.select(_fx6(F.col("v")).alias("r")).collect()
+    ]
+    con = _duck.connect()
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_fx6_sql('v')} FROM (SELECT"
+            " unnest(CAST(? AS DOUBLE[])) AS v)",
+            [vals],
+        ).fetchall()
+    ]
+    for v, a, b in zip(vals, got_spark, got_duck):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (v, a, b)
+        assert struct.pack("<d", a) != struct.pack("<d", -0.0), v
+
+
+def test_embedding_drift_order_independent(spark, duck, sf_dir):
+    """The r8 regression shape: the centroid combine must not depend
+    on partition fold order. Repartitioning the inputs arbitrarily
+    must yield BIT-identical metric values (the _dsum exact-sum
+    guarantee), and both must equal the DuckDB oracle exactly."""
+    import struct
+
+    from minisql_engine_spark.operators.drift import (
+        embedding_drift,
+        embedding_drift_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    def bits(df):
+        return [
+            (r["metric"], struct.pack("<d", r["value"]).hex())
+            for r in df.collect()
+        ]
+
+    base = bits(embedding_drift(a, b))
+    shuffled = bits(
+        embedding_drift(a.repartition(17), b.repartition(3))
+    )
+    assert base == shuffled
+    oracle = duck.execute(
+        embedding_drift_sql(
+            "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1"
+        )
+    ).fetchdf()
+    want = [
+        (m, struct.pack("<d", v).hex())
+        for m, v in zip(oracle["metric"], oracle["value"])
+    ]
+    assert base == want
