@@ -66,6 +66,10 @@ def nb_classify_self(
         text_col=text_col,
         id_col=id_col,
     )
+    # two consumers below (accuracy aggregate + the crossJoin output)
+    # — persist so the corpus-sized scoring subtree runs once
+    scored = scored.persist()
+    _NB_CACHE.append(scored)
     acc = scored.agg(
         F.round(
             F.sum((F.col("predicted") == F.col("actual")).cast("int"))

@@ -196,10 +196,11 @@ def connected_components_star(
     star forest, witnessed by an anti-join emptiness check (count
     equality alone could alias a swap).
     """
-    fwd = pairs.select(
+    raw = pairs.select(
         F.col(id_a).cast("long").alias("u"),
         F.col(id_b).cast("long").alias("v"),
-    ).filter(F.col("u") != F.col("v"))
+    )
+    fwd = raw.filter(F.col("u") != F.col("v"))
     # canonical high→low orientation, deduped
     e = (
         fwd.select(
@@ -250,13 +251,22 @@ def connected_components_star(
         )
     # e is now a star forest (child → root): components are the
     # roots; every child labels with its root, every root with itself
-    labels = (
-        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
-        .union(
-            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
-        )
-        .distinct()
-        .localCheckpoint()
+    base = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).union(
+        e.select(F.col("v").alias("id"), F.col("v").alias("component"))
     )
+    # nodes whose ONLY edges were self-pairs carry no contraction
+    # edge but are still components of size one — label them with
+    # themselves so the (id, component) surface matches
+    # :func:`connected_components` exactly (r8 advisor finding)
+    isolated = (
+        raw.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("id"))
+        .distinct()
+        .join(base.select("id").distinct(), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    labels = base.union(isolated).distinct().localCheckpoint()
     _CC_CACHE.append(labels)
     return labels, rounds

@@ -22,12 +22,17 @@ deterministic keys:
   same md5-priority device as mixture/sampling, so a SQL oracle
   replays the exact permutation).
 
-``position`` = row_number over (bucket, priority, id). The plan is
-ONE total sort — which at cluster scale is a range partition by the
-sort key with per-shard ordered writes, exactly how
-``write_training_shards`` consumes it; there is no cheaper shape for
-a global order, and the determinism means re-running the sort yields
-byte-identical shards.
+``position`` = global rank under the total order (bucket, priority,
+id). The plan is a genuine range-partitioned sort (r9, after the r8
+advisor flagged the old unpartitioned-window shape): rows shuffle
+once by the sort key into range shards, sort within each shard, and
+position = cumulative preceding-shard count + in-shard record
+number — no single-task bottleneck; the only collected table is the
+per-shard count vector (partition-count-sized). Positions are
+boundary-invariant (the key is unique, so the order is total no
+matter where range boundaries land), and the determinism means
+re-running the sort yields byte-identical shards, exactly how
+``write_training_shards`` consumes it.
 
 Reference contrast: ``sqlengine.py`` has no ordering surface beyond
 result formatting; extension (SURVEY §2.4 training-composition
@@ -38,7 +43,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+_CURRICULUM_CACHE: list[DataFrame] = []
+
+
+def clear_curriculum_cache() -> None:
+    """Release persisted sorted tables from prior calls."""
+    while _CURRICULUM_CACHE:
+        try:
+            _CURRICULUM_CACHE.pop().unpersist()
+        except Exception:
+            pass
 
 
 def curriculum_order(
@@ -75,13 +90,51 @@ def curriculum_order(
             F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
         ).alias("priority"),
     )
+    # Global position WITHOUT a single-partition window: range-
+    # partition by the total sort key (bucket, priority, id — unique,
+    # so the order is total and positions are boundary-invariant),
+    # sort within each range shard, then position = cumulative count
+    # of the preceding shards + the in-shard record number (decoded
+    # from monotonically_increasing_id's documented pid<<33 | local
+    # layout). The only collect is the per-shard count table —
+    # partition-count-sized, never corpus-sized.
     order_bucket = F.col("bucket") if ascending else F.col("bucket").desc()
-    w = Window.orderBy(order_bucket, F.col("priority"), F.col(id_col))
-    return out.select(
-        id_col,
-        "bucket",
-        "priority",
-        F.row_number().over(w).cast("int").alias("position"),
+    sorted_df = (
+        out.repartitionByRange(order_bucket, F.col("priority"), F.col(id_col))
+        .sortWithinPartitions(order_bucket, F.col("priority"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id().cast("bigint"))
+        .withColumn(
+            "_local", F.monotonically_increasing_id() % F.lit(1 << 33)
+        )
+        .persist()
+    )
+    _CURRICULUM_CACHE.append(sorted_df)
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in sorted_df.groupBy("_pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets or [(0, 0)], "_pid bigint, _off bigint"
+        )
+    )
+    return (
+        sorted_df.join(off, "_pid")
+        .select(
+            id_col,
+            "bucket",
+            "priority",
+            (F.col("_off") + F.col("_local") + 1)
+            .cast("int")
+            .alias("position"),
+        )
     )
 
 

@@ -162,10 +162,9 @@ def test_star_contraction_equals_propagation_basic(spark):
     }
     got_df, rounds = connected_components_star(df)
     got = {(r["id"], r["component"]) for r in got_df.collect()}
-    # the propagation version includes self-loop node 5; star
-    # contraction drops self-loops (a node with only a self-edge is
-    # a singleton, same contract as no edge at all)
-    want = {t for t in want if t != (5, 5)}
+    # node 5 appears ONLY in a self-pair: both variants must label it
+    # with itself (the same-surface contract)
+    assert (5, 5) in got
     assert got == want
     assert rounds <= 5
     clear_clustering_cache()

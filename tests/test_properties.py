@@ -560,10 +560,9 @@ def test_star_contraction_equals_propagation_random(spark, pairs):
         connected_components_star,
     )
 
-    real = [(a, b) for a, b in pairs if a != b]
-    if not real:
-        return
-    df = spark.createDataFrame(real, "id_a long, id_b long")
+    # self-pairs stay IN: both variants must label a self-pair-only
+    # node with itself (same-surface contract, r8 advisor finding)
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
     want = {
         (r["id"], r["component"])
         for r in connected_components(df).collect()
