@@ -1296,7 +1296,8 @@ _MINHASH_CTE = (
 _MINHASH_VERIFIED_COMP = (
     ", verified AS (SELECT id_a, id_b, jaccard FROM ("
     "   SELECT i.id_a, i.id_b,"
-    "    round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard"
+    "    floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)"
+    "     * 1e6 + 0.5) / 1e6 AS jaccard"
     "   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a"
     "   JOIN sizes sb ON sb.doc_id = i.id_b)"
     "  WHERE jaccard >= 0.5),"
@@ -1425,8 +1426,8 @@ def q_dedup_simhash(spark, sf_dir):
     "   FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g"
     "   AND a.doc_id < b.doc_id GROUP BY 1, 2)"
     " SELECT id_a, id_b, jaccard FROM ("
-    "   SELECT i.id_a, i.id_b, round(CAST(n_inter AS DOUBLE)"
-    "    / (sa.n + sb.n - n_inter), 6) AS jaccard"
+    "   SELECT i.id_a, i.id_b, floor(CAST(n_inter AS DOUBLE)"
+    "    / (sa.n + sb.n - n_inter) * 1e6 + 0.5) / 1e6 AS jaccard"
     "   FROM inter i JOIN sz sa ON sa.doc_id = i.id_a"
     "   JOIN sz sb ON sb.doc_id = i.id_b)"
     " WHERE jaccard >= 0.7",
@@ -1575,8 +1576,8 @@ def _ivf_oracle(qids: str, n_probe: int, recall_gate: float | None) -> str:
         "    ORDER BY score DESC, neighbor_id) AS r FROM bscored)"
         "  WHERE r <= 10),"
         " rec AS (SELECT b.query_id,"
-        "   round(CAST(count(a.neighbor_id) AS DOUBLE)"
-        "    / CAST(count(*) AS DOUBLE), 2) AS recall"
+        "   floor(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "    / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS recall"
         "  FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
         "   AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)"
         " SELECT ann.query_id, ann.neighbor_id, ann.score,"
@@ -1635,8 +1636,14 @@ def q_emb_ivf(spark, sf_dir):
         )
         .select(
             "query_id",
-            F.round(
-                F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 2
+            (
+                F.floor(
+                    F.coalesce(F.col("n_found"), F.lit(0))
+                    / F.col("n_true")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("recall"),
         )
     )
@@ -1928,8 +1935,8 @@ def _lsh_ann_oracle() -> str:
         "    ORDER BY score DESC, neighbor_id) AS r FROM bscored)"
         "  WHERE r <= 10),"
         " rec AS (SELECT b.query_id,"
-        "   round(CAST(count(a.neighbor_id) AS DOUBLE)"
-        "    / CAST(count(*) AS DOUBLE), 2) AS recall"
+        "   floor(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "    / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS recall"
         "  FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
         "   AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)"
         " SELECT ann.query_id, ann.neighbor_id, ann.score,"
@@ -1980,8 +1987,14 @@ def q_emb_ann(spark, sf_dir):
         )
         .select(
             "query_id",
-            F.round(
-                F.coalesce(F.col("n_found"), F.lit(0)) / F.col("n_true"), 2
+            (
+                F.floor(
+                    F.coalesce(F.col("n_found"), F.lit(0))
+                    / F.col("n_true")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("recall"),
         )
     )
@@ -3170,7 +3183,10 @@ def q_streaming_curate_funnel(spark, sf_dir):
         "doc_id",
         "content_hash",
         "n_tokens_lm",
-        F.round("ppl", 6).alias("ppl"),
+        (
+            F.floor(F.col("ppl") * F.lit(1e6) + F.lit(0.5)).cast("double")
+            / F.lit(1e6)
+        ).alias("ppl"),
         "bucket",
         F.lit(n_batches).cast("bigint").alias("n_batches"),
     )
@@ -3201,15 +3217,17 @@ def _streaming_funnel_oracle() -> str:
         " totals AS (SELECT CAST(sum(c) AS BIGINT) AS t_total,"
         "  CAST(count(*) AS BIGINT) AS v_size FROM counts),"
         " ref0 AS (SELECT doc_id,"
-        "  -sum(log2((CAST(c AS DOUBLE) + 1.0)"
-        "    / CAST(t_total + v_size AS DOUBLE)))"
+        "  -CAST(sum(CAST(log2((CAST(c AS DOUBLE) + 1.0)"
+        "    / CAST(t_total + v_size AS DOUBLE)) AS DECIMAL(38,12)))"
+        "    AS DOUBLE)"
         "   / CAST(count(*) AS DOUBLE) AS h"
         "  FROM toks_all JOIN counts USING (token) CROSS JOIN totals"
         "  GROUP BY doc_id),"
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM"
-        "  (SELECT round(power(2.0, h), 6) AS ppl FROM ref0)),"
+        "  (SELECT floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
+        "   AS ppl FROM ref0)),"
         # frozen scoring of the quality-gated drop docs (their tokens
         # are all in-vocabulary — drop content comes from documents)
         " dtoks AS (SELECT d.doc_id, unnest(string_split("
@@ -3218,15 +3236,16 @@ def _streaming_funnel_oracle() -> str:
         "  WHERE qrep.passes_all AND trim(d.text) <> ''),"
         " score AS (SELECT doc_id,"
         "  CAST(count(*) AS BIGINT) AS n_tokens_lm,"
-        "  -sum(log2((COALESCE(c, 0) + 1.0)"
-        "    / CAST(t_total + v_size AS DOUBLE)))"
+        "  -CAST(sum(CAST(log2((COALESCE(c, 0) + 1.0)"
+        "    / CAST(t_total + v_size AS DOUBLE)) AS DECIMAL(38,12)))"
+        "    AS DOUBLE)"
         "   / CAST(count(*) AS DOUBLE) AS h"
         "  FROM dtoks LEFT JOIN counts USING (token) CROSS JOIN totals"
         "  GROUP BY doc_id),"
         " bucketed AS (SELECT doc_id, n_tokens_lm,"
-        "  round(power(2.0, h), 6) AS ppl,"
-        "  CASE WHEN round(power(2.0, h), 6) <= t1 THEN 'head'"
-        "   WHEN round(power(2.0, h), 6) <= t2 THEN 'middle'"
+        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl,"
+        "  CASE WHEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 <= t1 THEN 'head'"
+        "   WHEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 <= t2 THEN 'middle'"
         "   ELSE 'tail' END AS bucket FROM score CROSS JOIN thr),"
         # admission: content hash, min-id within the drop, seed reject
         " hashed AS (SELECT d.doc_id, b.n_tokens_lm, b.ppl, b.bucket,"
@@ -3240,7 +3259,7 @@ def _streaming_funnel_oracle() -> str:
         "  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
         "   AS h FROM documents WHERE doc_id < 100)"
         " SELECT d.doc_id, d.h AS content_hash, d.n_tokens_lm,"
-        "  round(d.ppl, 6) AS ppl, d.bucket,"
+        "  floor(d.ppl * 1e6 + 0.5) / 1e6 AS ppl, d.bucket,"
         "  CAST(3 AS BIGINT) AS n_batches"
         " FROM dedup d WHERE NOT EXISTS"
         "  (SELECT 1 FROM seedk k WHERE k.h = d.h)"
@@ -5253,22 +5272,23 @@ _NB_ORACLE = (
     "  CAST(count(*) AS BIGINT) AS tf FROM ntoks"
     "  GROUP BY doc_id, k, token),"
     " nsc AS (SELECT ntf.doc_id, ntf.actual, c.k,"
-    "  sum(ntf.tf * coalesce("
+    "  CAST(sum(CAST(ntf.tf * coalesce("
     "   log2((CAST(nck.c AS DOUBLE) + 1.0) / (nnk.nk + nv.v)),"
-    "   log2(1.0 / (nnk.nk + nv.v)))) AS ll"
+    "   log2(1.0 / (nnk.nk + nv.v))) AS DECIMAL(38,12)))"
+    "   AS DOUBLE) AS ll"
     "  FROM ntf CROSS JOIN (SELECT k FROM ncls) c"
     "  LEFT JOIN nck ON nck.k = c.k AND nck.token = ntf.token"
     "  JOIN nnk ON nnk.k = c.k CROSS JOIN nv"
     "  GROUP BY ntf.doc_id, ntf.actual, c.k),"
     " nwp AS (SELECT s.doc_id, s.actual, s.k,"
-    "  round(s.ll + p.log_prior, 6) AS score"
+    "  floor((s.ll + p.log_prior) * 1e6 + 0.5) / 1e6 AS score"
     "  FROM nsc s JOIN npri p ON p.k = s.k),"
     " npred AS MATERIALIZED (SELECT doc_id, actual, k AS predicted,"
     "  score, (k = actual) AS correct FROM ("
     "   SELECT *, row_number() OVER (PARTITION BY doc_id"
     "    ORDER BY score DESC, k) AS r FROM nwp) WHERE r = 1),"
-    " nacc AS (SELECT round(CAST(count(*) FILTER (correct) AS DOUBLE)"
-    "  / count(*), 6) AS accuracy FROM npred)"
+    " nacc AS (SELECT floor(CAST(count(*) FILTER (correct) AS DOUBLE)"
+    "  / count(*) * 1e6 + 0.5) / 1e6 AS accuracy FROM npred)"
     " SELECT doc_id, actual, predicted, score, correct, accuracy"
     " FROM npred CROSS JOIN nacc"
 )

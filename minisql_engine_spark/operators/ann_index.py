@@ -32,6 +32,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import (
+    davg as _davg,
+    fx6 as _fx6,
+)
+
 from minisql_engine_spark.operators.similarity import (
     N_CELLS,
     N_PROBE,
@@ -186,7 +191,7 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("cell")
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            F.round(F.avg(dist), 6).alias("mean_dist"),
+            _fx6(_davg(dist)).alias("mean_dist"),
         )
     )
 

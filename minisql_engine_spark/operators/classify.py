@@ -10,10 +10,11 @@ gradient schedule — so a DuckDB oracle replays the ENTIRE model:
     p(t|k)      = (c(t,k) + 1) / (N_k + V)        (Laplace α=1)
     predicted   = argmax_k round(score, 6), ties by class ascending
 
-Float policy: per-(doc, class) log-sums are double aggregates with
-round(6) at the argmax edge — the same cross-engine convention as
-the CCNet perplexity scorer (operators/lm_score.py), whose log2
-corpus sums have been hash-green since r5.
+Float policy (r9): per-(doc, class) log-sums ride the exact
+DECIMAL(38,12) sum (``portable_round.dsum`` — order-independent
+across any shuffle) and the argmax edge is the portable ``fx6``
+construction; see ``operators/portable_round.py`` for the
+package-wide rule.
 
 Plan shape (scale notes): one corpus tokenize → (doc, token) tf
 aggregate; the MODEL is vocabulary-sized — class priors (|K| rows),
@@ -30,6 +31,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    fx6 as _fx6,
+)
 from pyspark.sql.window import Window
 
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
@@ -71,10 +77,9 @@ def nb_classify_self(
     scored = scored.persist()
     _NB_CACHE.append(scored)
     acc = scored.agg(
-        F.round(
+        _fx6(
             F.sum((F.col("predicted") == F.col("actual")).cast("int"))
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("accuracy")
     )
     return scored.crossJoin(F.broadcast(acc))
@@ -169,13 +174,13 @@ def nb_score(
             ).alias("contrib"),
         )
         .groupBy(id_col, "actual", "k")
-        .agg(F.sum("contrib").alias("ll"))
+        .agg(_dsum(F.col("contrib")).alias("ll"))
         .join(F.broadcast(model["priors"]), "k")
         .select(
             id_col,
             "actual",
             "k",
-            F.round(F.col("ll") + F.col("log_prior"), 6).alias("score"),
+            _fx6(F.col("ll") + F.col("log_prior")).alias("score"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+
 # MinHash parameters: 8 hashes in 4 bands of 2 rows. Small on purpose:
 # the signature is 8 aggregate columns (no explode), and bands of 2
 # give a ~sqrt collision profile good for jaccard ≥ 0.5 at this corpus
@@ -263,10 +265,9 @@ def jaccard_verify(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            _fx6(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -697,10 +698,9 @@ def ngram_jaccard_pairs(
     return (
         inter.withColumn(
             "jaccard",
-            F.round(
+            _fx6(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -82,33 +82,14 @@ METRICS = (
 )
 
 
-def _fx6(col):
-    """Portable round-to-6: ``floor(x·10⁶ + 0.5) / 10⁶`` in pure IEEE
-    double arithmetic — bit-identical in Spark and DuckDB for
-    identical inputs (no engine round() convention involved; ties
-    round toward +∞ consistently in both). NULL-preserving; never
-    produces ``-0.0``."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(
-        1e6
-    )
-
-
-def _fx6_sql(expr: str) -> str:
-    """DuckDB twin of :func:`_fx6`, same IEEE ops term for term."""
-    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
-
-
-def _dsum(term) -> "F.Column":
-    """Exact, order-independent sum of a per-row double term: cast
-    each term to DECIMAL(38,12), sum exactly (commutative — immune to
-    partition fold order), return as double. The certified
-    ``stats.exact_corr`` sufficient-sums rule."""
-    return F.sum(term.cast("decimal(38,12)")).cast("double")
-
-
-def _dsum_sql(expr: str) -> str:
-    """DuckDB twin of :func:`_dsum`."""
-    return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
+# the package-wide portable float-edge policy (round-9): see
+# operators/portable_round.py for the construction and its rationale
+from minisql_engine_spark.operators.portable_round import (  # noqa: E402
+    dsum as _dsum,
+    dsum_sql as _dsum_sql,
+    fx6 as _fx6,
+    fx6_sql as _fx6_sql,
+)
 
 
 def _token_counts(docs: DataFrame, text_col: str, out: str) -> DataFrame:

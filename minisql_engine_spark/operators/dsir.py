@@ -49,6 +49,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    fx6 as _fx6,
+)
+
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 
 #: md5 hex prefix length for the feature bucket: B = 16^DIGITS = 256
@@ -155,19 +160,19 @@ def dsir_weights(
         .groupBy(id_col, "is_target")
         .agg(
             F.count("*").cast("bigint").alias("n_feats"),
-            F.sum("lam").alias("_lw"),
+            _dsum(F.col("lam")).alias("_lw"),
         )
         .select(
             id_col,
             "is_target",
             "n_feats",
-            F.round(F.col("_lw"), 6).alias("logw"),
-            F.round(
-                F.col("_lw") / F.col("n_feats").cast("double"), 6
+            _fx6(F.col("_lw")).alias("logw"),
+            _fx6(
+                F.col("_lw") / F.col("n_feats").cast("double")
             ).alias("avg_logw"),
             (
-                F.round(
-                    F.col("_lw") / F.col("n_feats").cast("double"), 6
+                _fx6(
+                    F.col("_lw") / F.col("n_feats").cast("double")
                 )
                 > 0.0
             ).alias("selected"),
@@ -209,12 +214,15 @@ def dsir_weights_sql(
         "  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket"
         "  CROSS JOIN tot),"
         f" per AS (SELECT {id_col}, is_target,"
-        "  CAST(count(*) AS BIGINT) AS n_feats, sum(lam) AS lw"
+        "  CAST(count(*) AS BIGINT) AS n_feats,"
+        "  CAST(sum(CAST(lam AS DECIMAL(38,12))) AS DOUBLE) AS lw"
         "  FROM feats JOIN lam USING (bucket)"
         f"  GROUP BY {id_col}, is_target)"
         f" SELECT {id_col}, is_target, n_feats,"
-        "  round(lw, 6) AS logw,"
-        "  round(lw / CAST(n_feats AS DOUBLE), 6) AS avg_logw,"
-        "  round(lw / CAST(n_feats AS DOUBLE), 6) > 0.0 AS selected"
+        "  floor(lw * 1e6 + 0.5) / 1e6 AS logw,"
+        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
+        "   AS avg_logw,"
+        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6 > 0.0"
+        "   AS selected"
         " FROM per"
     )

@@ -36,6 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    dsum_sql as _dsum_sql,
+    fx6 as _fx6,
+    fx6_sql as _fx6_sql,
+)
+
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 
 DIM = 64
@@ -115,7 +122,7 @@ def hashed_tfidf(
     )
     return (
         scored.groupBy(id_col, "bucket")
-        .agg(F.round(F.sum("_w"), 6).alias("weight"))
+        .agg(_fx6(_dsum(F.col("_w"))).alias("weight"))
     )
 
 
@@ -142,9 +149,10 @@ def hashed_tfidf_sql(
         f" SELECT {id_col},"
         f" CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % {dim}"
         "  AS BIGINT) AS bucket,"
-        " round(sum(CAST(tf AS DOUBLE)"
-        "  * (ln((n_docs + 1.0) / CAST(df + 1 AS DOUBLE)) + 1.0)), 6)"
-        "  AS weight"
+        " " + _fx6_sql(_dsum_sql(
+            "CAST(tf AS DOUBLE)"
+            " * (ln((n_docs + 1.0) / CAST(df + 1 AS DOUBLE)) + 1.0)"
+        )) + " AS weight"
         " FROM tf JOIN dft USING (t), n"
         f" GROUP BY {id_col}, bucket"
     )

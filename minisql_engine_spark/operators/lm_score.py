@@ -34,13 +34,20 @@ thresholds are one sort-based percentile over the per-doc rows
 back as one broadcast row. No window over the full corpus, nothing
 quadratic.
 
-Float policy: round(6) at the comparison edges (package rule).
+Float policy (r9): per-doc log sums ride the exact DECIMAL(38,12)
+sum and edges are the portable fx6 construction — see
+``operators/portable_round.py``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    fx6 as _fx6,
+)
 
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 
@@ -76,13 +83,13 @@ def lm_perplexity(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-F.sum(logp) / F.count("*").cast("double")).alias("_h"),
+            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
         )
         .select(
             id_col,
             "n_tokens_lm",
-            F.round(F.col("_h"), 6).alias("xent_bits"),
-            F.round(F.pow(F.lit(2.0), F.col("_h")), 6).alias("ppl"),
+            _fx6(F.col("_h")).alias("xent_bits"),
+            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
     # tercile thresholds over the rounded ppl (portable interpolated
@@ -126,14 +133,15 @@ def lm_perplexity_sql(
         "  CAST(count(*) AS BIGINT) AS v_size FROM counts),"
         f" per0 AS (SELECT {id_col},"
         "  CAST(count(*) AS BIGINT) AS n_tokens_lm,"
-        "  -sum(log2((CAST(c AS DOUBLE) + 1.0)"
-        "    / CAST(t_total + v_size AS DOUBLE)))"
+        "  -CAST(sum(CAST(log2((CAST(c AS DOUBLE) + 1.0)"
+        "    / CAST(t_total + v_size AS DOUBLE)) AS DECIMAL(38,12)))"
+        "    AS DOUBLE)"
         "   / CAST(count(*) AS DOUBLE) AS h"
         "  FROM toks JOIN counts USING (token) CROSS JOIN totals"
         f"  GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  round(h, 6) AS xent_bits,"
-        "  round(power(2.0, h), 6) AS ppl FROM per0),"
+        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
+        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl FROM per0),"
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM per)"
@@ -241,13 +249,13 @@ def lm_bigram_perplexity(
         scored.groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-F.sum(logp) / F.count("*").cast("double")).alias("_h"),
+            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
         )
         .select(
             id_col,
             "n_tokens_lm",
-            F.round(F.col("_h"), 6).alias("xent_bits"),
-            F.round(F.pow(F.lit(2.0), F.col("_h")), 6).alias("ppl"),
+            _fx6(F.col("_h")).alias("xent_bits"),
+            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
     thr = per.agg(
@@ -306,11 +314,12 @@ def lm_bigram_perplexity_sql(
         "  CROSS JOIN totals),"
         f" per0 AS (SELECT {id_col},"
         "  CAST(count(*) AS BIGINT) AS n_tokens_lm,"
-        "  -sum(log2(p)) / CAST(count(*) AS DOUBLE) AS h"
+        "  -CAST(sum(CAST(log2(p) AS DECIMAL(38,12))) AS DOUBLE)"
+        "   / CAST(count(*) AS DOUBLE) AS h"
         f"  FROM scored GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  round(h, 6) AS xent_bits,"
-        "  round(power(2.0, h), 6) AS ppl FROM per0),"
+        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
+        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl FROM per0),"
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM per)"
@@ -438,13 +447,13 @@ def _score_frozen(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-F.sum(logp) / F.count("*").cast("double")).alias("_h"),
+            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
         )
         .select(
             id_col,
             "n_tokens_lm",
-            F.round(F.col("_h"), 6).alias("xent_bits"),
-            F.round(F.pow(F.lit(2.0), F.col("_h")), 6).alias("ppl"),
+            _fx6(F.col("_h")).alias("xent_bits"),
+            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
 

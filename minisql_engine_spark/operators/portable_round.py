@@ -1,0 +1,84 @@
+"""Engine-portable float edges — the package-wide round-6 policy.
+
+Round 8 proved that pairing Spark ``round(x, 6)`` with DuckDB
+``round(x, 6)`` is NOT an identity: the two engines implement three
+incompatible tie conventions (Spark/Java decimal-exact HALF_UP on the
+binary double; DuckDB ``round`` scales by 1e6 and applies
+``std::round`` on the scaled double; DuckDB's double→DECIMAL cast is
+a third behavior). Generic values sit on a tie boundary with
+probability ~0 — which is why most of the corpus was hash-green —
+but ``embedding_drift`` (r8 driver hash miss) and the MMR
+``0.5·(a−b)`` score shape (pinned in r8) proved "~0" is not 0.
+
+The portable constructions, applied IDENTICALLY in Spark and every
+DuckDB oracle twin:
+
+``fx6`` / ``FX6_SQL``
+    round-to-6 as ``floor(x·10⁶ + 0.5) / 10⁶`` in pure IEEE double
+    ops. Two engines evaluate this bit-identically for identical
+    inputs — no engine round() convention is involved. Ties round
+    toward +∞ consistently; NULL-preserving; cannot emit ``-0.0``.
+    Fuzz-pinned bit-exact vs DuckDB (boundary-heavy) in
+    ``tests/test_drift.py::test_fx6_bitwise_twin_of_duckdb_fuzz``.
+
+``dsum`` / ``DSUM_SQL``
+    exact, order-independent sum of a per-row double term: cast each
+    term to DECIMAL(38,12), sum exactly (commutative — immune to
+    partition fold order and AQE re-plans), return as double. The
+    certified ``stats.exact_corr`` sufficient-sums rule. Any
+    round-6 edge whose input is a raw double SUM over more than a
+    handful of rows is fold-order sensitive and MUST route the sum
+    through ``dsum`` first (the exact failure mode of the r8
+    ``embedding_drift`` centroid combine).
+
+Residual (measure-zero, the documented boundary-distance argument):
+libm transcendentals (``log2``/``ln``/``exp``/``pow``) may differ by
+one ulp between the JVM and C runtimes; the DECIMAL(38,12) cast
+absorbs anything below 5·10⁻¹³ of a cast boundary, and ``fx6``
+absorbs anything below ~5·10⁻⁷ of a scaled-half boundary, so a flip
+requires a value within one ulp of such a boundary — the same
+residual class the driver-certified ``stats.exact_corr`` carries.
+
+Enforcement: ``tests/test_round_policy.py`` scans the package source
+and fails on any ``F.round(…, 6)`` edge outside this module's
+constructions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def fx6(col: Column) -> Column:
+    """Portable round-to-6: ``floor(x·10⁶ + 0.5) / 10⁶``."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(
+        1e6
+    )
+
+
+def fx6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fx6`, same IEEE ops term for term."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+def dsum(term: Column) -> Column:
+    """Exact, order-independent sum of a per-row double term."""
+    return F.sum(term.cast("decimal(38,12)")).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+def davg(term: Column) -> Column:
+    """Order-independent mean: exact decimal sum over exact count."""
+    return dsum(term) / F.count(term).cast("double")
+
+
+def davg_sql(expr: str) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return (
+        f"{dsum_sql(expr)} / CAST(count({expr}) AS DOUBLE)"
+    )

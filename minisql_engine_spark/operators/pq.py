@@ -75,14 +75,15 @@ def l2_sql(a: str, b: str) -> str:
     the re-rank stage; the subspace hot path uses the scalar-column
     form below."""
     return (
-        f"round({dot_sql(a, a)} - 2 * {dot_sql(a, b)}"
-        f" + {dot_sql(b, b)}, 6)"
+        f"floor(({dot_sql(a, a)} - 2 * {dot_sql(a, b)}"
+        f" + {dot_sql(b, b)}) * 1e6 + 0.5) / 1e6"
     )
 
 
 _DUCK_L2 = (
-    "round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-    " + list_dot_product({b}, {b}), 6)"
+    "floor((list_dot_product({a}, {a})"
+    " - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})) * 1e6 + 0.5) / 1e6"
 )
 
 
@@ -96,7 +97,7 @@ def _pair_dist_sql(sub_dim: int) -> str:
     association), but pure codegen arithmetic — no arrays, no
     interpreted fold."""
     cross = " + ".join(f"s{d} * c{d}" for d in range(1, sub_dim + 1))
-    return f"round(nsv - 2 * ({cross}) + ncv, 6)"
+    return f"floor((nsv - 2 * ({cross}) + ncv) * 1e6 + 0.5) / 1e6"
 
 
 #: code-id bit width of the packed argmin ordering (codes < 2^20,
@@ -211,8 +212,8 @@ def _scalar_codebooks(
     packed = _packed_argmin()
     mean_cols = [
         F.expr(
-            f"round(cast(sum(cast(s{d} as decimal(38,12))) as double)"
-            f" / count(*), 6) as c{d}"
+            f"floor(cast(sum(cast(s{d} as decimal(38,12))) as double)"
+            f" / count(*) * 1e6 + 0.5) / 1e6 as c{d}"
         )
         for d in range(1, sub_dim + 1)
     ]
@@ -493,10 +494,14 @@ def pq_topk_gated(
         )
         .select(
             "query_id",
-            F.round(
-                F.coalesce(F.col("_n_found"), F.lit(0))
-                / F.col("_n_true"),
-                2,
+            (
+                F.floor(
+                    F.coalesce(F.col("_n_found"), F.lit(0))
+                    / F.col("_n_true")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(100.0)
             ).alias("recall"),
         )
     )
@@ -539,7 +544,8 @@ def pq_topk_sql(
     qlist = ", ".join(str(int(q)) for q in query_ids)
     # hoisted-self-dot pair distance — value-identical to _DUCK_L2
     # (same ((nsv − 2d) + ncv) association)
-    l2 = "round(s.nsv - 2 * list_dot_product(s.sv, c.cv) + c.ncv, 6)"
+    l2 = ("floor((s.nsv - 2 * list_dot_product(s.sv, c.cv) + c.ncv)"
+          " * 1e6 + 0.5) / 1e6")
     if train_sample_rate == 1.0:
         train_where = ""
     else:
@@ -583,8 +589,9 @@ def pq_topk_sql(
         )
         ctes.append(
             f"mean{i} AS (SELECT m, code, dim,"
-            " round(CAST(sum(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)"
-            f" / count(*), 6) AS mv FROM comp{i} GROUP BY m, code, dim)"
+            " floor(CAST(sum(CAST(comp AS DECIMAL(38,12))) AS DOUBLE)"
+            f" / count(*) * 1e6 + 0.5) / 1e6 AS mv"
+            f" FROM comp{i} GROUP BY m, code, dim)"
         )
         ctes.append(
             f"cb{i} AS (SELECT m, code, cv,"
@@ -653,8 +660,8 @@ def pq_topk_sql(
         "  ORDER BY d, neighbor_id) AS r FROM bscored)"
         f" WHERE r <= {k})",
         "rec AS (SELECT b.query_id,"
-        " round(CAST(count(a.neighbor_id) AS DOUBLE)"
-        "  / CAST(count(*) AS DOUBLE), 2) AS recall"
+        " floor(CAST(count(a.neighbor_id) AS DOUBLE)"
+        "  / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS recall"
         " FROM brute b LEFT JOIN ann a ON a.query_id = b.query_id"
         "  AND a.neighbor_id = b.neighbor_id GROUP BY b.query_id)",
     ]

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -60,8 +62,8 @@ def profile_table(df: DataFrame) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(x)).cast("bigint").alias("n_nulls"),
                 F.countDistinct(x).cast("bigint").alias("n_distinct"),
-                F.round(F.min(num), 6).alias("min_num"),
-                F.round(F.max(num), 6).alias("max_num"),
+                _fx6(F.min(num)).alias("min_num"),
+                _fx6(F.max(num)).alias("max_num"),
                 F.min(s).alias("min_str"),
                 F.max(s).alias("max_str"),
             )
@@ -112,8 +114,8 @@ def profile_table_sql_from_schema(
             f" CAST(count(*) AS BIGINT) AS n_rows,"
             f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
             f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-            f" round(min({num}), 6) AS min_num,"
-            f" round(max({num}), 6) AS max_num,"
+            f" floor(min({num}) * 1e6 + 0.5) / 1e6 AS min_num,"
+            f" floor(max({num}) * 1e6 + 0.5) / 1e6 AS max_num,"
             f" min({s}) AS min_str, max({s}) AS max_str"
             f" FROM {table}"
         )

@@ -18,7 +18,10 @@ are Gopher's scaled to the test corpus's short documents):
   stopword_hits   ≥ min_stop_hits English stopword occurrences
 
 Exactness: every rule is an integer count + at most one division,
-compared after ``round(…, 6)`` — the package float policy — so the
+compared after the portable ``fx6`` round (integer ratios DO land
+on exact scaled-half ties — e.g. 1/128 → 7812.5e-6 — the class the
+package round policy exists for; see operators/portable_round.py)
+— so the
 boolean verdicts replay bit-for-bit in the DuckDB oracle.
 
 Plan shape: ``quality_rule_report`` is a single Project over the scan
@@ -31,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
 
 from minisql_engine_spark.operators.text import LANG_MARKERS, _ws_tokens
 
@@ -84,13 +89,13 @@ def quality_rule_report(
         F.lit(0),
     ).cast("bigint")
     safe_tokens = F.greatest(n_tokens, F.lit(1))
-    mean_wl = F.round(
-        (n_chars - (n_tokens - 1)).cast("double") / safe_tokens, 6
+    mean_wl = _fx6(
+        (n_chars - (n_tokens - 1)).cast("double") / safe_tokens
     )
-    sym_ratio = F.round(
-        n_sym.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+    sym_ratio = _fx6(
+        n_sym.cast("double") / F.greatest(n_chars, F.lit(1))
     )
-    alpha_ratio = F.round(n_alpha_tok.cast("double") / safe_tokens, 6)
+    alpha_ratio = _fx6(n_alpha_tok.cast("double") / safe_tokens)
 
     rules = {
         "r_word_count": (n_tokens >= min_words)
@@ -161,12 +166,12 @@ def _rules_sql(
         f"   '{stop_re}')), 0) AS BIGINT) AS n_stop"
         "  FROM {{table}}),"
         " r AS (SELECT *,"
-        "  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE)"
-        "   / greatest(n_tokens, 1), 6) AS mean_wl,"
-        "  round(CAST(n_sym AS DOUBLE) / greatest(n_chars, 1), 6)"
-        "   AS sym_ratio,"
-        "  round(CAST(n_alpha_tok AS DOUBLE) / greatest(n_tokens, 1), 6)"
-        "   AS alpha_ratio FROM m),"
+        "  floor(CAST(n_chars - (n_tokens - 1) AS DOUBLE)"
+        "   / greatest(n_tokens, 1) * 1e6 + 0.5) / 1e6 AS mean_wl,"
+        "  floor(CAST(n_sym AS DOUBLE) / greatest(n_chars, 1)"
+        "   * 1e6 + 0.5) / 1e6 AS sym_ratio,"
+        "  floor(CAST(n_alpha_tok AS DOUBLE) / greatest(n_tokens, 1)"
+        "   * 1e6 + 0.5) / 1e6 AS alpha_ratio FROM m),"
         " v AS (SELECT *,"
         f"  n_tokens >= {min_words} AND n_tokens <= {max_words}"
         "   AS r_word_count,"

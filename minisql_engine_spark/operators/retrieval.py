@@ -32,9 +32,11 @@ Plan shape (scale notes):
     top-k per query. Nothing is quadratic; the only corpus-sized
     shuffles are the tf aggregate and the dl reuse.
 
-Float policy: round(score, 6) at the edge absorbs libm ulp skew
-between Spark and DuckDB ``ln`` (the package-wide rule, see
-``operators/tfidf.py``).
+Float policy (r9): the per-term contribution is summed exactly via
+``portable_round.dsum`` (order-independent across any shuffle) and
+the score edge is the portable ``fx6`` — see
+``operators/portable_round.py`` for the package-wide rule; the
+DECIMAL cast absorbs libm ulp skew between Spark and DuckDB ``ln``.
 """
 
 from __future__ import annotations
@@ -42,6 +44,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    dsum_sql as _dsum_sql,
+    fx6 as _fx6,
+    fx6_sql as _fx6_sql,
+)
 
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 
@@ -151,7 +160,7 @@ def bm25_topk(
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+        .agg(_fx6(_dsum(idf * sat)).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col)
@@ -200,14 +209,14 @@ def bm25_topk_sql(
         " df_t AS (SELECT token, CAST(count(*) AS BIGINT) AS df"
         "  FROM tf_q GROUP BY token),"
         f" scored AS (SELECT qterms.query_id, tf_q.{id_col},"
-        "  round(sum("
-        "   ln(1.0 + (CAST(stats.n_corpus - df_t.df AS DOUBLE) + 0.5)"
-        "        / (CAST(df_t.df AS DOUBLE) + 0.5))"
-        f"   * (CAST(tf_q.tf AS DOUBLE) * {k1 + 1.0!r}"
-        f"      / (CAST(tf_q.tf AS DOUBLE) + {k1!r}"
-        f"         * ({1.0 - b!r} + {b!r} * CAST(dl.dl AS DOUBLE)"
-        "            / stats.avgdl)))"
-        "  ), 6) AS score"
+        "  " + _fx6_sql(_dsum_sql(
+            " ln(1.0 + (CAST(stats.n_corpus - df_t.df AS DOUBLE) + 0.5)"
+            "      / (CAST(df_t.df AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_q.tf AS DOUBLE) * {k1 + 1.0!r}"
+            f"    / (CAST(tf_q.tf AS DOUBLE) + {k1!r}"
+            f"       * ({1.0 - b!r} + {b!r} * CAST(dl.dl AS DOUBLE)"
+            "          / stats.avgdl)))"
+        )) + " AS score"
         "  FROM tf_q JOIN df_t ON tf_q.token = df_t.token"
         "  JOIN qterms ON tf_q.token = qterms.token"
         f"  JOIN dl ON tf_q.{id_col} = dl.{id_col}"
@@ -323,14 +332,14 @@ def bm25_ranked_cte_sql(
         " bm_df AS (SELECT token, CAST(count(*) AS BIGINT) AS df"
         "  FROM bm_tfq GROUP BY token),"
         f" bm_scored AS (SELECT bm_qterms.query_id, bm_tfq.{id_col},"
-        "  round(sum("
-        "   ln(1.0 + (CAST(bm_stats.n_corpus - bm_df.df AS DOUBLE) + 0.5)"
-        "        / (CAST(bm_df.df AS DOUBLE) + 0.5))"
-        f"   * (CAST(bm_tfq.tf AS DOUBLE) * {k1 + 1.0!r}"
-        f"      / (CAST(bm_tfq.tf AS DOUBLE) + {k1!r}"
-        f"         * ({1.0 - b!r} + {b!r} * CAST(bm_dl.dl AS DOUBLE)"
-        "            / bm_stats.avgdl)))"
-        "  ), 6) AS score"
+        "  " + _fx6_sql(_dsum_sql(
+            " ln(1.0 + (CAST(bm_stats.n_corpus - bm_df.df AS DOUBLE) + 0.5)"
+            "      / (CAST(bm_df.df AS DOUBLE) + 0.5))"
+            f" * (CAST(bm_tfq.tf AS DOUBLE) * {k1 + 1.0!r}"
+            f"    / (CAST(bm_tfq.tf AS DOUBLE) + {k1!r}"
+            f"       * ({1.0 - b!r} + {b!r} * CAST(bm_dl.dl AS DOUBLE)"
+            "          / bm_stats.avgdl)))"
+        )) + " AS score"
         "  FROM bm_tfq JOIN bm_df ON bm_tfq.token = bm_df.token"
         "  JOIN bm_qterms ON bm_tfq.token = bm_qterms.token"
         f"  JOIN bm_dl ON bm_tfq.{id_col} = bm_dl.{id_col}"

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+
 #: 2^10 registers — 1.04/sqrt(m) ≈ 3.25% expected standard error.
 DEFAULT_P = 10
 
@@ -94,7 +96,14 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_P) -> DataFrame:
     m = 1 << p
     agg = sketch.agg(
         F.count("*").cast("bigint").alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(63) - F.col("max_rho")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(9223372036854775808.0)
+        ).alias("_s"),
     )
     raw = (
         F.lit(_alpha(m) * m * m)
@@ -108,7 +117,7 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_P) -> DataFrame:
     return agg.select(
         F.lit(m).cast("bigint").alias("m"),
         "n_present",
-        F.round(est, 6).alias("estimate"),
+        _fx6(est).alias("estimate"),
     )
 
 
@@ -135,7 +144,7 @@ def hll_distinct(
         "n_present",
         "estimate",
         "n_exact",
-        F.round(rel, 6).alias("rel_err_pct"),
+        _fx6(rel).alias("rel_err_pct"),
         (F.abs(rel) <= 10.0).alias("within_10pct"),
     )
 
@@ -163,7 +172,8 @@ def hll_distinct_sql(
         " sk AS (SELECT reg, CAST(max(rho) AS INTEGER) AS max_rho"
         "  FROM regs GROUP BY reg),"
         " agg AS (SELECT CAST(count(*) AS BIGINT) AS n_present,"
-        "  sum(power(2.0, -max_rho)) AS s FROM sk),"
+        "  CAST(sum(CAST(power(2.0, 63 - max_rho) AS DECIMAL(38,0)))"
+        "   AS DOUBLE) / 9223372036854775808.0 AS s FROM sk),"
         f" est0 AS (SELECT n_present, {alpha_m2}"
         f"   / (s + ({m} - n_present)) AS raw FROM agg),"
         " est AS (SELECT n_present,"
@@ -175,12 +185,13 @@ def hll_distinct_sql(
         "  FROM keys),"
         # the Spark side derives rel_err from the ALREADY-round(6)ed
         # estimate (hll_estimate's output column) — mirror that here
-        " fin AS (SELECT n_present, round(e, 6) AS estimate, n_exact"
+        " fin AS (SELECT n_present,"
+        "  floor(e * 1e6 + 0.5) / 1e6 AS estimate, n_exact"
         "  FROM est CROSS JOIN ex)"
         f" SELECT CAST({m} AS BIGINT) AS m, n_present, estimate,"
         "  n_exact,"
-        "  round((estimate - n_exact) / n_exact * 100.0, 6)"
-        "   AS rel_err_pct,"
+        "  floor((estimate - n_exact) / n_exact * 100.0"
+        "   * 1e6 + 0.5) / 1e6 AS rel_err_pct,"
         "  (abs((estimate - n_exact) / n_exact * 100.0) <= 10.0)"
         "   AS within_10pct"
         " FROM fin"
@@ -446,7 +457,14 @@ def hll_group_estimate(
     m = 1 << p
     agg = sketch.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_s"),
+        (
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(63) - F.col("max_rho")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(9223372036854775808.0)
+        ).alias("_s"),
     )
     raw = (
         F.lit(_alpha(m) * m * m)
@@ -460,7 +478,7 @@ def hll_group_estimate(
     return agg.select(
         "grp",
         "n_present",
-        F.round(est, 6).alias("estimate"),
+        _fx6(est).alias("estimate"),
     ).orderBy("grp")
 
 
@@ -487,7 +505,9 @@ def hll_group_distinct_sql(
         "  CAST(max(rho) AS INTEGER) AS max_rho"
         "  FROM regs GROUP BY grp, reg),"
         " agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_present,"
-        "  sum(power(2.0, -max_rho)) AS s FROM sk GROUP BY grp),"
+        "  CAST(sum(CAST(power(2.0, 63 - max_rho) AS DECIMAL(38,0)))"
+        "   AS DOUBLE) / 9223372036854775808.0 AS s"
+        "  FROM sk GROUP BY grp),"
         f" est0 AS (SELECT grp, n_present, {alpha_m2}"
         f"   / (s + ({m} - n_present)) AS raw FROM agg),"
         " est AS (SELECT grp, n_present,"
@@ -495,6 +515,7 @@ def hll_group_distinct_sql(
         f"   THEN {float(m)!r} * ln({float(m)!r}"
         f"    / CAST({m} - n_present AS DOUBLE))"
         "   ELSE raw END AS e FROM est0)"
-        " SELECT grp, n_present, round(e, 6) AS estimate"
+        " SELECT grp, n_present,"
+        "  floor(e * 1e6 + 0.5) / 1e6 AS estimate"
         " FROM est ORDER BY grp"
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+
 
 def value_histogram(
     df: DataFrame,
@@ -360,12 +362,11 @@ def winsorize(
     # arguments (a NULL value would silently clip to the lower bound)
     clip = F.when(
         F.col(col).isNotNull(),
-        F.round(
+        _fx6(
             F.least(
                 F.greatest(F.col(col).cast("double"), F.col("_blo")),
                 F.col("_bhi"),
-            ),
-            6,
+            )
         ),
     ).alias(out_col)
     if group_by is None:
@@ -395,7 +396,8 @@ def winsorize_sql(
             f" quantile_cont({col}, {p_hi!r}) AS bhi FROM {table})"
             f" SELECT {table}.*,"
             f" CASE WHEN {col} IS NOT NULL THEN"
-            f" round(least(greatest(CAST({col} AS DOUBLE), blo), bhi), 6)"
+            f" floor(least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
+        f"  * 1e6 + 0.5) / 1e6"
             f" END AS {out_col} FROM {table} CROSS JOIN b"
         )
     return (
@@ -405,7 +407,8 @@ def winsorize_sql(
         f" GROUP BY {group_by})"
         f" SELECT {table}.*,"
         f" CASE WHEN {col} IS NOT NULL THEN"
-        f" round(least(greatest(CAST({col} AS DOUBLE), blo), bhi), 6)"
+        f" floor(least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
+        f"  * 1e6 + 0.5) / 1e6"
         f" END AS {out_col} FROM {table} JOIN b USING ({group_by})"
     )
 
@@ -449,8 +452,8 @@ def mad_outliers(
         scored = dev.join(mad, group_by)
     return scored.select(
         *df.columns,
-        F.round(F.col("_med"), 6).alias("med"),
-        F.round(F.col("_mad"), 6).alias("mad"),
+        _fx6(F.col("_med")).alias("med"),
+        _fx6(F.col("_mad")).alias("mad"),
         F.when(
             x.isNotNull(),
             F.when(F.col("_mad") > 0, F.abs(x - F.col("_med")) > k * F.col("_mad"))
@@ -475,7 +478,8 @@ def mad_outliers_sql(
             f"  FROM {table} CROSS JOIN m),"
             " md AS (SELECT quantile_cont(_adev, 0.5) AS _mad FROM d)"
             f" SELECT d.* EXCLUDE (_med, _adev),"
-            " round(_med, 6) AS med, round(_mad, 6) AS mad,"
+            " floor(_med * 1e6 + 0.5) / 1e6 AS med,"
+        " floor(_mad * 1e6 + 0.5) / 1e6 AS mad,"
             f" CASE WHEN {col} IS NOT NULL THEN"
             f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
             f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
@@ -489,7 +493,8 @@ def mad_outliers_sql(
         f" md AS (SELECT {group_by}, quantile_cont(_adev, 0.5) AS _mad"
         f"  FROM d GROUP BY {group_by})"
         f" SELECT d.* EXCLUDE (_med, _adev),"
-        " round(_med, 6) AS med, round(_mad, 6) AS mad,"
+        " floor(_med * 1e6 + 0.5) / 1e6 AS med,"
+        " floor(_mad * 1e6 + 0.5) / 1e6 AS mad,"
         f" CASE WHEN {col} IS NOT NULL THEN"
         f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
         f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
@@ -587,9 +592,9 @@ def histogram_quantiles(
         est.join(F.broadcast(exact_long), "prob")
         .select(
             "prob",
-            F.round(F.col("_est"), 6).alias("est"),
-            F.round(F.col("_exact"), 6).alias("exact"),
-            F.round(err, 6).alias("abs_err"),
+            _fx6(F.col("_est")).alias("est"),
+            _fx6(F.col("_exact")).alias("exact"),
+            _fx6(err).alias("abs_err"),
             (err <= 2.0 * width).alias("within_two_widths"),
         )
         .orderBy("prob")
@@ -644,9 +649,9 @@ def histogram_quantiles_sql(
         "   END AS est_v FROM picked),"
         f" ex AS (SELECT {exact_cols} FROM {table}),"
         f" exl AS ({exact_rows})"
-        " SELECT prob, round(est_v, 6) AS est,"
-        "  round(exact_v, 6) AS exact,"
-        "  round(abs(est_v - exact_v), 6) AS abs_err,"
+        " SELECT prob, floor(est_v * 1e6 + 0.5) / 1e6 AS est,"
+        "  floor(exact_v * 1e6 + 0.5) / 1e6 AS exact,"
+        "  floor(abs(est_v - exact_v) * 1e6 + 0.5) / 1e6 AS abs_err,"
         f"  (abs(est_v - exact_v) <= {2.0 * width!r})"
         "   AS within_two_widths"
         " FROM est JOIN exl USING (prob) ORDER BY prob"

@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
+    dsum_sql as _dsum_sql,
+    fx6 as _fx6,
+    fx6_sql as _fx6_sql,
+)
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
 # Deliberately small + hardcoded: the heuristic must be reproducible in
 # plain SQL in both engines (regexp word-boundary counts).
@@ -382,7 +389,7 @@ def char_entropy(
     tf = chars.groupBy(id_col, "_c").agg(F.count("*").alias("_tf"))
     per = tf.groupBy(id_col).agg(
         F.sum("_tf").cast("bigint").alias("_n"),
-        F.sum(
+        _dsum(
             F.col("_tf").cast("double")
             * F.log2(F.col("_tf").cast("double"))
         ).alias("_stl"),
@@ -392,10 +399,9 @@ def char_entropy(
         F.col(id_col),
         F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_chars_e"),
         F.coalesce(
-            F.round(
+            _fx6(
                 F.log2(F.col("_n").cast("double"))
-                - F.col("_stl") / F.col("_n").cast("double"),
-                6,
+                - F.col("_stl") / F.col("_n").cast("double")
             ),
             F.lit(0.0),
         ).alias("entropy_bits"),
@@ -415,12 +421,16 @@ def char_entropy_sql(
         f" tf AS (SELECT {id_col}, c, count(*) AS tf FROM chars"
         f"  WHERE c <> '' GROUP BY {id_col}, c),"
         f" per AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS n,"
-        "  sum(CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))) AS stl"
+        "  " + _dsum_sql(
+            "CAST(tf AS DOUBLE) * log2(CAST(tf AS DOUBLE))"
+        ) + " AS stl"
         f"  FROM tf GROUP BY {id_col})"
         f" SELECT d.{id_col},"
         " COALESCE(per.n, 0) AS n_chars_e,"
-        " COALESCE(round(log2(CAST(per.n AS DOUBLE))"
-        "  - per.stl / CAST(per.n AS DOUBLE), 6), 0.0) AS entropy_bits"
+        " COALESCE(" + _fx6_sql(
+            "log2(CAST(per.n AS DOUBLE))"
+            " - per.stl / CAST(per.n AS DOUBLE)"
+        ) + ", 0.0) AS entropy_bits"
         f" FROM (SELECT DISTINCT {id_col} FROM {table}) d"
         f" LEFT JOIN per ON d.{id_col} = per.{id_col}"
     )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+
 
 def resample_forward_fill(
     events: DataFrame,
@@ -186,9 +188,9 @@ def rolling_event_features(
         tag = _wtag(w)
         out_cols += [
             cnt.cast("bigint").alias(f"n_{tag}"),
-            F.round(ssum.cast("double"), 6).alias(f"sum_{tag}"),
-            F.round(
-                ssum.cast("double") / cnt.cast("double"), 6
+            _fx6(ssum.cast("double")).alias(f"sum_{tag}"),
+            _fx6(
+                ssum.cast("double") / cnt.cast("double")
             ).alias(f"avg_{tag}"),
         ]
     return events.select(*out_cols)
@@ -214,12 +216,12 @@ def rolling_event_features_sql(
         )
         cols += [
             f"CAST(count({val_col}) {frame} AS BIGINT) AS n_{tag}",
-            f"round(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
-            f" {frame} AS DOUBLE), 6) AS sum_{tag}",
-            f"round(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
+            f"floor(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
+            f" {frame} AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_{tag}",
+            f"floor(CAST(sum(CAST({val_col} AS DECIMAL(38,12)))"
             f" {frame} AS DOUBLE)"
-            f" / CAST(count({val_col}) {frame} AS DOUBLE), 6)"
-            f" AS avg_{tag}",
+            f" / CAST(count({val_col}) {frame} AS DOUBLE)"
+            f" * 1e6 + 0.5) / 1e6 AS avg_{tag}",
         ]
     return f"SELECT {', '.join(cols)} FROM {table}"
 

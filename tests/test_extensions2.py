@@ -705,3 +705,68 @@ def test_coverage_upper_cells_consistent_with_registry():
         f"rows-only window entries {sorted(unmentioned)} are not "
         "mentioned in COVERAGE.md's upper tables"
     )
+
+
+def test_coverage_driver_history_current():
+    """COVERAGE.md's driver-certification history must equal a fresh
+    render from the CORRECTNESS_r*.json files (r8 verdict task 3 —
+    the ledger claimed `embedding_drift` ✓ while the driver had never
+    hash-certified it). Regenerate with
+    `python tools/gen_driver_history.py` after each round's
+    CORRECTNESS file lands."""
+    import os
+
+    from tools.gen_driver_history import BEGIN, END, render
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        doc = f.read()
+    assert BEGIN in doc and END in doc, "driver-history section missing"
+    committed = doc[doc.index(BEGIN) : doc.index(END) + len(END)]
+    assert committed == render(), (
+        "COVERAGE.md driver history is stale — run "
+        "python tools/gen_driver_history.py"
+    )
+
+
+def test_coverage_no_unqualified_check_on_driver_failed_entries():
+    """Any entry whose LAST driver verdict is FAIL must not carry an
+    unqualified `name` ✓ claim in the hand-written tables above the
+    generated sections."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, rec in json.load(f).items():
+                if rec.get("err") == "no_oracle":
+                    last[name] = "rows-only"
+                elif (
+                    rec.get("rows_match")
+                    and rec.get("schema_match")
+                    and rec.get("hash_match")
+                ):
+                    last[name] = "green"
+                else:
+                    last[name] = "FAIL"
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        doc = f.read()
+    upper = doc[: doc.index("## Rotation ledger")]
+    offenders = []
+    for name, status in last.items():
+        if status != "FAIL":
+            continue
+        for line in upper.splitlines():
+            if re.search(rf"`{re.escape(name)}` ✓", line) and (
+                "FAIL" not in line
+            ):
+                offenders.append(name)
+    assert not offenders, (
+        f"entries with a FAILED last driver verdict carry a ✓ in "
+        f"COVERAGE.md without disclosing the FAIL on the same row: "
+        f"{offenders}"
+    )
