@@ -5423,6 +5423,153 @@ def q_pagerank_customer_supplier(spark, sf_dir):
     )
 
 
+@_register(
+    "versioned_stream_admission",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_versioned_stream_admission(spark, sf_dir):
+    """Versioned streaming admission life cycle
+    (streaming/ingest.versioned_admission_cycle — VERDICT r8 task 7):
+    a REAL availableNow stream over a 3-file drop folder admits each
+    micro-batch against the durable key index and commits survivors
+    as ONE snapshot version per batch (table before index —
+    crash-safe toward re-admission, never loss); then the WHOLE drop
+    folder replays as a fresh query against the same index+table and
+    the in-query gate requires zero new versions and zero new rows
+    (at-least-once delivery, exactly-once content). Output is
+    content-addressed (the curate_stream rule) so it is arrival-
+    order-stable; the oracle replays the chained admission and the
+    version dense-rank in SQL."""
+    import hashlib
+    import tempfile
+
+    from minisql_engine_spark.streaming.ingest import (
+        versioned_admission_cycle,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"minisql_vadm_{tag}")
+    return versioned_admission_cycle(
+        _t(spark, sf_dir, "documents"), base
+    )
+
+
+def _vadm_oracle() -> str:
+    from minisql_engine_spark.streaming.ingest import (
+        versioned_admission_sql,
+    )
+
+    return versioned_admission_sql()
+
+
+_ORACLES["versioned_stream_admission"] = _vadm_oracle()
+
+
+def _pagerank_weighted_oracle() -> str:
+    from minisql_engine_spark.operators.graph import pagerank_ctes_sql
+
+    # trade-intensity weights: w = lineitem count per (customer,
+    # supplier) pair — the natural edge weight of the trade graph
+    edges_cte = (
+        "WITH be AS (SELECT CAST(2 * o.o_custkey AS BIGINT) AS src,"
+        "  CAST(2 * l.l_suppkey + 1 AS BIGINT) AS dst,"
+        "  CAST(count(*) AS BIGINT) AS w"
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        "  GROUP BY 1, 2)"
+        " SELECT src, dst, w FROM be"
+        " UNION ALL SELECT dst, src, w FROM be"
+    )
+    return (
+        "WITH "
+        + pagerank_ctes_sql(
+            edges_cte, n_iter=_PAGERANK_ITERS, weighted=True
+        )
+        + " SELECT node, CASE WHEN node % 2 = 0"
+        "  THEN 'c' || CAST(node // 2 AS VARCHAR)"
+        "  ELSE 's' || CAST(node // 2 AS VARCHAR) END AS entity,"
+        " pr_units, CAST(pos AS INT) AS pos FROM"
+        " (SELECT node, rank AS pr_units,"
+        "  row_number() OVER (ORDER BY rank DESC, node) AS pos"
+        f"  FROM pr{_PAGERANK_ITERS})"
+        f" WHERE pos <= {_PAGERANK_TOP}"
+    )
+
+
+@_register("pagerank_weighted_trade", _pagerank_weighted_oracle())
+def q_pagerank_weighted_trade(spark, sf_dir):
+    """WEIGHTED integer PageRank (operators/graph.py, ``weight=``) —
+    the VERDICT r8 promotion: same symmetric customer–supplier trade
+    graph as ``pagerank_customer_supplier`` but each edge carries its
+    lineitem count as an integer weight, so rank flows proportionally
+    to trade intensity (share = rank·d·w DIV (D·W_u), W_u = Σ out-
+    weights). Fixed-point units, every floor division replayed in the
+    oracle's chained CTEs; three-way parity (Spark ≡ Python replay ≡
+    DuckDB) pinned in tests/test_graph.py since r8. Same mass-
+    conservation in-query gate and broadcast-ranks operating point
+    (dimension-sized node set) as the unweighted row."""
+    from pyspark.sql.window import Window
+
+    from minisql_engine_spark.operators.graph import (
+        SCALE,
+        _PR_CACHE,
+        pagerank,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pairs = (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    c = (F.lit(2) * F.col("o_custkey")).cast("long")
+    s = (F.lit(2) * F.col("l_suppkey") + 1).cast("long")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    c.alias("src"), s.alias("dst"), F.col("w").alias("w")
+                ),
+                F.struct(
+                    s.alias("src"), c.alias("dst"), F.col("w").alias("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    pr = pagerank(
+        edges,
+        n_iter=_PAGERANK_ITERS,
+        weight="w",
+        broadcast_ranks=True,
+    ).persist()
+    _PR_CACHE.append(pr)
+    mass = pr.agg(
+        F.sum("pr_units").alias("m"), F.count("*").alias("n")
+    ).collect()[0]
+    if not (SCALE * 0.99 <= mass["m"] <= SCALE):
+        raise RuntimeError(
+            f"rank mass {mass['m']} outside the floor-leak bound "
+            f"for SCALE={SCALE}, n={mass['n']}"
+        )
+    w = Window.orderBy(F.col("pr_units").desc(), F.col("node"))
+    entity = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("node DIV 2").cast("string"),
+    )
+    return (
+        pr.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= _PAGERANK_TOP)
+        .select(
+            "node",
+            entity.alias("entity"),
+            "pr_units",
+            F.col("pos").cast("int").alias("pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -5663,12 +5810,31 @@ _ARCHIVED: frozenset[str] = frozenset(
         # admission fast path test_stream_ingest); the sketch family
         # keeps hll_distinct/cms_frequency/pergroup_hll live.
         "bloom_admission",
+        # r9 wave — room for pagerank_weighted_trade: emb_ivf_topk is
+        # hash-green r1–r8 (the most-certified entry in the window,
+        # 7 consecutive driver rounds) and the IVF family keeps
+        # ivf_index_search + ivf_index_maintenance live plus emb_pq/
+        # sq8/lsh on the rest of the ANN spectrum; the brute-vs-IVF
+        # recall arithmetic stays archive-parity-tested every run.
+        "emb_ivf_topk",
+        # + versioned_stream_admission (same wave): dedup_simhash is
+        # hash-green r1–r8 (7 consecutive driver rounds) and the
+        # dedup family keeps semantic_dedup, dedup_index_admission,
+        # image_near_dups, and both funnel rows live; the simhash
+        # banding + popcount arithmetic stays archive-parity-tested
+        # every run.
+        "dedup_simhash",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r9 wave — brand new driver rows, never driver-checked
+    # (embedding_drift, rebuilt in r9 after its r8 driver hash FAIL,
+    # already rides the r7 block below)
+    "pagerank_weighted_trade",
+    "versioned_stream_admission",
     # r8 wave — brand new driver rows, never driver-checked
     "hybrid_rrf_retrieval",
     "split_leakage_safe",

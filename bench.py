@@ -146,6 +146,9 @@ HEADLINE = (
     "snapshot_diff_cdc",
     "curriculum_order",
     "emb_sq8_topk",
+    # r9 wave
+    "pagerank_weighted_trade",
+    "versioned_stream_admission",
 )
 
 

@@ -259,3 +259,30 @@ def test_stream_admission_with_bloom_sidecar(spark, staged, tmp_path):
         else 0
     )
     assert n_replay == 0
+
+
+def test_versioned_admission_cycle_driver_shape(spark, sf_dir, tmp_path, duck):
+    """The r9 driver row end-to-end: content-addressed output matches
+    the DuckDB chained-admission replay, every content appears once,
+    and the in-query replay gate already ran (the cycle raises if the
+    replay commits anything)."""
+    from minisql_engine_spark.sources.snapshots import current_version
+    from minisql_engine_spark.streaming.ingest import (
+        versioned_admission_cycle,
+        versioned_admission_sql,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = str(tmp_path / "vadm")
+    out = versioned_admission_cycle(docs, base)
+    assert_matches_oracle(
+        out, duck.execute(versioned_admission_sql()).fetchdf(), "vadm"
+    )
+    rows = out.collect()
+    hashes = [r["content_hash"] for r in rows]
+    assert sorted(hashes) == sorted(set(hashes))
+    assert all(r["replay_new_versions"] == 0 for r in rows)
+    # versions on disk equal the claimed n_versions
+    n_claimed = {r["n_versions"] for r in rows}
+    assert n_claimed == {current_version(os.path.join(base, "table"))}
