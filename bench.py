@@ -210,6 +210,9 @@ def main() -> None:
     from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
     from minisql_engine_spark.operators.sq import clear_sq_cache
+    from minisql_engine_spark.operators.lm_score import (
+        clear_lm_frozen_cache,
+    )
     from minisql_engine_spark.operators.curriculum import (
         clear_curriculum_cache,
     )
@@ -218,6 +221,7 @@ def main() -> None:
         clear_simhash_cache()
         clear_sq_cache()
         clear_curriculum_cache()
+        clear_lm_frozen_cache()
         clear_editsim_cache()
         clear_hashvec_cache()
         clear_centroid_cache()

@@ -346,6 +346,47 @@ def lm_bigram_perplexity_sql(
 
 _LM_MODEL_META = "_lm_meta.json"
 
+#: (realpath, meta-mtime) -> (persisted counts DF, meta dict). A
+#: streaming funnel calls lm_score_frozen once PER MICRO-BATCH;
+#: without this cache every batch re-reads the model parquet and
+#: meta JSON (r8 VERDICT task 5). The mtime in the key invalidates
+#: naturally when save_lm_model rewrites the model in place.
+_FROZEN_CACHE: dict = {}
+
+
+def clear_lm_frozen_cache() -> None:
+    """Release persisted frozen-model count tables."""
+    while _FROZEN_CACHE:
+        try:
+            _FROZEN_CACHE.popitem()[1][0].unpersist()
+        except Exception:
+            pass
+
+
+def _load_frozen_model(spark, model_path: str):
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(model_path, _LM_MODEL_META)
+    key = (_os.path.realpath(model_path), _os.path.getmtime(meta_path))
+    hit = _FROZEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # a rebuilt model at the same path gets a new mtime — drop the
+    # stale entry so its persisted partitions free up
+    for k in [k for k in _FROZEN_CACHE if k[0] == key[0]]:
+        try:
+            _FROZEN_CACHE.pop(k)[0].unpersist()
+        except Exception:
+            pass
+    counts = spark.read.parquet(
+        _os.path.join(model_path, "counts")
+    ).persist()
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    _FROZEN_CACHE[key] = (counts, meta)
+    return counts, meta
+
 
 def save_lm_model(
     ref_docs: DataFrame,
@@ -468,13 +509,8 @@ def lm_score_frozen(
     model — per-batch scoring with corpus-stable buckets: every
     micro-batch of a stream gets the SAME thresholds, so "drop the
     tail tercile" means the reference's tail, not the batch's."""
-    import json as _json
-    import os as _os
-
     spark = docs.sparkSession
-    counts = spark.read.parquet(_os.path.join(model_path, "counts"))
-    with open(_os.path.join(model_path, _LM_MODEL_META)) as f:
-        meta = _json.load(f)
+    counts, meta = _load_frozen_model(spark, model_path)
     scored = _score_frozen(
         docs, counts, meta["t_total"], meta["v_size"], id_col, text_col
     )
