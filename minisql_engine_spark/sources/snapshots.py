@@ -315,6 +315,10 @@ def _manifest_files(entries: list[str]) -> list[str]:
     return out
 
 
+#: sentinel for a data file with zero rows — disjoint from any range
+EMPTY_FILE = ("__empty__",)
+
+
 def _file_key_range(path: str, key_col: str):
     """(min, max, has_nulls) of ``key_col`` from the parquet FOOTER
     statistics — the metadata Iceberg/Delta keep in their manifests;
@@ -340,6 +344,14 @@ def _file_key_range(path: str, key_col: str):
         hi = st.max if hi is None else max(hi, st.max)
         if st.null_count is None or st.null_count > 0:
             has_nulls = True
+    if lo is None:
+        # zero row groups (a legitimately EMPTY data file — e.g. an
+        # overwrite that filtered everything away): the file can
+        # contain no key at all, which range logic must read as
+        # "disjoint from every range", not as missing stats. The
+        # hypothesis snapshot-ops property found this as a TypeError
+        # in delete_range's boundary compare (r9).
+        return EMPTY_FILE
     return (lo, hi, has_nulls)
 
 
@@ -385,7 +397,12 @@ def merge_snapshot_pruned(
     files = _manifest_files(manifest["data_dirs"])
     stats = [(f, _file_key_range(f, key_col)) for f in files]
     no_stats = [f for f, r in stats if r is None]
-    ranged = [(f, r[0], r[1]) for f, r in stats if r is not None]
+    # EMPTY_FILE (zero rows) carries untouched: no key can hit it
+    ranged = [
+        (f, r[0], r[1])
+        for f, r in stats
+        if r is not None and r is not EMPTY_FILE
+    ]
     touched = set(no_stats)
     if ranged:
         fdf = spark.createDataFrame(
@@ -477,6 +494,8 @@ def delete_range_pruned(
         r = _file_key_range(f, key_col)
         if r is None:
             rewrite.append(f)       # no stats → conservative rewrite
+        elif r is EMPTY_FILE:
+            carried.append(f)       # zero rows → nothing to delete
         elif r[1] < lo or r[0] > hi:
             carried.append(f)       # disjoint → untouched (min/max
             #                         ignore NULLs, so NULL-key rows

@@ -725,3 +725,29 @@ def test_diff_metadata_only_evolution_is_empty(spark, base):
     assert [(r["op"], r["doc_id"], r["flag"]) for r in out] == [
         ("added", 9001, 5)
     ]
+
+
+def test_delete_range_pruned_tolerates_empty_data_file(
+    spark, base, tmp_path
+):
+    """A zero-row data file (e.g. an overwrite that filtered
+    everything away) has no footer min/max at all; the range logic
+    must treat it as disjoint-from-everything, not crash or rewrite
+    it (the r9 hypothesis find: TypeError on None < int)."""
+    from minisql_engine_spark.sources.snapshots import (
+        append_snapshot,
+        delete_range_pruned,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    docs, path = base
+    p2 = str(tmp_path / "with_empty")
+    write_snapshot(docs.filter("doc_id < 50"), p2)
+    # commit an APPEND whose data file holds zero rows
+    append_snapshot(docs.filter("doc_id < 0").coalesce(1), p2)
+    before = read_snapshot(spark, p2).count()
+    delete_range_pruned(spark, p2, "doc_id", 10, 19)
+    after = read_snapshot(spark, p2)
+    assert after.count() == before - 10
+    assert after.filter("doc_id BETWEEN 10 AND 19").count() == 0
