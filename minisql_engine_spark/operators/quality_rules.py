@@ -52,6 +52,13 @@ _RULES = (
 )
 
 
+#: (id_col, text_col, thresholds) -> the built Column list. Columns
+#: are immutable name-based expression trees, safe to reuse across
+#: DataFrames; building them costs ~0.1 s of py4j round-trips and a
+#: streaming funnel calls this once per micro-batch (r9 profile).
+_REPORT_COLS: dict = {}
+
+
 def quality_rule_report(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -64,6 +71,10 @@ def quality_rule_report(
     pass/fail verdict per document. NULL text fails every rule (and
     ``passes_all``) rather than dropping, so the gate's output keeps
     corpus cardinality — a filter stage must account for every row."""
+    key = (id_col, text_col, min_words, max_words, min_stop_hits)
+    memo = _REPORT_COLS.get(key)
+    if memo is not None:
+        return docs.select(*memo)
     text = F.col(text_col)
     # coalesce the ARRAY (not the size): size(NULL) is -1 under
     # Spark's legacy sizeOfNull, so a NULL document would leak a
@@ -110,12 +121,14 @@ def quality_rule_report(
     passes = None
     for c in rules.values():
         passes = c if passes is None else (passes & c)
-    return docs.select(
+    cols = [
         F.col(id_col),
         n_tokens.alias("n_tokens_q"),
         *[c.alias(n) for n, c in rules.items()],
         passes.alias("passes_all"),
-    )
+    ]
+    _REPORT_COLS[key] = cols
+    return docs.select(*cols)
 
 
 def quality_rule_summary(
