@@ -126,12 +126,7 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    if "--spectrum" in sys.argv:
-        args = [a for a in sys.argv[1:] if a != "--spectrum"]
-        spectrum(args[0] if args else "/root/testdata/sf0.1")
-    else:
-        main()
+
 
 
 def spectrum(sf_dir: str = "/root/testdata/sf0.1") -> None:
@@ -223,3 +218,11 @@ def spectrum(sf_dir: str = "/root/testdata/sf0.1") -> None:
         got = {(r["query_id"], r["neighbor_id"]) for r in rows}
         rec = round(len(got & truth) / len(truth), 3)
         print(f"| {label} | {bpv} | {rec} | {dt:.2f} |")
+
+
+if __name__ == "__main__":
+    if "--spectrum" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--spectrum"]
+        spectrum(args[0] if args else "/root/testdata/sf0.1")
+    else:
+        main()
