@@ -5466,7 +5466,10 @@ def q_versioned_stream_admission(spark, sf_dir):
         versioned_admission_cycle,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src_mtime = os.path.getmtime(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    tag = hashlib.md5(f"{sf_dir}:{src_mtime}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"minisql_vadm_{tag}")
     return versioned_admission_cycle(
         _t(spark, sf_dir, "documents"), base

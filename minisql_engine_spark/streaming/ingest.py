@@ -272,12 +272,20 @@ def versioned_admission_cycle(
     )
 
     spark = docs.sparkSession
-    shutil.rmtree(base_path, ignore_errors=True)
-    os.makedirs(base_path)
-    index = os.path.join(base_path, "index")
-    table = os.path.join(base_path, "table")
+    # RUN state (index, table, checkpoints) must be fresh per call —
+    # a carried index would admit nothing and change the result. The
+    # staged DROP is a pure function of ``docs`` and persists across
+    # calls (same artifact-amortization rule as the funnel driver
+    # row); callers key ``base_path`` on the source's identity.
     drop = os.path.join(base_path, "drop")
-    os.makedirs(drop)
+    staged = os.path.join(base_path, "_STAGED")
+    run_dir = os.path.join(base_path, "run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    if not os.path.exists(staged):
+        shutil.rmtree(base_path, ignore_errors=True)
+        os.makedirs(drop)
+    index = os.path.join(run_dir, "index")
+    table = os.path.join(run_dir, "table")
 
     d = docs.select(F.col(id_col), F.col(text_col))
     i = F.col(id_col)
@@ -299,15 +307,20 @@ def versioned_admission_cycle(
 
     # one parquet FILE per micro-batch, mtimes forced ascending so the
     # file source's batch order is deterministic
-    t0 = 1_600_000_000
-    for n, batch in ((1, b1), (2, b2), (3, b3)):
-        stage = tempfile.mkdtemp(prefix="minisql_vstage_")
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
-        dst = os.path.join(drop, f"b{n}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        os.utime(dst, (t0 + 60 * n, t0 + 60 * n))
-        shutil.rmtree(stage, ignore_errors=True)
+    if not os.path.exists(staged):
+        t0 = 1_600_000_000
+        for n, batch in ((1, b1), (2, b2), (3, b3)):
+            stage = tempfile.mkdtemp(prefix="minisql_vstage_")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(drop, f"b{n}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            os.utime(dst, (t0 + 60 * n, t0 + 60 * n))
+            shutil.rmtree(stage, ignore_errors=True)
+        with open(staged, "w") as fh:
+            fh.write("ok")
 
     schema = spark.read.parquet(drop).schema
 
@@ -322,7 +335,7 @@ def versioned_admission_cycle(
             stream,
             index,
             table,
-            os.path.join(base_path, ckpt_name),
+            os.path.join(run_dir, ckpt_name),
             id_col=id_col,
             text_col=text_col,
             constraints=[f"{id_col} IS NOT NULL"],

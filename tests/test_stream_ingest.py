@@ -285,4 +285,6 @@ def test_versioned_admission_cycle_driver_shape(spark, sf_dir, tmp_path, duck):
     assert all(r["replay_new_versions"] == 0 for r in rows)
     # versions on disk equal the claimed n_versions
     n_claimed = {r["n_versions"] for r in rows}
-    assert n_claimed == {current_version(os.path.join(base, "table"))}
+    assert n_claimed == {
+        current_version(os.path.join(base, "run", "table"))
+    }
