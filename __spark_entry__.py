@@ -5442,6 +5442,95 @@ def q_pagerank_customer_supplier(spark, sf_dir):
     )
 
 
+_IR_EVAL_QIDS = (20, 21, 22, 23, 24)
+
+
+@_register(
+    "retrieval_eval_suite",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_retrieval_eval_suite(spark, sf_dir):
+    """IR evaluation metrics (operators/retrieval_eval.py — the
+    fourth piece of the retrieval family): BM25 top-10 runs over five
+    in-plan-derived queries are scored against graded (source, lang)
+    qrels — rel 2 = same source and language as the query document,
+    rel 1 = same source only — producing per-query nDCG@10, MRR@10,
+    P@10, R@10 plus the macro row. Every gain, ideal ranking, and
+    ratio replays in the oracle (gains are exact powers of two over
+    irrational log2 denominators; the integer-ratio metrics ride the
+    portable fx6 edge). This is the harness a pipeline uses to tune
+    k1/b or compare retrievers, certified end-to-end."""
+    from minisql_engine_spark.operators.retrieval import bm25_topk
+    from minisql_engine_spark.operators.retrieval_eval import ir_metrics
+    from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    qdf = docs.filter(
+        F.col("doc_id").isin(list(_IR_EVAL_QIDS))
+    ).select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.array_join(
+            F.slice(_ws_tokens(_norm_text(F.col("text"))), 1, 8), " "
+        ).alias("query_text"),
+    )
+    run = bm25_topk(docs, qdf, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    qmeta = docs.filter(
+        F.col("doc_id").isin(list(_IR_EVAL_QIDS))
+    ).select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("source").alias("_qs"),
+        F.col("lang").alias("_ql"),
+    )
+    qrels = (
+        qmeta.join(
+            docs.select("doc_id", "source", "lang"),
+            F.col("source") == F.col("_qs"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("lang") == F.col("_ql"), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+    return ir_metrics(run, qrels, k=10)
+
+
+def _ir_eval_oracle() -> str:
+    from minisql_engine_spark.operators.retrieval import (
+        bm25_ranked_cte_sql,
+    )
+    from minisql_engine_spark.operators.retrieval_eval import (
+        ir_metrics_sql,
+    )
+
+    ids = ",".join(str(i) for i in _IR_EVAL_QIDS)
+    run_cte = (
+        f"WITH dn AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),"
+        " q AS (SELECT CAST(doc_id AS VARCHAR) AS query_id,"
+        "  array_to_string(list_slice(string_split(norm, ' '), 1, 8), ' ')"
+        f"  AS query_text FROM dn WHERE doc_id IN ({ids})),"
+        + bm25_ranked_cte_sql(q_cte="q")
+        + " SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank"
+        " FROM bm25_ranked WHERE rank <= 10"
+    )
+    qrels_cte = (
+        "SELECT CAST(qd.doc_id AS VARCHAR) AS query_id, d.doc_id,"
+        " CAST(CASE WHEN d.lang = qd.lang THEN 2 ELSE 1 END AS BIGINT)"
+        "  AS rel"
+        " FROM documents d JOIN documents qd ON d.source = qd.source"
+        f" WHERE qd.doc_id IN ({ids})"
+    )
+    return ir_metrics_sql(run_cte, qrels_cte, k=10)
+
+
+_ORACLES["retrieval_eval_suite"] = _ir_eval_oracle()
+
+
 @_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
@@ -5846,6 +5935,13 @@ _ARCHIVED: frozenset[str] = frozenset(
         # banding + popcount arithmetic stays archive-parity-tested
         # every run.
         "dedup_simhash",
+        # + retrieval_eval_suite (same wave): streaming_stateful_user
+        # _stats is hash-green r2–r8 (6 consecutive driver rounds, the
+        # longest-certified streaming row) and the streaming family
+        # keeps FOUR live rows (streaming_dedup, streaming_interval_
+        # join, streaming_curate_funnel, versioned_stream_admission);
+        # the state-store arithmetic stays archive-parity-tested.
+        "streaming_stateful_user_stats",
     }
 )
 
@@ -5857,6 +5953,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # already rides the r7 block below)
     "pagerank_weighted_trade",
     "versioned_stream_admission",
+    "retrieval_eval_suite",
     # r8 wave — brand new driver rows, never driver-checked
     "hybrid_rrf_retrieval",
     "split_leakage_safe",

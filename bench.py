@@ -149,6 +149,7 @@ HEADLINE = (
     # r9 wave
     "pagerank_weighted_trade",
     "versioned_stream_admission",
+    "retrieval_eval_suite",
 )
 
 
