@@ -835,3 +835,106 @@ def test_nb_matches_python_on_random_corpora(spark, docs):
     }
     clear_classify_cache()
     assert got == _py_nb(rows)
+
+
+# --- IR metrics ≡ pure-Python replay on random runs/qrels ------------------
+
+
+def _py_fx6(x: float) -> float:
+    """The portable_round.fx6 construction in plain Python — same
+    IEEE ops (floor(x·1e6 + 0.5)/1e6), so bit-equal by definition."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # query
+            st.integers(min_value=0, max_value=11),  # doc
+            st.integers(min_value=0, max_value=2),   # rel
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SLOW
+def test_ir_metrics_match_python_replay(spark, data):
+    """nDCG/MRR/P/R from the Spark plan equal a direct Python fold
+    over the same run/qrels — pins the METRIC SEMANTICS (the oracle
+    parity test only pins cross-engine agreement)."""
+    import math
+
+    from minisql_engine_spark.operators.retrieval_eval import (
+        MACRO,
+        ir_metrics,
+    )
+
+    k = 4
+    qrels = {}
+    ranked: dict = {}
+    for q, d, rel in data:
+        qn = f"q{q}"
+        if rel > 0:
+            qrels.setdefault(qn, {})[d] = max(
+                rel, qrels.get(qn, {}).get(d, 0)
+            )
+        ranked.setdefault(qn, [])
+        if d not in ranked[qn]:
+            ranked[qn].append(d)
+    run_rows = [
+        (qn, d, i + 1)
+        for qn, docs in ranked.items()
+        for i, d in enumerate(docs)
+    ]
+    qrel_rows = [
+        (qn, d, rel)
+        for qn, rels in qrels.items()
+        for d, rel in rels.items()
+    ]
+    run = spark.createDataFrame(
+        run_rows, "query_id string, doc_id long, rank long"
+    )
+    qdf = spark.createDataFrame(
+        qrel_rows or [("_none_", -1, 1)],
+        "query_id string, doc_id long, rel long",
+    )
+    got = {
+        r["query_id"]: r
+        for r in ir_metrics(run, qdf, k=k).collect()
+    }
+
+    want = {}
+    for qn, docs in ranked.items():
+        rels = qrels.get(qn, {})
+        top = docs[:k]
+        dcg = sum(
+            (2 ** rels.get(d, 0) - 1) / math.log2(i + 2)
+            for i, d in enumerate(top)
+        )
+        ideal = sorted(rels.values(), reverse=True)[:k]
+        idcg = sum(
+            (2 ** r - 1) / math.log2(i + 2)
+            for i, r in enumerate(ideal)
+        )
+        hits = sum(1 for d in top if rels.get(d, 0) > 0)
+        first = next(
+            (i + 1 for i, d in enumerate(top) if rels.get(d, 0) > 0),
+            None,
+        )
+        want[qn] = dict(
+            n_rel=len(rels),
+            ndcg=_py_fx6(dcg / idcg) if idcg > 0 else None,
+            mrr=_py_fx6(1.0 / first) if first else 0.0,
+            prec=_py_fx6(hits / k),
+            rec=_py_fx6(hits / len(rels)) if rels else None,
+        )
+    for qn, w in want.items():
+        g = got[qn]
+        assert g["n_rel"] == w["n_rel"], qn
+        assert g["ndcg_at_k"] == w["ndcg"], qn
+        assert g["mrr_at_k"] == w["mrr"], qn
+        assert g["precision_at_k"] == w["prec"], qn
+        assert g["recall_at_k"] == w["rec"], qn
+    assert MACRO in got
