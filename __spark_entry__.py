@@ -5442,6 +5442,62 @@ def q_pagerank_customer_supplier(spark, sf_dir):
     )
 
 
+@_register(
+    "repetition_signals",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/MassiveText repetition quality signals
+    (operators/repetition.py): duplicate-line fraction (count- and
+    character-weighted), top-2-gram mass, duplicate-5-gram fraction
+    per document. The corpus is single-line by construction, so the
+    row derives a newline-salted variant IN-PLAN (every 5th doc
+    repeats itself as a second line — dup_line_frac 1.0; the next
+    class appends a shared boilerplate footer line) and the oracle
+    replays the salting CASE plus every fraction. Exact integer
+    ratios through the portable fx6 edge; NULL (never 0.0) for
+    no-evidence documents."""
+    from minisql_engine_spark.operators.repetition import (
+        repetition_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", F.col("text"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat_ws(
+                "\n", F.col("text"), F.lit("standard boilerplate footer")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_report(salted)
+
+
+def _repetition_oracle() -> str:
+    from minisql_engine_spark.operators.repetition import (
+        repetition_report_sql,
+    )
+
+    salted = (
+        "SELECT doc_id, CASE"
+        " WHEN doc_id % 5 = 0 THEN concat_ws(chr(10), text, text)"
+        " WHEN doc_id % 5 = 1 THEN concat_ws(chr(10), text,"
+        "  'standard boilerplate footer')"
+        " ELSE text END AS text FROM documents"
+    )
+    return repetition_report_sql(table=f"({salted})")
+
+
+_ORACLES["repetition_signals"] = _repetition_oracle()
+
+
 _IR_EVAL_QIDS = (20, 21, 22, 23, 24)
 
 
@@ -5942,6 +5998,12 @@ _ARCHIVED: frozenset[str] = frozenset(
         # join, streaming_curate_funnel, versioned_stream_admission);
         # the state-store arithmetic stays archive-parity-tested.
         "streaming_stateful_user_stats",
+        # + repetition_signals (same wave): lm_bigram_perplexity is
+        # hash-green r5–r8 and the LM family keeps
+        # lm_perplexity_buckets live plus the frozen-LM scorer inside
+        # BOTH funnel rows; the interpolated-bigram arithmetic stays
+        # archive-parity-tested every run.
+        "lm_bigram_perplexity",
     }
 )
 

@@ -150,6 +150,7 @@ HEADLINE = (
     "pagerank_weighted_trade",
     "versioned_stream_admission",
     "retrieval_eval_suite",
+    "repetition_signals",
 )
 
 
