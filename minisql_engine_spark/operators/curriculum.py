@@ -46,12 +46,28 @@ from pyspark.sql import functions as F
 
 _CURRICULUM_CACHE: list[DataFrame] = []
 
+#: persisted sorted tables kept alive across calls. Each
+#: ``curriculum_order`` call EVICTS the oldest entry beyond this cap
+#: (unpersist degrades an older still-held result to recompute —
+#: positions stay identical because the sort key is total — so the
+#: cap bounds storage without a correctness risk).
+_CURRICULUM_CACHE_MAX = 2
+
 
 def clear_curriculum_cache() -> None:
     """Release persisted sorted tables from prior calls."""
     while _CURRICULUM_CACHE:
         try:
             _CURRICULUM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _cache_push(df: DataFrame) -> None:
+    _CURRICULUM_CACHE.append(df)
+    while len(_CURRICULUM_CACHE) > _CURRICULUM_CACHE_MAX:
+        try:
+            _CURRICULUM_CACHE.pop(0).unpersist()
         except Exception:
             pass
 
@@ -67,7 +83,14 @@ def curriculum_order(
     """(id_col, bucket, priority, position) — a reproducible global
     training order: difficulty buckets ascend (or descend, for
     anti-curriculum) in ``score_col``, rows shuffle deterministically
-    within a bucket."""
+    within a bucket.
+
+    EAGER: the call materializes the range-sorted table (persist +
+    a partition-count-sized collect of per-shard counts) at call
+    time. The persisted table stays cached for reuse; the module
+    keeps at most ``_CURRICULUM_CACHE_MAX`` of them (older entries
+    are unpersisted automatically; ``clear_curriculum_cache()``
+    releases everything)."""
     from minisql_engine_spark.operators.stats import (
         _pname,
         exact_quantiles,
@@ -108,7 +131,7 @@ def curriculum_order(
         )
         .persist()
     )
-    _CURRICULUM_CACHE.append(sorted_df)
+    _cache_push(sorted_df)
     counts = sorted(
         (r["_pid"], r["n"])
         for r in sorted_df.groupBy("_pid")

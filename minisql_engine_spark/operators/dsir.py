@@ -162,20 +162,17 @@ def dsir_weights(
             F.count("*").cast("bigint").alias("n_feats"),
             _dsum(F.col("lam")).alias("_lw"),
         )
+        .withColumn(
+            "avg_logw",
+            _fx6(F.col("_lw") / F.col("n_feats").cast("double")),
+        )
         .select(
             id_col,
             "is_target",
             "n_feats",
             _fx6(F.col("_lw")).alias("logw"),
-            _fx6(
-                F.col("_lw") / F.col("n_feats").cast("double")
-            ).alias("avg_logw"),
-            (
-                _fx6(
-                    F.col("_lw") / F.col("n_feats").cast("double")
-                )
-                > 0.0
-            ).alias("selected"),
+            "avg_logw",
+            (F.col("avg_logw") > 0.0).alias("selected"),
         )
     )
 
@@ -219,10 +216,13 @@ def dsir_weights_sql(
         "  FROM feats JOIN lam USING (bucket)"
         f"  GROUP BY {id_col}, is_target)"
         f" SELECT {id_col}, is_target, n_feats,"
-        "  floor(lw * 1e6 + 0.5) / 1e6 AS logw,"
-        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
-        "   AS avg_logw,"
-        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6 > 0.0"
-        "   AS selected"
+        "  CASE WHEN abs(lw) < 1e12 THEN floor(lw * 1e6 + 0.5) / 1e6"
+        "   ELSE lw END AS logw,"
+        "  CASE WHEN abs(lw / CAST(n_feats AS DOUBLE)) < 1e12"
+        "   THEN floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
+        "   ELSE lw / CAST(n_feats AS DOUBLE) END AS avg_logw,"
+        "  CASE WHEN abs(lw / CAST(n_feats AS DOUBLE)) < 1e12"
+        "   THEN floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
+        "   ELSE lw / CAST(n_feats AS DOUBLE) END > 0.0 AS selected"
         " FROM per"
     )

@@ -140,8 +140,11 @@ def lm_perplexity_sql(
         "  FROM toks JOIN counts USING (token) CROSS JOIN totals"
         f"  GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
-        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl FROM per0),"
+        "  CASE WHEN abs(h) < 1e12 THEN floor(h * 1e6 + 0.5) / 1e6"
+        "   ELSE h END AS xent_bits,"
+        "  CASE WHEN abs(power(2.0, h)) < 1e12"
+        "   THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
+        "   ELSE power(2.0, h) END AS ppl FROM per0),"
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM per)"
@@ -318,8 +321,11 @@ def lm_bigram_perplexity_sql(
         "   / CAST(count(*) AS DOUBLE) AS h"
         f"  FROM scored GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
-        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl FROM per0),"
+        "  CASE WHEN abs(h) < 1e12 THEN floor(h * 1e6 + 0.5) / 1e6"
+        "   ELSE h END AS xent_bits,"
+        "  CASE WHEN abs(power(2.0, h)) < 1e12"
+        "   THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
+        "   ELSE power(2.0, h) END AS ppl FROM per0),"
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM per)"
@@ -346,11 +352,15 @@ def lm_bigram_perplexity_sql(
 
 _LM_MODEL_META = "_lm_meta.json"
 
-#: (realpath, meta-mtime) -> (persisted counts DF, meta dict). A
+#: (realpath, model-version) -> (persisted counts DF, meta dict). A
 #: streaming funnel calls lm_score_frozen once PER MICRO-BATCH;
 #: without this cache every batch re-reads the model parquet and
-#: meta JSON (r8 VERDICT task 5). The mtime in the key invalidates
-#: naturally when save_lm_model rewrites the model in place.
+#: meta JSON (r8 VERDICT task 5). ``save_lm_model`` stamps a unique
+#: ``version`` into the meta JSON, so a model rebuilt at the same
+#: path invalidates even within filesystem-mtime granularity (the
+#: meta JSON is tiny — re-reading it per call is the cheap part;
+#: the cache exists to skip the parquet read + persist). Models
+#: saved before the version field fall back to the meta mtime.
 _FROZEN_CACHE: dict = {}
 
 
@@ -368,11 +378,14 @@ def _load_frozen_model(spark, model_path: str):
     import os as _os
 
     meta_path = _os.path.join(model_path, _LM_MODEL_META)
-    key = (_os.path.realpath(model_path), _os.path.getmtime(meta_path))
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    ver = meta.get("version") or _os.path.getmtime(meta_path)
+    key = (_os.path.realpath(model_path), ver)
     hit = _FROZEN_CACHE.get(key)
     if hit is not None:
         return hit
-    # a rebuilt model at the same path gets a new mtime — drop the
+    # a rebuilt model at the same path gets a new version — drop the
     # stale entry so its persisted partitions free up
     for k in [k for k in _FROZEN_CACHE if k[0] == key[0]]:
         try:
@@ -382,8 +395,6 @@ def _load_frozen_model(spark, model_path: str):
     counts = spark.read.parquet(
         _os.path.join(model_path, "counts")
     ).persist()
-    with open(meta_path) as f:
-        meta = _json.load(f)
     _FROZEN_CACHE[key] = (counts, meta)
     return counts, meta
 
@@ -436,6 +447,8 @@ def save_lm_model(
         ).collect()[0]
     finally:
         toks.unpersist()
+    import uuid as _uuid
+
     with open(_os.path.join(path, _LM_MODEL_META), "w") as f:
         _json.dump(
             {
@@ -443,6 +456,9 @@ def save_lm_model(
                 "v_size": int(tot["v"]),
                 "t1": float(thr["t1"]),
                 "t2": float(thr["t2"]),
+                # unique per save: invalidates the frozen cache even
+                # when a rebuild lands within mtime granularity
+                "version": _uuid.uuid4().hex,
             },
             f,
         )

@@ -50,16 +50,39 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: Domain bound for the floor construction. Spark's ``F.floor`` on
+#: DOUBLE returns BIGINT, so ``x·10⁶`` beyond ``Long.MAX`` (~9.2e18)
+#: would saturate (and NaN would collapse to 0) while DuckDB's floor
+#: stays DOUBLE — the twins would diverge. Above the bound we pass
+#: ``x`` through unchanged in BOTH engines, which is exactly
+#: round-to-6: for |x| ≥ 2³⁴ ≈ 1.7e10 the double grid spacing already
+#: exceeds 2·10⁻⁶, so the nearest 10⁻⁶ multiple representable as a
+#: double IS ``x`` itself. NaN/±Inf fail the ``<`` test in both
+#: engines (each orders NaN above all doubles) and pass through;
+#: NULL propagates through CASE/when.
+FX6_BOUND = 1e12
+
+
 def fx6(col: Column) -> Column:
-    """Portable round-to-6: ``floor(x·10⁶ + 0.5) / 10⁶``."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(
-        1e6
-    )
+    """Portable round-to-6: ``floor(x·10⁶ + 0.5) / 10⁶``.
+
+    Guarded: |x| ≥ :data:`FX6_BOUND` (and NaN/±Inf) pass through
+    unchanged — see the bound's docstring for why that is the correct
+    rounding, not an approximation.
+    """
+    return F.when(
+        F.abs(col) < F.lit(FX6_BOUND),
+        F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6),
+    ).otherwise(col)
 
 
 def fx6_sql(expr: str) -> str:
     """DuckDB twin of :func:`fx6`, same IEEE ops term for term."""
-    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+    return (
+        f"CASE WHEN abs(({expr})) < 1e12"
+        f" THEN floor(({expr}) * 1e6 + 0.5) / 1e6"
+        f" ELSE ({expr}) END"
+    )
 
 
 def dsum(term: Column) -> Column:

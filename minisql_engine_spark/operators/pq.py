@@ -95,7 +95,12 @@ def _pair_dist_sql(sub_dim: int) -> str:
     """Scalar-column pair distance: value-identical to :func:`l2_sql`
     modulo the round-6 absorber (same ((nsv − 2d) + ncv)
     association), but pure codegen arithmetic — no arrays, no
-    interpreted fold."""
+    interpreted fold.
+
+    Unguarded floor is safe here (unlike the generic
+    ``portable_round.fx6`` surfaces): squared-L2 over unit-scale
+    embedding subvectors is bounded ≪ 1e12, far from BIGINT
+    saturation, and the identical string runs in both engines."""
     cross = " + ".join(f"s{d} * c{d}" for d in range(1, sub_dim + 1))
     return f"floor((nsv - 2 * ({cross}) + ncv) * 1e6 + 0.5) / 1e6"
 

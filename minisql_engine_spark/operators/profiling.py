@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+from minisql_engine_spark.operators.portable_round import fx6_sql as _fx6_sql
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -114,8 +115,8 @@ def profile_table_sql_from_schema(
             f" CAST(count(*) AS BIGINT) AS n_rows,"
             f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
             f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-            f" floor(min({num}) * 1e6 + 0.5) / 1e6 AS min_num,"
-            f" floor(max({num}) * 1e6 + 0.5) / 1e6 AS max_num,"
+            f" {_fx6_sql(f'min({num})')} AS min_num,"
+            f" {_fx6_sql(f'max({num})')} AS max_num,"
             f" min({s}) AS min_str, max({s}) AS max_str"
             f" FROM {table}"
         )

@@ -16,9 +16,15 @@ Definitions (graded relevance, the burst/"exp" DCG form):
     IDCG@k = DCG@k of that query's OWN qrels sorted rel-descending
     nDCG@k = DCG@k / IDCG@k           (NULL when the query has no
                                        relevant documents)
-    MRR@k  = 1 / rank of the first rel>0 hit (0.0 when no hit ≤ k)
-    P@k    = |hits ≤ k| / k
+    MRR@k  = 1 / rank of the first rel>0 hit (0.0 when no hit ≤ k;
+                                       NULL when the query is unjudged)
+    P@k    = |hits ≤ k| / k           (NULL when the query is unjudged)
     R@k    = |hits ≤ k| / |relevant|  (NULL when none relevant)
+
+Unjudged queries (no qrels at all, n_rel = 0) emit NULL for every
+metric — trec_eval averages only over judged queries, so scoring
+them 0.0 would deflate the macro row. NULLs are skipped by the
+macro average (count() over the non-NULL rows).
 
 Float policy (operators/portable_round.py): 2^rel is an exact power
 of two, log2(i+1) is the irrational-class denominator, per-query
@@ -131,14 +137,20 @@ def ir_metrics(
                 F.col("_idcg") > 0,
                 _fx6(F.col("_dcg") / F.col("_idcg")),
             ).alias("ndcg_at_k"),
-            _fx6(
-                F.coalesce(
-                    F.lit(1.0) / F.col("_first").cast("double"),
-                    F.lit(0.0),
-                )
+            F.when(
+                F.col("n_rel") > 0,
+                _fx6(
+                    F.coalesce(
+                        F.lit(1.0) / F.col("_first").cast("double"),
+                        F.lit(0.0),
+                    )
+                ),
             ).alias("mrr_at_k"),
-            _fx6(
-                F.col("_hits").cast("double") / F.lit(float(k))
+            F.when(
+                F.col("n_rel") > 0,
+                _fx6(
+                    F.col("_hits").cast("double") / F.lit(float(k))
+                ),
             ).alias("precision_at_k"),
             F.when(
                 F.col("n_rel") > 0,
@@ -215,10 +227,12 @@ def ir_metrics_sql(
         "  COALESCE(n.n_rel, 0) AS n_rel,"
         "  CASE WHEN i.idcg > 0 THEN"
         f"   {_fx6_sql('p.dcg / i.idcg')} END AS ndcg_at_k,"
-        f"  {_fx6_sql('COALESCE(1.0 / CAST(p.first_hit AS DOUBLE), 0.0)')}"
-        "   AS mrr_at_k,"
-        f"  {_fx6_sql(f'CAST(p.hits AS DOUBLE) / {float(k)!r}')}"
-        "   AS precision_at_k,"
+        "  CASE WHEN COALESCE(n.n_rel, 0) > 0 THEN"
+        f"   {_fx6_sql('COALESCE(1.0 / CAST(p.first_hit AS DOUBLE), 0.0)')}"
+        "   END AS mrr_at_k,"
+        "  CASE WHEN COALESCE(n.n_rel, 0) > 0 THEN"
+        f"   {_fx6_sql(f'CAST(p.hits AS DOUBLE) / {float(k)!r}')}"
+        "   END AS precision_at_k,"
         "  CASE WHEN COALESCE(n.n_rel, 0) > 0 THEN"
         f"   {_fx6_sql('CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)')}"
         "   END AS recall_at_k"

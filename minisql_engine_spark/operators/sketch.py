@@ -186,12 +186,16 @@ def hll_distinct_sql(
         # the Spark side derives rel_err from the ALREADY-round(6)ed
         # estimate (hll_estimate's output column) — mirror that here
         " fin AS (SELECT n_present,"
-        "  floor(e * 1e6 + 0.5) / 1e6 AS estimate, n_exact"
+        "  CASE WHEN abs(e) < 1e12 THEN floor(e * 1e6 + 0.5) / 1e6"
+        "   ELSE e END AS estimate, n_exact"
         "  FROM est CROSS JOIN ex)"
         f" SELECT CAST({m} AS BIGINT) AS m, n_present, estimate,"
         "  n_exact,"
-        "  floor((estimate - n_exact) / n_exact * 100.0"
-        "   * 1e6 + 0.5) / 1e6 AS rel_err_pct,"
+        "  CASE WHEN abs((estimate - n_exact) / n_exact * 100.0) < 1e12"
+        "   THEN floor((estimate - n_exact) / n_exact * 100.0"
+        "    * 1e6 + 0.5) / 1e6"
+        "   ELSE (estimate - n_exact) / n_exact * 100.0"
+        "   END AS rel_err_pct,"
         "  (abs((estimate - n_exact) / n_exact * 100.0) <= 10.0)"
         "   AS within_10pct"
         " FROM fin"
@@ -516,6 +520,7 @@ def hll_group_distinct_sql(
         f"    / CAST({m} - n_present AS DOUBLE))"
         "   ELSE raw END AS e FROM est0)"
         " SELECT grp, n_present,"
-        "  floor(e * 1e6 + 0.5) / 1e6 AS estimate"
+        "  CASE WHEN abs(e) < 1e12 THEN floor(e * 1e6 + 0.5) / 1e6"
+        "   ELSE e END AS estimate"
         " FROM est ORDER BY grp"
     )

@@ -396,9 +396,12 @@ def winsorize_sql(
             f" quantile_cont({col}, {p_hi!r}) AS bhi FROM {table})"
             f" SELECT {table}.*,"
             f" CASE WHEN {col} IS NOT NULL THEN"
-            f" floor(least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
-        f"  * 1e6 + 0.5) / 1e6"
-            f" END AS {out_col} FROM {table} CROSS JOIN b"
+            f" CASE WHEN abs(least(greatest(CAST({col} AS DOUBLE),"
+            f"  blo), bhi)) < 1e12"
+            f" THEN floor(least(greatest(CAST({col} AS DOUBLE), blo),"
+            f"  bhi) * 1e6 + 0.5) / 1e6"
+            f" ELSE least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
+            f" END END AS {out_col} FROM {table} CROSS JOIN b"
         )
     return (
         f"WITH b AS (SELECT {group_by},"
@@ -407,9 +410,12 @@ def winsorize_sql(
         f" GROUP BY {group_by})"
         f" SELECT {table}.*,"
         f" CASE WHEN {col} IS NOT NULL THEN"
-        f" floor(least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
-        f"  * 1e6 + 0.5) / 1e6"
-        f" END AS {out_col} FROM {table} JOIN b USING ({group_by})"
+        f" CASE WHEN abs(least(greatest(CAST({col} AS DOUBLE),"
+        f"  blo), bhi)) < 1e12"
+        f" THEN floor(least(greatest(CAST({col} AS DOUBLE), blo),"
+        f"  bhi) * 1e6 + 0.5) / 1e6"
+        f" ELSE least(greatest(CAST({col} AS DOUBLE), blo), bhi)"
+        f" END END AS {out_col} FROM {table} JOIN b USING ({group_by})"
     )
 
 
@@ -478,8 +484,10 @@ def mad_outliers_sql(
             f"  FROM {table} CROSS JOIN m),"
             " md AS (SELECT quantile_cont(_adev, 0.5) AS _mad FROM d)"
             f" SELECT d.* EXCLUDE (_med, _adev),"
-            " floor(_med * 1e6 + 0.5) / 1e6 AS med,"
-        " floor(_mad * 1e6 + 0.5) / 1e6 AS mad,"
+            " CASE WHEN abs(_med) < 1e12 THEN floor(_med * 1e6 + 0.5) / 1e6"
+        "  ELSE _med END AS med,"
+        " CASE WHEN abs(_mad) < 1e12 THEN floor(_mad * 1e6 + 0.5) / 1e6"
+        "  ELSE _mad END AS mad,"
             f" CASE WHEN {col} IS NOT NULL THEN"
             f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
             f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
@@ -493,8 +501,10 @@ def mad_outliers_sql(
         f" md AS (SELECT {group_by}, quantile_cont(_adev, 0.5) AS _mad"
         f"  FROM d GROUP BY {group_by})"
         f" SELECT d.* EXCLUDE (_med, _adev),"
-        " floor(_med * 1e6 + 0.5) / 1e6 AS med,"
-        " floor(_mad * 1e6 + 0.5) / 1e6 AS mad,"
+        " CASE WHEN abs(_med) < 1e12 THEN floor(_med * 1e6 + 0.5) / 1e6"
+        "  ELSE _med END AS med,"
+        " CASE WHEN abs(_mad) < 1e12 THEN floor(_mad * 1e6 + 0.5) / 1e6"
+        "  ELSE _mad END AS mad,"
         f" CASE WHEN {col} IS NOT NULL THEN"
         f"  CASE WHEN _mad > 0 THEN abs({x} - _med) > {k!r} * _mad"
         f"   ELSE abs({x} - _med) > 0 END END AS is_outlier"
@@ -649,9 +659,15 @@ def histogram_quantiles_sql(
         "   END AS est_v FROM picked),"
         f" ex AS (SELECT {exact_cols} FROM {table}),"
         f" exl AS ({exact_rows})"
-        " SELECT prob, floor(est_v * 1e6 + 0.5) / 1e6 AS est,"
-        "  floor(exact_v * 1e6 + 0.5) / 1e6 AS exact,"
-        "  floor(abs(est_v - exact_v) * 1e6 + 0.5) / 1e6 AS abs_err,"
+        " SELECT prob,"
+        "  CASE WHEN abs(est_v) < 1e12 THEN floor(est_v * 1e6 + 0.5) / 1e6"
+        "   ELSE est_v END AS est,"
+        "  CASE WHEN abs(exact_v) < 1e12"
+        "   THEN floor(exact_v * 1e6 + 0.5) / 1e6"
+        "   ELSE exact_v END AS exact,"
+        "  CASE WHEN abs(est_v - exact_v) < 1e12"
+        "   THEN floor(abs(est_v - exact_v) * 1e6 + 0.5) / 1e6"
+        "   ELSE abs(est_v - exact_v) END AS abs_err,"
         f"  (abs(est_v - exact_v) <= {2.0 * width!r})"
         "   AS within_two_widths"
         " FROM est JOIN exl USING (prob) ORDER BY prob"

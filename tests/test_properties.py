@@ -926,8 +926,12 @@ def test_ir_metrics_match_python_replay(spark, data):
         want[qn] = dict(
             n_rel=len(rels),
             ndcg=_py_fx6(dcg / idcg) if idcg > 0 else None,
-            mrr=_py_fx6(1.0 / first) if first else 0.0,
-            prec=_py_fx6(hits / k),
+            mrr=(
+                (_py_fx6(1.0 / first) if first else 0.0)
+                if rels
+                else None
+            ),
+            prec=_py_fx6(hits / k) if rels else None,
             rec=_py_fx6(hits / len(rels)) if rels else None,
         )
     for qn, w in want.items():

@@ -53,11 +53,16 @@ def test_known_ndcg_value_and_no_rel_query(spark):
     idcg = 3 + 1 / math.log2(3)
     assert out["q1"]["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
     assert out["q1"]["mrr_at_k"] == 0.5
-    # q2 has no relevant docs at all: nDCG/recall NULL, MRR/P 0
+    # q2 is unjudged (no qrels at all): EVERY metric is NULL so the
+    # macro averages only judged queries (trec_eval convention)
     assert out["q2"]["ndcg_at_k"] is None
     assert out["q2"]["recall_at_k"] is None
-    assert out["q2"]["mrr_at_k"] == 0.0
+    assert out["q2"]["mrr_at_k"] is None
+    assert out["q2"]["precision_at_k"] is None
     assert out["q2"]["n_rel"] == 0
+    # the macro MRR/P therefore equal q1's values, not half of them
+    assert out[MACRO]["mrr_at_k"] == out["q1"]["mrr_at_k"]
+    assert out[MACRO]["precision_at_k"] == out["q1"]["precision_at_k"]
     # macro averages skip the NULLs (trec_eval convention)
     assert out[MACRO]["ndcg_at_k"] == out["q1"]["ndcg_at_k"]
 
