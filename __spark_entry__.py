@@ -5588,6 +5588,34 @@ _ORACLES["retrieval_eval_suite"] = _ir_eval_oracle()
 
 
 @_register(
+    "knn_graph_cells",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_knn_graph_cells(spark, sf_dir):
+    """Blocked kNN-graph construction (operators/knn_graph.py — the
+    substrate under SemDeDup, leakage-safe splits, and graph-based
+    curation): every embedding's 5 nearest neighbors by rounded
+    cosine among the members of its 2 nearest Lloyd-refined IVF
+    cells. Candidate fan-out is n_probe · (n / n_cells) per vector —
+    never all-pairs — and the oracle replays the refinement chain,
+    both assignment ranks, the cell-blocked candidate join, and the
+    per-source top-k, term for term. Directed edges
+    (src_id, nbr_id, sim, rank)."""
+    from minisql_engine_spark.operators.knn_graph import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _knn_graph_oracle() -> str:
+    from minisql_engine_spark.operators.knn_graph import knn_graph_sql
+
+    return knn_graph_sql(k=5)
+
+
+_ORACLES["knn_graph_cells"] = _knn_graph_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6004,13 +6032,24 @@ _ARCHIVED: frozenset[str] = frozenset(
         # BOTH funnel rows; the interpolated-bigram arithmetic stays
         # archive-parity-tested every run.
         "lm_bigram_perplexity",
+        # r10 wave — room for knn_graph_cells: ivf_index_search is
+        # hash-green r5–r9 (4 consecutive driver rounds) and the IVF
+        # family keeps ivf_index_maintenance live (the persisted-
+        # index grow→compact→search cycle) plus the NEW cell-blocked
+        # kNN-graph row on the same refined-centroid machinery;
+        # emb_sq8/pq/lsh cover the rest of the ANN spectrum and the
+        # seeded-query search arithmetic stays archive-parity-tested
+        # every run.
+        "ivf_index_search",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r9 wave — brand new driver rows, never driver-checked
+    # r10 wave — brand new driver row, never driver-checked
+    "knn_graph_cells",
+    # r9 wave — first re-certification round
     # (embedding_drift, rebuilt in r9 after its r8 driver hash FAIL,
     # already rides the r7 block below)
     "pagerank_weighted_trade",

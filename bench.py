@@ -151,6 +151,8 @@ HEADLINE = (
     "versioned_stream_admission",
     "retrieval_eval_suite",
     "repetition_signals",
+    # r10 wave: cell-blocked kNN-graph construction
+    "knn_graph_cells",
 )
 
 

@@ -1,0 +1,172 @@
+"""Blocked kNN-graph construction over an embedding column.
+
+The missing substrate under half the semantic family: SemDeDup
+compares within cells, splits need a leakage graph, and graph-based
+curation (NN-descent-style corpus maps, diversity sampling, label
+propagation) all start from "every vector's k nearest neighbors".
+This operator builds that graph the only way that survives 100 TB —
+IVF-cell blocking, never all-pairs:
+
+  1. ``ivf_refined_centroids`` — deterministic Lloyd-refined k-means
+     (decimal-exact means, oracle-replayable; the same index
+     SemDeDup and IVF-Flat search already use).
+  2. ``ivf_assignments`` — every vector gets ONE home cell
+     (n_probe=1, the sort-free packed-long argmax) AND ``n_probe``
+     probe cells (the query-side expansion).
+  3. Candidate edges = probe-assignment ⋈ home-assignment on cell:
+     each vector meets the members of its ``n_probe`` nearest cells
+     only — fan-out is n_probe · (n / n_cells), never n².
+  4. Exact rounded cosine on candidates, ``row_number`` per source
+     ordered (sim DESC, neighbor id) — deterministic tie-break —
+     keep rank ≤ k.
+
+Output: (src_id, nbr_id, sim, rank) — a directed kNN graph. Like any
+IVF search, recall < 1 when a true neighbor lives outside the probed
+cells; raise ``n_probe`` (or ``n_cells`` quality via ``n_iter``) to
+trade compute for recall. A source whose probed cells hold fewer
+than k other vectors emits fewer than k edges (documented, matches
+the oracle).
+
+Scale notes: the corpus-sized shuffles are the two assignment
+aggregates and the cell equi-join (bounded fan-out); the per-source
+top-k window sorts n_probe·n/n_cells candidate rows per key, never a
+global sort. n_cells scales with the corpus (≈ √n keeps both the
+cell-join fan-out and the window bounded); centroids stay broadcast.
+
+Float policy: cosine similarity is the certified irrational-class
+``round(·, 6)`` edge (quotients over sqrt norms — ``score_sql`` /
+``DUCK_COS``, same as every ANN row); assignments replay exactly via
+the shared refine chain. (Reference scope note: ``sqlengine.py``
+1-753 has no vector surface; extension, SURVEY §2.4 ANN family.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from minisql_engine_spark.operators.similarity import (
+    DUCK_COS,
+    N_CELLS,
+    as_double_sql,
+    ivf_assignments,
+    ivf_refine_ctes_sql,
+    ivf_refined_centroids,
+    norm_sql,
+    score_sql,
+    _CENT_CACHE,
+)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """(src_id, nbr_id, sim, rank) — each vector's k nearest
+    neighbors by rounded cosine among the members of its ``n_probe``
+    nearest IVF cells."""
+    if k < 1 or n_probe < 1:
+        raise ValueError(f"need k >= 1 and n_probe >= 1, got {k}, {n_probe}")
+    cents = ivf_refined_centroids(
+        embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
+        dims=dims,
+    ).persist()
+    # two assignment branches (home + probe) consume the centroid
+    # table; without the persist each re-runs the Lloyd chain.
+    # Released via similarity.clear_centroid_cache().
+    _CENT_CACHE.append(cents)
+
+    home = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(F.col(id_col).alias("nbr_id"), "cell")
+    probe = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=n_probe
+    ).select(F.col(id_col).alias("src_id"), "cell")
+    # one home cell per neighbor and n_probe DISTINCT probe cells per
+    # source → each (src, nbr) candidate appears at most once; no
+    # dedup pass needed
+    cand = probe.join(home, "cell").filter(
+        F.col("src_id") != F.col("nbr_id")
+    )
+
+    vecs = embeddings.selectExpr(
+        id_col, as_double_sql(vec_col) + " as v"
+    ).withColumn("nv", F.expr(norm_sql("v")))
+    sv = (
+        vecs.withColumnRenamed(id_col, "src_id")
+        .withColumnRenamed("v", "sv")
+        .withColumnRenamed("nv", "sn")
+    )
+    nv = (
+        vecs.withColumnRenamed(id_col, "nbr_id")
+        .withColumnRenamed("v", "cv")
+        .withColumnRenamed("nv", "cn")
+    )
+    scored = (
+        cand.join(sv, "src_id")
+        .join(nv, "nbr_id")
+        .select(
+            "src_id",
+            "nbr_id",
+            F.expr(score_sql("sv", "cv", "sn", "cn")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "sim", "rank")
+    )
+
+
+def knn_graph_sql(
+    k: int = 5,
+    n_cells: int = N_CELLS,
+    n_iter: int = 2,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`knn_graph` — replays the Lloyd
+    refinement (shared :func:`ivf_refine_ctes_sql` chain), both
+    assignment ranks, the cell-blocked candidate join, and the
+    per-source rounded-cosine top-k, term for term."""
+    cos_assign = DUCK_COS.format(a="e.v", b="c.cv")
+    cos_pair = DUCK_COS.format(a="ea.v", b="eb.v")
+    return (
+        f"WITH e AS (SELECT {id_col} AS vec_id,"
+        f" CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),"
+        + ivf_refine_ctes_sql(n_iter, n_cells, dims)
+        + f", cents AS (SELECT * FROM cents{n_iter}),"
+        " asg AS (SELECT e.vec_id, c.cell,"
+        f" {cos_assign} AS sim, row_number() OVER ("
+        "  PARTITION BY e.vec_id ORDER BY"
+        f" {cos_assign} DESC, c.cell) AS r"
+        " FROM e CROSS JOIN cents c),"
+        " home AS (SELECT vec_id AS nbr_id, cell FROM asg WHERE r = 1),"
+        f" probe AS (SELECT vec_id AS src_id, cell FROM asg"
+        f"  WHERE r <= {n_probe}),"
+        " cand AS (SELECT p.src_id, h.nbr_id, p.cell"
+        "  FROM probe p JOIN home h USING (cell)"
+        "  WHERE p.src_id <> h.nbr_id),"
+        " sc AS (SELECT c.src_id, c.nbr_id,"
+        f"  {cos_pair} AS sim"
+        "  FROM cand c JOIN e ea ON ea.vec_id = c.src_id"
+        "  JOIN e eb ON eb.vec_id = c.nbr_id),"
+        " rk AS (SELECT src_id, nbr_id, sim, row_number() OVER ("
+        "  PARTITION BY src_id ORDER BY sim DESC, nbr_id) AS rank"
+        "  FROM sc)"
+        " SELECT src_id, nbr_id, sim, CAST(rank AS INT) AS rank"
+        f" FROM rk WHERE rank <= {k}"
+    )

@@ -1,0 +1,78 @@
+"""Blocked kNN-graph — oracle parity, degree/self-edge contracts,
+and a brute-force recall sanity check on a crafted corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from minisql_engine_spark.operators.knn_graph import (
+    knn_graph,
+    knn_graph_sql,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+
+def test_knn_graph_oracle_corpus(spark, duck, sf_dir):
+    out = knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    assert_matches_oracle(
+        out, duck.execute(knn_graph_sql(k=5)).df(), "knn_graph"
+    )
+
+
+def test_knn_graph_contracts(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph(emb, k=5).toPandas()
+    # no self edges, ranks dense 1..deg per source, degree <= k
+    assert (out.src_id != out.nbr_id).all()
+    deg = out.groupby("src_id")["rank"]
+    assert (deg.max() == deg.size()).all()
+    assert (deg.max() <= 5).all()
+    # every source appears (each vector has >= k candidates here)
+    assert out.src_id.nunique() == emb.count()
+    # per-source sims are non-increasing in rank
+    s = out.sort_values(["src_id", "rank"])
+    worse = s.groupby("src_id")["sim"].diff().dropna()
+    assert (worse <= 0).all()
+
+
+def test_knn_graph_single_cell_is_exact(spark, duck):
+    """n_cells=1 degenerates to brute force: the graph must equal
+    the exact top-k by rounded cosine."""
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(i, vec(0.35 * i), 0) for i in range(8)]
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    duck.register(
+        "_knn",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    out = knn_graph(sdf, k=3, n_cells=1, n_iter=1, n_probe=1, dims=4)
+    oracle = knn_graph_sql(
+        k=3, n_cells=1, n_iter=1, n_probe=1, dims=4, table="_knn"
+    )
+    assert_matches_oracle(out, duck.execute(oracle).df(), "knn-1cell")
+    got = out.toPandas()
+    # brute-force replay in Python over the same rounded cosine
+    import itertools
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    by_id = {i: v for i, v, _ in rows}
+    for src in by_id:
+        want = sorted(
+            ((-cos(by_id[src], by_id[n]), n) for n in by_id if n != src)
+        )[:3]
+        mine = got[got.src_id == src].sort_values("rank")
+        assert list(mine.nbr_id) == [n for _, n in want], src
+        assert list(mine.sim) == [-c for c, _ in want], src
