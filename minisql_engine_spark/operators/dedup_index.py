@@ -65,7 +65,15 @@ def init_dedup_index(
         .distinct()
         .withColumn(_PART, F.substring("content_hash", 1, 1))
     )
-    keys.write.mode("overwrite").partitionBy(_PART).parquet(path)
+    # collapse the writer stage: ONE file per live hex partition
+    # instead of (shuffle-partitions × 16) slivers — every admission
+    # batch re-reads this index, so file count is the listing/footer
+    # cost of the whole ingest path. coalesce (not repartition): the
+    # key set is batch-sized by the micro-batch contract, so a single
+    # writer task is cheaper than a clustering shuffle.
+    keys.coalesce(1).write.mode("overwrite").partitionBy(
+        _PART
+    ).parquet(path)
 
 
 def dedup_against_index(
@@ -119,6 +127,13 @@ def append_to_index(survivors: DataFrame, path: str) -> None:
         survivors.select("content_hash")
         .distinct()
         .withColumn(_PART, F.substring("content_hash", 1, 1))
+        # one file per touched hex partition per append (not
+        # shuffle-partitions × 16 slivers): the index is re-read by
+        # EVERY subsequent batch, so append file count compounds into
+        # the whole stream's listing/footer cost. coalesce — the
+        # survivors set is batch-sized, a writer shuffle costs more
+        # than it saves.
+        .coalesce(1)
         .write.mode("append")
         .partitionBy(_PART)
         .parquet(path)

@@ -63,7 +63,7 @@ def stream_admit(
         if bloom_path is None:
             survivors = dedup_against_index(
                 batch_df, index_path, id_col=id_col, text_col=text_col
-            ).persist()
+            )
         else:
             from minisql_engine_spark.operators.dedup_index import (
                 dedup_with_bloom_sidecar,
@@ -75,7 +75,14 @@ def stream_admit(
                 bloom_path,
                 id_col=id_col,
                 text_col=text_col,
-            ).persist()
+            )
+        # one partition before persist: a micro-batch is broadcast-
+        # sized by contract, but its plan inherits the session's
+        # shuffle partitioning (the in-batch dedup window), so an
+        # unpersisted-as-is batch materializes AND WRITES dozens of
+        # sliver files per version — file count every later reader
+        # (constraint gate, replay, time travel) pays for
+        survivors = survivors.coalesce(1).persist()
         try:
             survivors.write.mode("append").parquet(out_path)
             if bloom_path is None:
@@ -188,6 +195,7 @@ def stream_admit_snapshot(
     id_col: str = "doc_id",
     text_col: str = "text",
     constraints: list | None = None,
+    bloom_path: str | None = None,
 ):
     """Versioned streaming admission — :func:`stream_admit` landing in
     a SNAPSHOT TABLE instead of a bare parquet dir: each micro-batch's
@@ -200,19 +208,52 @@ def stream_admit_snapshot(
     as stream_admit's corpus write): a crash between the two re-admits
     the batch's content on replay rather than silently losing it. A
     ConstraintViolation aborts the batch and fails the query loudly —
-    a poison batch must not be half-ingested."""
+    a poison batch must not be half-ingested.
+
+    ``bloom_path`` (optional) routes admission through the
+    generation-versioned Bloom sidecar
+    (:func:`operators.dedup_index.dedup_with_bloom_sidecar` /
+    ``append_to_index_with_bloom``): keys the filter rules out never
+    touch the exact index, so a mostly-new batch's admission join
+    shrinks to the (true dups + bounded FPR) key set — the 100 TB
+    lever, where the index scan is the corpus-sized cost. Admitted
+    CONTENT is provably identical to the exact path (the sidecar has
+    no false negatives; maybe-present keys still walk the exact
+    join), and the sidecar advances before the index inside the same
+    batch (crash ordering documented at the operator)."""
+    from minisql_engine_spark.operators.dedup_index import (
+        append_to_index_with_bloom,
+        dedup_with_bloom_sidecar,
+    )
     from minisql_engine_spark.sources.snapshots import append_snapshot
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = dedup_against_index(
-            batch_df, index_path, id_col=id_col, text_col=text_col
-        ).persist()
+        if bloom_path is None:
+            survivors = dedup_against_index(
+                batch_df, index_path, id_col=id_col, text_col=text_col
+            )
+        else:
+            survivors = dedup_with_bloom_sidecar(
+                batch_df,
+                index_path,
+                bloom_path,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        # one partition before persist — same sliver-file rationale
+        # as stream_admit above
+        survivors = survivors.coalesce(1).persist()
         try:
             if survivors.limit(1).count() > 0:
                 append_snapshot(
                     survivors, table_path, constraints=constraints
                 )
-                append_to_index(survivors, index_path)
+                if bloom_path is None:
+                    append_to_index(survivors, index_path)
+                else:
+                    append_to_index_with_bloom(
+                        survivors, index_path, bloom_path
+                    )
         finally:
             survivors.unpersist()
 
@@ -229,6 +270,7 @@ def versioned_admission_cycle(
     base_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_bloom: bool = False,
 ) -> DataFrame:
     """Run the full VERSIONED streaming-admission life cycle (the
     driver-row shape of :func:`stream_admit_snapshot`, r8 VERDICT
@@ -304,6 +346,13 @@ def versioned_admission_cycle(
         )
     )
     init_dedup_index(seed, index, id_col, text_col)
+    bloom = os.path.join(run_dir, "index.bloom") if use_bloom else None
+    if use_bloom:
+        from minisql_engine_spark.operators.dedup_index import (
+            init_bloom_sidecar,
+        )
+
+        init_bloom_sidecar(spark, index, bloom, n_bits=1 << 17)
 
     # one parquet FILE per micro-batch, mtimes forced ascending so the
     # file source's batch order is deterministic
@@ -339,6 +388,7 @@ def versioned_admission_cycle(
             id_col=id_col,
             text_col=text_col,
             constraints=[f"{id_col} IS NOT NULL"],
+            bloom_path=bloom,
         )
         q.awaitTermination(300)
 

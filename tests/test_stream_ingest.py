@@ -206,6 +206,71 @@ def test_stream_admission_into_snapshot_table(spark, staged, tmp_path):
     assert read_snapshot(spark, table).count() == admitted.count()
 
 
+def test_stream_admission_snapshot_with_bloom_sidecar(
+    spark, staged, tmp_path
+):
+    """stream_admit_snapshot with bloom_path admits the IDENTICAL
+    content/version series as the exact path, and a replay under a
+    fresh checkpoint admits nothing and commits no version."""
+    from minisql_engine_spark.operators.dedup_index import (
+        init_bloom_sidecar,
+    )
+    from minisql_engine_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+    )
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_snapshot,
+    )
+
+    seed, f1, f3, drop = staged
+    schema = spark.read.parquet(drop).schema
+
+    def run(index, table, ckpt, bloom):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = stream_admit_snapshot(
+            stream,
+            index,
+            table,
+            str(tmp_path / ckpt),
+            constraints=["doc_id IS NOT NULL"],
+            bloom_path=bloom,
+        )
+        q.awaitTermination(120)
+
+    # exact path
+    idx_e, tbl_e = str(tmp_path / "sbe_idx"), str(tmp_path / "sbe_tbl")
+    init_dedup_index(seed, idx_e)
+    run(idx_e, tbl_e, "sbe_ck", None)
+
+    # sidecar path on fresh state
+    idx_b, tbl_b = str(tmp_path / "sbb_idx"), str(tmp_path / "sbb_tbl")
+    init_dedup_index(seed, idx_b)
+    bloom = str(tmp_path / "sbb_idx.bloom")
+    init_bloom_sidecar(spark, idx_b, bloom, n_bits=1 << 14)
+    run(idx_b, tbl_b, "sbb_ck", bloom)
+
+    def series(table):
+        return sorted(
+            (r["content_hash"], r["_v"])
+            for v in range(1, current_version(table) + 1)
+            for r in read_snapshot(spark, table, version=v)
+            .selectExpr("content_hash", f"{v} AS _v")
+            .collect()
+        )
+
+    assert current_version(tbl_b) == current_version(tbl_e)
+    assert series(tbl_b) == series(tbl_e)
+
+    # replay through the sidecar: nothing admitted, no version
+    run(idx_b, tbl_b, "sbb_ck2", bloom)
+    assert current_version(tbl_b) == current_version(tbl_e)
+
+
 def test_stream_admission_with_bloom_sidecar(spark, staged, tmp_path):
     """The sidecar-routed stream admits the exact same content set as
     the exact path, stays content-exactly-once across micro-batches,
