@@ -50,7 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.portable_round import (
-    dsum as _dsum,
+    dsum_tf as _dsum_tf,
     fx6 as _fx6,
 )
 
@@ -155,12 +155,19 @@ def dsir_weights(
         )
     )
 
+    # (doc, bucket) pre-aggregation: λ is constant per bucket, so the
+    # tf-weighted decimal sum (dsum_tf — bitwise identical to the
+    # per-instance sum) runs the λ join on each doc's DISTINCT
+    # buckets, not its gram instances
+    dtf = feats.groupBy(id_col, "is_target", "bucket").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
     return (
-        feats.join(F.broadcast(lam), "bucket")
+        dtf.join(F.broadcast(lam), "bucket")
         .groupBy(id_col, "is_target")
         .agg(
-            F.count("*").cast("bigint").alias("n_feats"),
-            _dsum(F.col("lam")).alias("_lw"),
+            F.sum("tf").cast("bigint").alias("n_feats"),
+            _dsum_tf(F.col("lam"), F.col("tf")).alias("_lw"),
         )
         .withColumn(
             "avg_logw",

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.portable_round import (
-    dsum as _dsum,
+    dsum_tf as _dsum_tf,
     fx6 as _fx6,
 )
 
@@ -77,13 +77,23 @@ def lm_perplexity(
         (F.col("c").cast("double") + F.lit(1.0))
         / (F.col("t_total") + F.col("v_size")).cast("double")
     )
+    # (doc, token) pre-aggregation: logp is constant per token type,
+    # so tf-weighting (dsum_tf — BITWISE identical to the per-instance
+    # decimal sum) shrinks both the counts join and the decimal rows
+    # to the doc-vocabulary size
+    dtf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
     per = (
-        toks.join(counts, "token")
+        dtf.join(counts, "token")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
+            F.sum("tf").cast("bigint").alias("n_tokens_lm"),
+            (
+                -_dsum_tf(logp, F.col("tf"))
+                / F.sum("tf").cast("double")
+            ).alias("_h"),
         )
         .select(
             id_col,
@@ -230,8 +240,17 @@ def lm_bigram_perplexity(
     c1_prev = c1.select(
         F.col("token").alias("prev"), F.col("c1").alias("c1_prev")
     )
+    # (doc, prev, token) pre-aggregation before the model joins:
+    # logp is constant per (prev, token) pair, so the tf-weighted
+    # decimal sum (dsum_tf — bitwise identical to the per-instance
+    # sum) runs the three model joins on the doc's distinct pairs,
+    # not its token instances; NULL prev (each doc's first token)
+    # groups like any other key
+    dtf = with_prev.groupBy(id_col, "prev", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
     scored = (
-        with_prev.join(c2, ["prev", "token"], "left")
+        dtf.join(c2, ["prev", "token"], "left")
         .join(c1, "token")
         .join(c1_prev, "prev", "left")
         .crossJoin(F.broadcast(totals))
@@ -251,8 +270,11 @@ def lm_bigram_perplexity(
     per = (
         scored.groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
+            F.sum("tf").cast("bigint").alias("n_tokens_lm"),
+            (
+                -_dsum_tf(logp, F.col("tf"))
+                / F.sum("tf").cast("double")
+            ).alias("_h"),
         )
         .select(
             id_col,
@@ -499,12 +521,18 @@ def _score_frozen(
         (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
         / F.lit(denom)
     )
+    dtf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
     return (
-        toks.join(F.broadcast(counts), "token", "left")
+        dtf.join(F.broadcast(counts), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens_lm"),
-            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
+            F.sum("tf").cast("bigint").alias("n_tokens_lm"),
+            (
+                -_dsum_tf(logp, F.col("tf"))
+                / F.sum("tf").cast("double")
+            ).alias("_h"),
         )
         .select(
             id_col,

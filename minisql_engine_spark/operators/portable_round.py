@@ -95,6 +95,34 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(sum(CAST(({expr}) AS DECIMAL(38,12))) AS DOUBLE)"
 
 
+def dsum_tf(term: Column, tf: Column) -> Column:
+    """Frequency-weighted :func:`dsum` — BITWISE identical to
+    ``dsum(term)`` over the exploded instances, because
+    ``tf · round12(term)`` (decimal × integer, exact) equals the sum
+    of ``tf`` copies of ``round12(term)``. Use when ``term`` is
+    constant per group-key (a per-type log-probability, a per-bucket
+    weight): pre-aggregating instances to (key, tf) shrinks both the
+    join and the decimal rows — measured ~2× on the LM entropy sums.
+
+    Types are chosen so no engine loses precision: Spark multiplies
+    DECIMAL(25,12) × DECIMAL(12,0) → DECIMAL(38,12) exactly (25+12+1
+    = 38, no allowPrecisionLoss rescale); DuckDB's width 25+12 = 37 ≤
+    38. Requires |term| < 1e13 and tf < 1e12 — both guaranteed by
+    the call sites (log-probabilities, per-doc counts)."""
+    return F.sum(
+        term.cast("decimal(25,12)") * tf.cast("decimal(12,0)")
+    ).cast("double")
+
+
+def dsum_tf_sql(expr: str, tf: str) -> str:
+    """DuckDB twin of :func:`dsum_tf` (value-equal to the
+    per-instance :func:`dsum_sql` replay — see dsum_tf)."""
+    return (
+        f"CAST(sum(CAST(({expr}) AS DECIMAL(25,12))"
+        f" * CAST(({tf}) AS DECIMAL(12,0))) AS DOUBLE)"
+    )
+
+
 def davg(term: Column) -> Column:
     """Order-independent mean: exact decimal sum over exact count."""
     return dsum(term) / F.count(term).cast("double")
