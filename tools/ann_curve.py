@@ -203,6 +203,7 @@ def spectrum(sf_dir: str = "/root/testdata/sf0.1") -> None:
         ("flat (exact cosine)", 256, lambda: brute_force_topk(emb, QIDS, k=K), cos_true),
         ("SQ8 (rerank 3)", 64, lambda: sq8_topk(emb, QIDS, k=K), cos_true),
         ("PQ-ADC (rerank 4)", 8, lambda: pq_topk(emb, QIDS, k=K, rerank_factor=4), l2_true),
+        ("PQ-ADC m=16 (rerank 16)", 16, lambda: pq_topk(emb, QIDS, k=K, m_sub=16, rerank_factor=16), l2_true),
         ("IVF-Flat n_probe=8", 256, lambda: ivf_topk(emb, QIDS, k=K, n_probe=8, refine_iters=2), cos_true),
         ("IVF-PQ n_probe=8 (rerank 4)", 8, lambda: ivf_pq_topk(emb, QIDS, k=K, n_probe=8, rerank_factor=4), l2_true),
         ("LSH 8×4 multi-probe", 256, lambda: lsh_ann_topk(emb, QIDS, k=K, multi_probe=True), cos_true),
