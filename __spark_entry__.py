@@ -5616,6 +5616,36 @@ _ORACLES["knn_graph_cells"] = _knn_graph_oracle()
 
 
 @_register(
+    "doremi_mixture_weights",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_doremi_mixture_weights(spark, sf_dir):
+    """DoReMi-lite domain reweighting (operators/doremi.py — the
+    iterative half of the training-composition family; mixture_sample
+    CONSUMES what this produces): 4 rounds of integer-exact
+    multiplicative weights over the documents table's sources, excess
+    loss = each domain's average per-token cross-entropy under the
+    corpus unigram LM minus the mixture-weighted reference,
+    recomputed per round. SCALE fixed-point units, floor divisions
+    only — bit-reproducible across any shuffle and replayed round by
+    round in the oracle's chained CTEs (the PageRank certification
+    pattern). Output is the full (round, domain) trajectory with the
+    in-row mass-conservation invariant (Σ weight_units ≈ SCALE)."""
+    from minisql_engine_spark.operators.doremi import doremi_weights
+
+    return doremi_weights(_t(spark, sf_dir, "documents"), n_iter=4)
+
+
+def _doremi_oracle() -> str:
+    from minisql_engine_spark.operators.doremi import doremi_weights_sql
+
+    return doremi_weights_sql(n_iter=4)
+
+
+_ORACLES["doremi_mixture_weights"] = _doremi_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6032,7 +6062,16 @@ _ARCHIVED: frozenset[str] = frozenset(
         # BOTH funnel rows; the interpolated-bigram arithmetic stays
         # archive-parity-tested every run.
         "lm_bigram_perplexity",
-        # r10 wave — room for knn_graph_cells: ivf_index_search is
+        # r10 wave — room for doremi_mixture_weights: mixture_sample
+        # is hash-green r5–r9 (4 consecutive driver rounds) and the
+        # training-composition family trades its static-weights
+        # sampler row for the ITERATIVE weight-learning row that
+        # feeds it (doremi_weights output is mixture_sample input);
+        # the token-budget selection arithmetic stays archive-parity-
+        # tested every run and sequence_packing + curriculum_order
+        # keep the family's other live rows.
+        "mixture_sample",
+        # + knn_graph_cells (same wave): ivf_index_search is
         # hash-green r5–r9 (4 consecutive driver rounds) and the IVF
         # family keeps ivf_index_maintenance live (the persisted-
         # index grow→compact→search cycle) plus the NEW cell-blocked
@@ -6047,8 +6086,9 @@ _ARCHIVED: frozenset[str] = frozenset(
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r10 wave — brand new driver row, never driver-checked
+    # r10 wave — brand new driver rows, never driver-checked
     "knn_graph_cells",
+    "doremi_mixture_weights",
     # r9 wave — first re-certification round
     # (embedding_drift, rebuilt in r9 after its r8 driver hash FAIL,
     # already rides the r7 block below)

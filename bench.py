@@ -151,8 +151,9 @@ HEADLINE = (
     "versioned_stream_admission",
     "retrieval_eval_suite",
     "repetition_signals",
-    # r10 wave: cell-blocked kNN-graph construction
+    # r10 wave: cell-blocked kNN-graph construction + DoReMi-lite
     "knn_graph_cells",
+    "doremi_mixture_weights",
 )
 
 

@@ -1,0 +1,107 @@
+"""DoReMi-lite mixture reweighting — oracle parity, mass
+conservation, monotone direction, and a pure-Python integer replay."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.doremi import (
+    DEN,
+    EXC_CAP,
+    SCALE,
+    domain_losses,
+    doremi_weights,
+    doremi_weights_sql,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+
+def test_doremi_oracle_corpus(spark, duck, sf_dir):
+    out = doremi_weights(load_table(spark, sf_dir, "documents"), n_iter=4)
+    assert_matches_oracle(
+        out, duck.execute(doremi_weights_sql(n_iter=4)).df(), "doremi"
+    )
+
+
+def test_doremi_mass_conservation_and_direction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = doremi_weights(docs, n_iter=4).toPandas()
+    n_dom = out[out["round"] == 0].shape[0]
+    # round 0 is uniform, every round's mass sums to SCALE (floor
+    # renorm can undershoot by < 1 unit per domain, round 0 by DIV)
+    for r, grp in out.groupby("round"):
+        assert SCALE - n_dom <= grp.weight_units.sum() <= SCALE, r
+    r0 = out[out["round"] == 0]
+    assert r0.weight_units.nunique() == 1
+    # weights move WITH excess loss: across rounds, a domain with
+    # positive excess never loses mass relative to a zero-excess one
+    last = out[out["round"] == out["round"].max()].set_index("domain")
+    first = r0.set_index("domain")
+    gained = last.weight_units - first.weight_units
+    worst = last.loss_units.idxmax()
+    best = last.loss_units.idxmin()
+    assert gained[worst] >= gained[best]
+    assert gained[worst] > 0 or last.excess_units.eq(0).all()
+
+
+def test_doremi_python_integer_replay(spark, sf_dir):
+    """The Spark trajectory equals a direct Python integer fold over
+    the same per-domain losses — pins the UPDATE SEMANTICS, not just
+    cross-engine agreement."""
+    docs = load_table(spark, sf_dir, "documents")
+    losses = {
+        r["domain"]: r["loss_units"]
+        for r in domain_losses(docs).collect()
+    }
+    out = doremi_weights(docs, n_iter=3).toPandas()
+    doms = sorted(losses)
+    w = {d: SCALE // len(doms) for d in doms}
+    for t in range(1, 4):
+        ref = sum(w[d] * losses[d] for d in doms) // SCALE
+        exc = {
+            d: min(max(losses[d] - ref, 0), EXC_CAP) for d in doms
+        }
+        w1 = {
+            d: (w[d] * (DEN + (exc[d] * 1) // 2)) // DEN for d in doms
+        }
+        tot = sum(w1.values())
+        w = {d: (w1[d] * SCALE) // tot for d in doms}
+        got = out[out["round"] == t].set_index("domain")
+        for d in doms:
+            assert got.loc[d, "weight_units"] == w[d], (t, d)
+            assert got.loc[d, "excess_units"] == exc[d], (t, d)
+
+
+def test_doremi_rejects_bad_eta_and_rounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="n_iter"):
+        doremi_weights(docs, n_iter=0)
+    with pytest.raises(ValueError, match="eta"):
+        doremi_weights(docs, eta_num=3, eta_den=2)
+
+
+def test_doremi_crafted_two_domains(spark, duck):
+    """Hand-crafted 2-domain corpus: the gibberish domain (rare
+    tokens → high xent) gains weight every round; oracle replays."""
+    rows = [
+        (i, "common words common words common", "easy") for i in range(8)
+    ] + [
+        (100 + i, f"zq{i}x wk{i}v qq{i}j", "hard") for i in range(8)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    duck.register(
+        "_dor", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    out = doremi_weights(sdf, n_iter=3)
+    assert_matches_oracle(
+        out,
+        duck.execute(doremi_weights_sql(n_iter=3, table="_dor")).df(),
+        "doremi-2dom",
+    )
+    w = out.filter(F.col("round") == 3).collect()
+    byd = {r["domain"]: r["weight_units"] for r in w}
+    assert byd["hard"] > byd["easy"]
+    assert byd["hard"] > SCALE // 2
