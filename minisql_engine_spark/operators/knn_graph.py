@@ -83,12 +83,19 @@ def knn_graph(
     # Released via similarity.clear_centroid_cache().
     _CENT_CACHE.append(cents)
 
-    home = ivf_assignments(
-        embeddings, cents, id_col, vec_col, n_probe=1
-    ).select(F.col(id_col).alias("nbr_id"), "cell")
-    probe = ivf_assignments(
+    # ONE assignment pass serves both sides: the probe ranks already
+    # contain the home cell (cell_rank = 1 is the same argmax with
+    # the same (sim DESC, cell) tie-break the packed n_probe=1 path
+    # certifies) — a separate home pass would re-score the whole
+    # corpus against the centroids. Persisted: two consumers below.
+    assign = ivf_assignments(
         embeddings, cents, id_col, vec_col, n_probe=n_probe
-    ).select(F.col(id_col).alias("src_id"), "cell")
+    ).persist()
+    _CENT_CACHE.append(assign)
+    home = assign.filter(F.col("cell_rank") == 1).select(
+        F.col(id_col).alias("nbr_id"), "cell"
+    )
+    probe = assign.select(F.col(id_col).alias("src_id"), "cell")
     # one home cell per neighbor and n_probe DISTINCT probe cells per
     # source → each (src, nbr) candidate appears at most once; no
     # dedup pass needed
