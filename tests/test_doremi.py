@@ -105,3 +105,31 @@ def test_doremi_crafted_two_domains(spark, duck):
     byd = {r["domain"]: r["weight_units"] for r in w}
     assert byd["hard"] > byd["easy"]
     assert byd["hard"] > SCALE // 2
+
+
+def test_doremi_feeds_mixture_sample(spark, sf_dir):
+    """The composition point the module docstring promises: the final
+    round's weight_units / SCALE drive mixture_sample, and the token
+    allowances follow the LEARNED weights (worst-loss domain gets the
+    larger share of the budget)."""
+    from minisql_engine_spark.operators.mixture import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    traj = doremi_weights(docs, n_iter=4).toPandas()
+    last = traj[traj["round"] == traj["round"].max()]
+    weights = {
+        r.domain: r.weight_units / SCALE for r in last.itertuples()
+    }
+    sel = mixture_sample(
+        docs, weights, token_budget=5_000
+    ).toPandas()
+    got_alloc = (
+        sel.groupby("source")["allowance_tokens"].first().to_dict()
+    )
+    # allowance ordering mirrors the learned weight ordering
+    by_w = sorted(weights, key=weights.get)
+    assert got_alloc[by_w[-1]] >= got_alloc[by_w[0]]
+    # and matches the floor(w/Σw · budget) contract exactly
+    tot = sum(weights.values())
+    for s, a in got_alloc.items():
+        assert a == int(weights[s] / tot * 5_000), s
