@@ -3245,7 +3245,7 @@ def _streaming_funnel_oracle() -> str:
         " thr AS (SELECT"
         "  quantile_cont(ppl, 0.3333333333333333) AS t1,"
         "  quantile_cont(ppl, 0.6666666666666666) AS t2 FROM"
-        "  (SELECT floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
+        "  (SELECT CASE WHEN abs(power(2.0, h)) < 1e12 THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 ELSE power(2.0, h) END"
         "   AS ppl FROM ref0)),"
         # frozen scoring of the quality-gated drop docs (their tokens
         # are all in-vocabulary — drop content comes from documents)
@@ -3261,11 +3261,12 @@ def _streaming_funnel_oracle() -> str:
         "   / CAST(count(*) AS DOUBLE) AS h"
         "  FROM dtoks LEFT JOIN counts USING (token) CROSS JOIN totals"
         "  GROUP BY doc_id),"
-        " bucketed AS (SELECT doc_id, n_tokens_lm,"
-        "  floor(power(2.0, h) * 1e6 + 0.5) / 1e6 AS ppl,"
-        "  CASE WHEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 <= t1 THEN 'head'"
-        "   WHEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 <= t2 THEN 'middle'"
-        "   ELSE 'tail' END AS bucket FROM score CROSS JOIN thr),"
+        " scoreppl AS (SELECT doc_id, n_tokens_lm,"
+        "  CASE WHEN abs(power(2.0, h)) < 1e12 THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6 ELSE power(2.0, h) END AS ppl FROM score),"
+        " bucketed AS (SELECT doc_id, n_tokens_lm, ppl,"
+        "  CASE WHEN ppl <= t1 THEN 'head'"
+        "   WHEN ppl <= t2 THEN 'middle'"
+        "   ELSE 'tail' END AS bucket FROM scoreppl CROSS JOIN thr),"
         # admission: content hash, min-id within the drop, seed reject
         " hashed AS (SELECT d.doc_id, b.n_tokens_lm, b.ppl, b.bucket,"
         "  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))"

@@ -223,13 +223,10 @@ def dsir_weights_sql(
         "  FROM feats JOIN lam USING (bucket)"
         f"  GROUP BY {id_col}, is_target)"
         f" SELECT {id_col}, is_target, n_feats,"
-        "  CASE WHEN abs(lw) < 1e12 THEN floor(lw * 1e6 + 0.5) / 1e6"
-        "   ELSE lw END AS logw,"
-        "  CASE WHEN abs(lw / CAST(n_feats AS DOUBLE)) < 1e12"
-        "   THEN floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
-        "   ELSE lw / CAST(n_feats AS DOUBLE) END AS avg_logw,"
-        "  CASE WHEN abs(lw / CAST(n_feats AS DOUBLE)) < 1e12"
-        "   THEN floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
-        "   ELSE lw / CAST(n_feats AS DOUBLE) END > 0.0 AS selected"
+        "  floor(lw * 1e6 + 0.5) / 1e6 AS logw,"
+        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6"
+        "   AS avg_logw,"
+        "  floor(lw / CAST(n_feats AS DOUBLE) * 1e6 + 0.5) / 1e6 > 0.0"
+        "   AS selected"
         " FROM per"
     )

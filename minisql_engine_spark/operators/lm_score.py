@@ -45,8 +45,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.portable_round import (
+    dsum as _dsum,
     dsum_tf as _dsum_tf,
     fx6 as _fx6,
+    fx6g as _fx6g,
 )
 
 from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
@@ -99,7 +101,7 @@ def lm_perplexity(
             id_col,
             "n_tokens_lm",
             _fx6(F.col("_h")).alias("xent_bits"),
-            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
+            _fx6g(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
     # tercile thresholds over the rounded ppl (portable interpolated
@@ -150,8 +152,7 @@ def lm_perplexity_sql(
         "  FROM toks JOIN counts USING (token) CROSS JOIN totals"
         f"  GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  CASE WHEN abs(h) < 1e12 THEN floor(h * 1e6 + 0.5) / 1e6"
-        "   ELSE h END AS xent_bits,"
+        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
         "  CASE WHEN abs(power(2.0, h)) < 1e12"
         "   THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
         "   ELSE power(2.0, h) END AS ppl FROM per0),"
@@ -280,7 +281,7 @@ def lm_bigram_perplexity(
             id_col,
             "n_tokens_lm",
             _fx6(F.col("_h")).alias("xent_bits"),
-            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
+            _fx6g(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
     thr = per.agg(
@@ -343,8 +344,7 @@ def lm_bigram_perplexity_sql(
         "   / CAST(count(*) AS DOUBLE) AS h"
         f"  FROM scored GROUP BY {id_col}),"
         f" per AS (SELECT {id_col}, n_tokens_lm,"
-        "  CASE WHEN abs(h) < 1e12 THEN floor(h * 1e6 + 0.5) / 1e6"
-        "   ELSE h END AS xent_bits,"
+        "  floor(h * 1e6 + 0.5) / 1e6 AS xent_bits,"
         "  CASE WHEN abs(power(2.0, h)) < 1e12"
         "   THEN floor(power(2.0, h) * 1e6 + 0.5) / 1e6"
         "   ELSE power(2.0, h) END AS ppl FROM per0),"
@@ -521,24 +521,24 @@ def _score_frozen(
         (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
         / F.lit(denom)
     )
-    dtf = toks.groupBy(id_col, "token").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
+    # per-INSTANCE decimal sum here, deliberately NOT the dsum_tf
+    # pre-agg the batch scorers use: the model join is already a
+    # broadcast (no join rows to save), so a (doc, token) pre-agg
+    # would only ADD a shuffle per scoring call — and this runs once
+    # per micro-batch in the streaming funnel (measured ~1 s across
+    # the funnel's batches at sf0.1)
     return (
-        dtf.join(F.broadcast(counts), "token", "left")
+        toks.join(F.broadcast(counts), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("tf").cast("bigint").alias("n_tokens_lm"),
-            (
-                -_dsum_tf(logp, F.col("tf"))
-                / F.sum("tf").cast("double")
-            ).alias("_h"),
+            F.count("*").cast("bigint").alias("n_tokens_lm"),
+            (-_dsum(logp) / F.count("*").cast("double")).alias("_h"),
         )
         .select(
             id_col,
             "n_tokens_lm",
             _fx6(F.col("_h")).alias("xent_bits"),
-            _fx6(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
+            _fx6g(F.pow(F.lit(2.0), F.col("_h"))).alias("ppl"),
         )
     )
 

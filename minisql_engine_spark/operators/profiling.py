@@ -24,8 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from minisql_engine_spark.operators.portable_round import fx6 as _fx6
-from minisql_engine_spark.operators.portable_round import fx6_sql as _fx6_sql
+from minisql_engine_spark.operators.portable_round import fx6g as _fx6g
+from minisql_engine_spark.operators.portable_round import fx6g_sql as _fx6g_sql
 from pyspark.sql import types as T
 
 _NUMERIC = (
@@ -63,8 +63,8 @@ def profile_table(df: DataFrame) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 (F.count(F.lit(1)) - F.count(x)).cast("bigint").alias("n_nulls"),
                 F.countDistinct(x).cast("bigint").alias("n_distinct"),
-                _fx6(F.min(num)).alias("min_num"),
-                _fx6(F.max(num)).alias("max_num"),
+                _fx6g(F.min(num)).alias("min_num"),
+                _fx6g(F.max(num)).alias("max_num"),
                 F.min(s).alias("min_str"),
                 F.max(s).alias("max_str"),
             )
@@ -115,8 +115,8 @@ def profile_table_sql_from_schema(
             f" CAST(count(*) AS BIGINT) AS n_rows,"
             f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
             f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
-            f" {_fx6_sql(f'min({num})')} AS min_num,"
-            f" {_fx6_sql(f'max({num})')} AS max_num,"
+            f" {_fx6g_sql(f'min({num})')} AS min_num,"
+            f" {_fx6g_sql(f'max({num})')} AS max_num,"
             f" min({s}) AS min_str, max({s}) AS max_str"
             f" FROM {table}"
         )

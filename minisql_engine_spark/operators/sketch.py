@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+from minisql_engine_spark.operators.portable_round import fx6g as _fx6g
 
 #: 2^10 registers — 1.04/sqrt(m) ≈ 3.25% expected standard error.
 DEFAULT_P = 10
@@ -117,7 +117,7 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_P) -> DataFrame:
     return agg.select(
         F.lit(m).cast("bigint").alias("m"),
         "n_present",
-        _fx6(est).alias("estimate"),
+        _fx6g(est).alias("estimate"),
     )
 
 
@@ -144,7 +144,7 @@ def hll_distinct(
         "n_present",
         "estimate",
         "n_exact",
-        _fx6(rel).alias("rel_err_pct"),
+        _fx6g(rel).alias("rel_err_pct"),
         (F.abs(rel) <= 10.0).alias("within_10pct"),
     )
 
@@ -482,7 +482,7 @@ def hll_group_estimate(
     return agg.select(
         "grp",
         "n_present",
-        _fx6(est).alias("estimate"),
+        _fx6g(est).alias("estimate"),
     ).orderBy("grp")
 
 

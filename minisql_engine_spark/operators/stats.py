@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.portable_round import fx6 as _fx6
+from minisql_engine_spark.operators.portable_round import fx6g as _fx6g
 
 
 def value_histogram(
@@ -362,7 +363,7 @@ def winsorize(
     # arguments (a NULL value would silently clip to the lower bound)
     clip = F.when(
         F.col(col).isNotNull(),
-        _fx6(
+        _fx6g(
             F.least(
                 F.greatest(F.col(col).cast("double"), F.col("_blo")),
                 F.col("_bhi"),
@@ -458,8 +459,8 @@ def mad_outliers(
         scored = dev.join(mad, group_by)
     return scored.select(
         *df.columns,
-        _fx6(F.col("_med")).alias("med"),
-        _fx6(F.col("_mad")).alias("mad"),
+        _fx6g(F.col("_med")).alias("med"),
+        _fx6g(F.col("_mad")).alias("mad"),
         F.when(
             x.isNotNull(),
             F.when(F.col("_mad") > 0, F.abs(x - F.col("_med")) > k * F.col("_mad"))
@@ -602,9 +603,9 @@ def histogram_quantiles(
         est.join(F.broadcast(exact_long), "prob")
         .select(
             "prob",
-            _fx6(F.col("_est")).alias("est"),
-            _fx6(F.col("_exact")).alias("exact"),
-            _fx6(err).alias("abs_err"),
+            _fx6g(F.col("_est")).alias("est"),
+            _fx6g(F.col("_exact")).alias("exact"),
+            _fx6g(err).alias("abs_err"),
             (err <= 2.0 * width).alias("within_two_widths"),
         )
         .orderBy("prob")

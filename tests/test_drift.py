@@ -287,3 +287,51 @@ def test_embedding_drift_order_independent(spark, duck, sf_dir):
         for m, v in zip(oracle["metric"], oracle["value"])
     ]
     assert base == want
+
+
+def test_fx6g_guarded_twin_extremes(spark, duck):
+    """fx6g (the guarded tier) matches its DuckDB twin at the
+    extremes the guard exists for: beyond FX6_BOUND, NaN, ±Inf —
+    Spark's BIGINT floor would saturate/collapse these unguarded."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.portable_round import (
+        fx6g,
+        fx6g_sql,
+    )
+
+    vals = [
+        0.0, -0.0, 1.2345675, -1.2345665, 7812.5e-6,
+        9.99e11, 1.0001e12, 9.3e18, -9.3e18, 123456789.1234565,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r[0] for r in df.select(fx6g(F.col("x")).alias("y")).collect()
+    ]
+    duck.execute("CREATE OR REPLACE TABLE _fxg AS SELECT "
+                 "unnest(?::DOUBLE[]) AS x", [vals])
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {fx6g_sql('x')} FROM _fxg"
+        ).fetchall()
+    ]
+    for v, g, w in zip(vals, got, want):
+        assert struct.pack("d", g) == struct.pack("d", w), v
+    # NaN/Inf via SQL literals on both sides (param binding mangles
+    # NaN): both engines order NaN above all doubles -> passthrough
+    nan_spark = df.sparkSession.sql(
+        "SELECT double('NaN') AS x"
+    ).select(fx6g(F.col("x"))).collect()[0][0]
+    assert math.isnan(nan_spark)
+    nan_duck = duck.execute(
+        f"SELECT {fx6g_sql(chr(39) + 'NaN' + chr(39) + '::DOUBLE')}"
+    ).fetchall()[0][0]
+    assert math.isnan(nan_duck)
+    inf_spark = df.sparkSession.sql(
+        "SELECT double('Infinity') AS x"
+    ).select(fx6g(F.col("x"))).collect()[0][0]
+    assert math.isinf(inf_spark)
