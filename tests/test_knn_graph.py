@@ -76,3 +76,81 @@ def test_knn_graph_single_cell_is_exact(spark, duck):
         mine = got[got.src_id == src].sort_values("rank")
         assert list(mine.nbr_id) == [n for _, n in want], src
         assert list(mine.sim) == [-c for c, _ in want], src
+
+
+def test_knn_refine_oracle_corpus(spark, duck, sf_dir):
+    from minisql_engine_spark.operators.knn_graph import (
+        knn_graph_refine,
+        knn_graph_refine_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = knn_graph(emb, k=5)
+    out = knn_graph_refine(emb, base, k=5, n_rounds=1)
+    assert_matches_oracle(
+        out,
+        duck.execute(knn_graph_refine_sql(k=5, n_rounds=1)).df(),
+        "knn_refine",
+    )
+
+
+def test_knn_refine_recall_non_decreasing(spark, sf_dir):
+    """NN-descent recovers recall the cell blocking loses: measured
+    against brute-force cosine top-k, refined recall >= base recall,
+    and strictly above on the n_probe=2 base (an n_probe=1 base is
+    un-improvable by construction: its edges never leave the home
+    cell — see the operator docstring)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from minisql_engine_spark.operators.knn_graph import (
+        knn_graph_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    # exact truth by the same rounded cosine
+    from minisql_engine_spark.operators.similarity import (
+        as_double_sql,
+        norm_sql,
+        score_sql,
+    )
+
+    v = emb.selectExpr(
+        "vec_id", as_double_sql("embedding") + " as v"
+    ).withColumn("nv", F.expr(norm_sql("v")))
+    a = (
+        v.selectExpr("vec_id as src_id", "v as sv", "nv as sn")
+    )
+    b = (
+        v.selectExpr("vec_id as nbr_id", "v as cv", "nv as cn")
+    )
+    pairs = a.crossJoin(b).filter(F.col("src_id") != F.col("nbr_id"))
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id")
+    )
+    truth = (
+        pairs.select(
+            "src_id",
+            "nbr_id",
+            F.expr(score_sql("sv", "cv", "sn", "cn")).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    tset = {(r.src_id, r.nbr_id) for r in truth.collect()}
+
+    base = knn_graph(emb, k=k, n_probe=2)
+    bset = {(r.src_id, r.nbr_id) for r in base.collect()}
+    ref = knn_graph_refine(emb, base, k=k, n_rounds=2)
+    rset = {(r.src_id, r.nbr_id) for r in ref.collect()}
+    base_recall = len(bset & tset) / len(tset)
+    ref_recall = len(rset & tset) / len(tset)
+    assert ref_recall >= base_recall
+    assert ref_recall > base_recall, (base_recall, ref_recall)
+    # shape contracts survive refinement
+    refp = ref.toPandas()
+    assert (refp.src_id != refp.nbr_id).all()
+    deg = refp.groupby("src_id")["rank"]
+    assert (deg.max() == deg.size()).all()
+    assert (deg.max() <= k).all()
