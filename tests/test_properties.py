@@ -942,3 +942,91 @@ def test_ir_metrics_match_python_replay(spark, data):
         assert g["precision_at_k"] == w["prec"], qn
         assert g["recall_at_k"] == w["rec"], qn
     assert MACRO in got
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=6,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@SLOW
+def test_knn_graph_blocking_matches_python_fold(spark, vecs, k):
+    """knn_graph's candidate join + top-k equal a direct Python fold
+    over the SAME cell assignments — pins the blocking semantics
+    (candidates = members of the source's probe cells, exact rounded
+    cosine, (sim DESC, nbr) tie-break) independent of Spark's join
+    and window machinery. Assignments are taken from the engine's own
+    ivf_assignments so the Lloyd replay (already oracle-pinned) is
+    out of scope here."""
+    import math
+
+    from minisql_engine_spark.operators.knn_graph import knn_graph
+    from minisql_engine_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_refined_centroids,
+    )
+
+    # drop zero vectors (cosine undefined) and dedupe ids
+    rows = [
+        (i, [float(x) for x in v], 0)
+        for i, v in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if len(rows) < 3:
+        return
+    n_cells, n_probe, n_iter = 2, min(2, k), 1
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = knn_graph(
+        sdf, k=k, n_cells=n_cells, n_iter=n_iter, n_probe=n_probe,
+        dims=4,
+    ).collect()
+
+    cents = ivf_refined_centroids(
+        sdf, n_cells=n_cells, n_iter=n_iter, dims=4
+    )
+    home = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assignments(sdf, cents, n_probe=1).collect()
+    }
+    probes: dict = {}
+    for r in ivf_assignments(sdf, cents, n_probe=n_probe).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["cell"])
+
+    by_id = {i: v for i, v, _ in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    want: dict = {}
+    for src in by_id:
+        cand = [
+            n
+            for n in by_id
+            if n != src and home[n] in probes[src]
+        ]
+        ranked = sorted(cand, key=lambda n: (-cos(by_id[src], by_id[n]), n))
+        want[src] = [
+            (n, cos(by_id[src], by_id[n]), i + 1)
+            for i, n in enumerate(ranked[:k])
+        ]
+
+    got_by_src: dict = {}
+    for r in got:
+        got_by_src.setdefault(r["src_id"], []).append(
+            (r["nbr_id"], r["sim"], r["rank"])
+        )
+    for src in got_by_src:
+        got_by_src[src].sort(key=lambda t: t[2])
+    assert got_by_src == {s: w for s, w in want.items() if w}
