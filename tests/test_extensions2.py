@@ -711,20 +711,41 @@ def test_coverage_driver_history_current():
     """COVERAGE.md's driver-certification history must equal a fresh
     render from the CORRECTNESS_r*.json files (r8 verdict task 3 —
     the ledger claimed `embedding_drift` ✓ while the driver had never
-    hash-certified it). Regenerate with
-    `python tools/gen_driver_history.py` after each round's
-    CORRECTNESS file lands."""
-    import os
+    hash-certified it).
 
-    from tools.gen_driver_history import BEGIN, END, render
+    VERDICT r10 task 1: the driver writes CORRECTNESS_r{N}.json AFTER
+    the builder's final round-N commit, so an unrestricted compare
+    reddened a tree that was green at commit time (r9, r10). The
+    compare is therefore restricted to rounds <= the newest round the
+    committed ledger already includes, and a separate staleness rail
+    allows AT MOST ONE on-disk CORRECTNESS file newer than that —
+    the single post-commit landing. A builder who forgets to run
+    `python tools/gen_driver_history.py` at round open leaves TWO
+    newer files behind once their own round's file lands, so the next
+    round's first pytest run still fails."""
+    import os
+    import re
+
+    from tools.gen_driver_history import BEGIN, END, on_disk_rounds, render
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "COVERAGE.md")) as f:
         doc = f.read()
     assert BEGIN in doc and END in doc, "driver-history section missing"
     committed = doc[doc.index(BEGIN) : doc.index(END) + len(END)]
-    assert committed == render(), (
-        "COVERAGE.md driver history is stale — run "
+    committed_rounds = {int(m) for m in re.findall(r"\br(\d+)\b", committed)}
+    assert committed_rounds, "committed ledger names no rounds"
+    newest_committed = max(committed_rounds)
+    assert committed == render(max_round=newest_committed), (
+        "COVERAGE.md driver history disagrees with the CORRECTNESS "
+        f"files for rounds <= r{newest_committed} — run "
+        "python tools/gen_driver_history.py"
+    )
+    newer = [r for r in on_disk_rounds() if r > newest_committed]
+    assert len(newer) <= 1, (
+        f"COVERAGE.md driver history ends at r{newest_committed} but "
+        f"rounds {newer} have CORRECTNESS files on disk; only the one "
+        "post-commit landing is tolerated — run "
         "python tools/gen_driver_history.py"
     )
 

@@ -42,14 +42,35 @@ def _status(rec: dict) -> str:
     return "FAIL"
 
 
-def render() -> str:
+def on_disk_rounds() -> list[int]:
+    """Round numbers of every CORRECTNESS_r*.json currently on disk."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def render(max_round: int | None = None) -> str:
+    """Render the ledger from CORRECTNESS files.
+
+    ``max_round`` restricts the render to rounds <= that number —
+    used by the freshness test so a CORRECTNESS file that lands
+    AFTER the builder's final commit (the driver writes it post-
+    close) can never redden a tree whose ledger was current at
+    commit time (VERDICT r10 task 1).
+    """
     rounds: dict[int, dict] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
         if not m:
             continue
+        rno = int(m.group(1))
+        if max_round is not None and rno > max_round:
+            continue
         with open(path) as f:
-            rounds[int(m.group(1))] = json.load(f)
+            rounds[rno] = json.load(f)
 
     entries: dict[str, dict[int, str]] = {}
     for rno, data in rounds.items():
