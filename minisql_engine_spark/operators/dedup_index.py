@@ -65,15 +65,25 @@ def init_dedup_index(
         .distinct()
         .withColumn(_PART, F.substring("content_hash", 1, 1))
     )
-    # collapse the writer stage: ONE file per live hex partition
+    # collapse the writer stage: few fat files per live hex partition
     # instead of (shuffle-partitions × 16) slivers — every admission
     # batch re-reads this index, so file count is the listing/footer
-    # cost of the whole ingest path. coalesce (not repartition): the
-    # key set is batch-sized by the micro-batch contract, so a single
-    # writer task is cheaper than a clustering shuffle.
-    keys.coalesce(1).write.mode("overwrite").partitionBy(
-        _PART
-    ).parquet(path)
+    # cost of the whole ingest path. Unlike append_to_index (batch-
+    # sized by the micro-batch contract → coalesce(1)), init seeds
+    # from an arbitrary, possibly corpus-scale corpus (ADVICE r10):
+    # scale writer tasks with the seed so a large seed never funnels
+    # the whole distinct key set through one task. ~4M keys/task at
+    # 32-byte hashes keeps files in the 100MB+ range.
+    # persist so sizing + write share ONE distinct pass (keys are
+    # 32-byte hashes; MEMORY_AND_DISK spills if the seed is huge)
+    keys = keys.persist()
+    try:
+        n_writers = max(1, keys.count() // 4_000_000)
+        keys.coalesce(n_writers).write.mode("overwrite").partitionBy(
+            _PART
+        ).parquet(path)
+    finally:
+        keys.unpersist()
 
 
 def dedup_against_index(

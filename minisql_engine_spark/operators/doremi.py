@@ -73,6 +73,34 @@ ETA_NUM = 1
 ETA_DEN = 2
 
 
+def _validate_eta(eta_num: int, eta_den: int) -> tuple[int, int]:
+    """Reduce η by gcd and enforce the FULL overflow rail.
+
+    0 <= η <= 1 bounds the final multiplier, but the INTERMEDIATE
+    ``excess_units * eta_num`` is bounded only by ``EXC_CAP *
+    eta_num`` — e.g. η = 10¹³/(2·10¹³) is a valid 1/2 yet wraps
+    Spark's non-ANSI bigint multiply at 8·10¹⁹ while DuckDB errors,
+    breaking engine parity (ADVICE r10). Floor division is invariant
+    under common scaling (c·a·x / (c·b) = a·x / b as exact
+    rationals), so gcd reduction never changes a weight; after
+    reduction the magnitude rail must hold outright."""
+    import math
+
+    if eta_num < 0 or eta_den <= 0 or eta_num > eta_den:
+        raise ValueError(
+            f"need 0 <= eta = {eta_num}/{eta_den} <= 1 (overflow rail)"
+        )
+    g = math.gcd(eta_num, eta_den)
+    if g > 1:
+        eta_num, eta_den = eta_num // g, eta_den // g
+    if EXC_CAP * eta_num >= 2**63:
+        raise ValueError(
+            f"eta_num {eta_num} (gcd-reduced) overflows the int64 "
+            f"intermediate: EXC_CAP * eta_num must stay < 2**63"
+        )
+    return eta_num, eta_den
+
+
 def domain_losses(
     docs: DataFrame,
     domain_col: str = "source",
@@ -149,10 +177,7 @@ def doremi_weights(
     ``mixture.mixture_sample`` as the per-source weights."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    if eta_num < 0 or eta_den <= 0 or eta_num > eta_den:
-        raise ValueError(
-            f"need 0 <= eta = {eta_num}/{eta_den} <= 1 (overflow rail)"
-        )
+    eta_num, eta_den = _validate_eta(eta_num, eta_den)
     losses = domain_losses(docs, domain_col, id_col, text_col)
     # the iteration input is DOMAIN-sized (dimension table):
     # localCheckpoint so the corpus-sized loss subtree runs exactly
@@ -254,6 +279,7 @@ def doremi_weights_sql(
     loss aggregate (per-instance decimal sum: value-identical to the
     tf-weighted Spark form by the ``dsum_tf`` identity) and every
     integer round as chained CTEs."""
+    eta_num, eta_den = _validate_eta(eta_num, eta_den)
     loss_cte = (
         f" toks AS (SELECT {domain_col} AS domain, {id_col},"
         "  unnest(string_split(regexp_replace(lower(trim("

@@ -58,6 +58,35 @@ from minisql_engine_spark.operators.similarity import (
     _CENT_CACHE,
 )
 
+_KNN_CACHE: list[DataFrame] = []
+
+#: persisted corpus-sized assignment tables kept alive across calls.
+#: These must NOT ride in similarity._CENT_CACHE (documented for
+#: tiny centroid tables — ADVICE r10): repeated knn_graph calls
+#: would accumulate unbounded corpus-scale persisted storage. Each
+#: call evicts beyond this cap; eviction degrades an older
+#: still-held graph to recompute (assignments are deterministic), so
+#: the cap bounds storage without a correctness risk.
+_KNN_CACHE_MAX = 2
+
+
+def clear_knn_cache() -> None:
+    """Release persisted assignment tables from prior calls."""
+    while _KNN_CACHE:
+        try:
+            _KNN_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _knn_cache_push(df: DataFrame) -> None:
+    _KNN_CACHE.append(df)
+    while len(_KNN_CACHE) > _KNN_CACHE_MAX:
+        try:
+            _KNN_CACHE.pop(0).unpersist()
+        except Exception:
+            pass
+
 
 def knn_graph(
     embeddings: DataFrame,
@@ -91,7 +120,7 @@ def knn_graph(
     assign = ivf_assignments(
         embeddings, cents, id_col, vec_col, n_probe=n_probe
     ).persist()
-    _CENT_CACHE.append(assign)
+    _knn_cache_push(assign)
     home = assign.filter(F.col("cell_rank") == 1).select(
         F.col(id_col).alias("nbr_id"), "cell"
     )

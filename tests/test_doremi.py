@@ -83,6 +83,28 @@ def test_doremi_rejects_bad_eta_and_rounds(spark, sf_dir):
         doremi_weights(docs, eta_num=3, eta_den=2)
 
 
+def test_doremi_eta_magnitude_rail(spark, sf_dir):
+    """ADVICE r10: eta=10**13/(2*10**13) is a valid 1/2 by the ratio
+    check but its intermediate excess_units * eta_num wraps Spark's
+    non-ANSI bigint multiply. gcd reduction makes it exactly 1/2
+    (floor-division invariant under common scaling); an IRREDUCIBLE
+    huge eta_num must raise instead of silently wrapping."""
+    from minisql_engine_spark.operators.doremi import _validate_eta
+
+    assert _validate_eta(10**13, 2 * 10**13) == (1, 2)
+    with pytest.raises(ValueError, match="overflow"):
+        _validate_eta(10**13 + 1, 2 * (10**13 + 1) + 1)
+    docs = load_table(spark, sf_dir, "documents")
+    a = doremi_weights(docs, n_iter=2, eta_num=1, eta_den=2).toPandas()
+    b = doremi_weights(
+        docs, n_iter=2, eta_num=10**13, eta_den=2 * 10**13
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["round", "domain"]).reset_index(drop=True),
+        b.sort_values(["round", "domain"]).reset_index(drop=True),
+    )
+
+
 def test_doremi_crafted_two_domains(spark, duck):
     """Hand-crafted 2-domain corpus: the gibberish domain (rare
     tokens → high xent) gains weight every round; oracle replays."""

@@ -38,6 +38,27 @@ def test_knn_graph_contracts(spark, sf_dir):
     assert (worse <= 0).all()
 
 
+def test_knn_graph_cache_bounded(spark, sf_dir):
+    """ADVICE r10: the corpus-sized assignment persist must live in
+    knn_graph's own BOUNDED cache, not similarity._CENT_CACHE —
+    repeated calls must not accumulate unbounded persisted storage."""
+    from minisql_engine_spark.operators import knn_graph as kg
+    from minisql_engine_spark.operators.similarity import _CENT_CACHE
+
+    kg.clear_knn_cache()
+    cents_before = len(_CENT_CACHE)
+    emb = load_table(spark, sf_dir, "embeddings")
+    for _ in range(3):
+        knn_graph(emb, k=3).count()
+    assert len(kg._KNN_CACHE) <= kg._KNN_CACHE_MAX
+    # only the tiny centroid tables ride the centroid cache
+    assert len(_CENT_CACHE) - cents_before == 3
+    for cached in _CENT_CACHE[cents_before:]:
+        assert cached.count() <= kg.N_CELLS
+    kg.clear_knn_cache()
+    assert not kg._KNN_CACHE
+
+
 def test_knn_graph_single_cell_is_exact(spark, duck):
     """n_cells=1 degenerates to brute force: the graph must equal
     the exact top-k by rounded cosine."""
