@@ -5617,6 +5617,42 @@ _ORACLES["knn_graph_cells"] = _knn_graph_oracle()
 
 
 @_register(
+    "knn_graph_refine",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_knn_graph_refine(spark, sf_dir):
+    """NN-descent refinement (operators/knn_graph.py:233 — Dong,
+    Moses & Li 2011): one round of undirected neighbors-of-neighbors
+    expansion + exact cosine re-rank over the cell-blocked base
+    graph. Recovers the recall an IVF-blocked graph loses at cell
+    boundaries WITHOUT raising n_probe (measured recall@5 on the
+    starved n_probe=2 base: 0.381 → 0.497 in this one round, → 0.554
+    with two — pytest-pinned); candidates are ≤ (2k)² per source
+    (edge joins on the k-regular graph), never corpus-quadratic. The
+    oracle replays the base construction AND the expand→score→top-k
+    round on the shared CTE chain."""
+    from minisql_engine_spark.operators.knn_graph import (
+        knn_graph,
+        knn_graph_refine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = knn_graph(emb, k=5)
+    return knn_graph_refine(emb, base, k=5, n_rounds=1)
+
+
+def _knn_refine_oracle() -> str:
+    from minisql_engine_spark.operators.knn_graph import (
+        knn_graph_refine_sql,
+    )
+
+    return knn_graph_refine_sql(k=5, n_rounds=1)
+
+
+_ORACLES["knn_graph_refine"] = _knn_refine_oracle()
+
+
+@_register(
     "doremi_mixture_weights",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -5644,6 +5680,42 @@ def _doremi_oracle() -> str:
 
 
 _ORACLES["doremi_mixture_weights"] = _doremi_oracle()
+
+
+@_register(
+    "doremi_mixture_selection",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_doremi_mixture_selection(spark, sf_dir):
+    """The training-composition closed loop as ONE certified plan
+    (operators/doremi.py doremi_mixture_selection): 4 Group-DRO
+    reweighting rounds LEARN the domain weights, then the archived
+    mixture_sample admission rule SPENDS a 5 000-token budget under
+    them — allowance(d) = weight_units(d)·budget DIV Σunits
+    (integer-exact, no float dict detour), docs fill each source's
+    allowance in decision-hash order with the straddler kept. The
+    learned-weights table is domain-sized and broadcast; nothing is
+    collected. The oracle chains the FULL learning replay (every
+    round's CTEs) into the allowance + admission window, term for
+    term."""
+    from minisql_engine_spark.operators.doremi import (
+        doremi_mixture_selection,
+    )
+
+    return doremi_mixture_selection(
+        _t(spark, sf_dir, "documents"), 5_000, n_iter=4
+    )
+
+
+def _doremi_sel_oracle() -> str:
+    from minisql_engine_spark.operators.doremi import (
+        doremi_mixture_selection_sql,
+    )
+
+    return doremi_mixture_selection_sql(5_000, n_iter=4)
+
+
+_ORACLES["doremi_mixture_selection"] = _doremi_sel_oracle()
 
 
 @_register(
@@ -6081,13 +6153,34 @@ _ARCHIVED: frozenset[str] = frozenset(
         # seeded-query search arithmetic stays archive-parity-tested
         # every run.
         "ivf_index_search",
+        # r11 wave — room for knn_graph_refine: emb_pq_topk is
+        # hash-green r5–r10 (5 consecutive driver rounds) and the ANN
+        # family keeps emb_sq8_topk, emb_lsh_ann,
+        # ivf_index_maintenance, knn_graph_cells AND the new
+        # NN-descent refinement live — the full memory/recall
+        # spectrum stays driver-covered while the PQ codebook/rerank
+        # arithmetic (incl. the published m=16 high-recall operating
+        # point) stays archive-parity-tested every run.
+        "emb_pq_topk",
+        # + doremi_mixture_selection (same wave): sequence_packing is
+        # hash-green r5–r10 (5 consecutive driver rounds) and the
+        # training-composition family trades its static packer row
+        # for the CLOSED LOOP (doremi learning chained into the
+        # mixture_sample admission rule in one oracle-replayed plan);
+        # curriculum_order and doremi_mixture_weights stay live and
+        # the first-fit packing arithmetic stays archive-parity-
+        # tested every run.
+        "sequence_packing",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r10 wave — brand new driver rows, never driver-checked
+    # r11 wave — brand new driver rows, never driver-checked
+    "knn_graph_refine",
+    "doremi_mixture_selection",
+    # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",
     # r9 wave — first re-certification round

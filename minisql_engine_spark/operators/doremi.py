@@ -266,20 +266,21 @@ def doremi_weights(
     return out.orderBy("round", "domain")
 
 
-def doremi_weights_sql(
-    n_iter: int = 5,
-    table: str = "documents",
-    domain_col: str = "source",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    eta_num: int = ETA_NUM,
-    eta_den: int = ETA_DEN,
+def _doremi_ctes_sql(
+    n_iter: int,
+    table: str,
+    domain_col: str,
+    id_col: str,
+    text_col: str,
+    eta_num: int,
+    eta_den: int,
 ) -> str:
-    """DuckDB oracle twin of :func:`doremi_weights` — replays the
-    loss aggregate (per-instance decimal sum: value-identical to the
-    tf-weighted Spark form by the ``dsum_tf`` identity) and every
-    integer round as chained CTEs."""
-    eta_num, eta_den = _validate_eta(eta_num, eta_den)
+    """CTE chain ending in ``w{n_iter}(domain, loss_units,
+    excess_units, weight_units)`` — the full reweighting replay.
+    Shared by :func:`doremi_weights_sql` and
+    :func:`doremi_mixture_selection_sql` so both oracles replay the
+    IDENTICAL learning loop (the ``knn_graph._knn_ctes_sql``
+    pattern). η must already be gcd-reduced/validated."""
     loss_cte = (
         f" toks AS (SELECT {domain_col} AS domain, {id_col},"
         "  unnest(string_split(regexp_replace(lower(trim("
@@ -330,14 +331,177 @@ def doremi_weights_sql(
             f"  CAST((w1 * {SCALE}) // wsum AS BIGINT) AS weight_units"
             f"  FROM st{t} CROSS JOIN ws{t})"
         )
+    return "WITH" + ",".join(ctes)
+
+
+def doremi_weights_sql(
+    n_iter: int = 5,
+    table: str = "documents",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta_num: int = ETA_NUM,
+    eta_den: int = ETA_DEN,
+) -> str:
+    """DuckDB oracle twin of :func:`doremi_weights` — replays the
+    loss aggregate (per-instance decimal sum: value-identical to the
+    tf-weighted Spark form by the ``dsum_tf`` identity) and every
+    integer round as chained CTEs."""
+    eta_num, eta_den = _validate_eta(eta_num, eta_den)
     unions = " UNION ALL ".join(
         f"SELECT {t} AS round, domain, loss_units,"
         f" excess_units, weight_units FROM w{t}"
         for t in range(0, n_iter + 1)
     )
     return (
-        "WITH" + ",".join(ctes) + " SELECT CAST(round AS INT) AS round,"
+        _doremi_ctes_sql(
+            n_iter, table, domain_col, id_col, text_col, eta_num,
+            eta_den,
+        )
+        + " SELECT CAST(round AS INT) AS round,"
         " domain, loss_units, excess_units, weight_units FROM ("
         + unions
         + ") ORDER BY round, domain"
+    )
+
+
+#: token-budget rail for the composed selection: weight_units ≤ SCALE
+#: after renorm, so weight_units · budget stays < 2⁶³ for any budget
+#: ≤ 10⁹ with 10⁸× headroom. A 10⁹-token budget is a config knob, not
+#: a data size — raise SCALE-aware if ever needed.
+BUDGET_CAP = 10**9
+
+
+def doremi_mixture_selection(
+    docs: DataFrame,
+    token_budget: int,
+    n_iter: int = 4,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta_num: int = ETA_NUM,
+    eta_den: int = ETA_DEN,
+    seed: str = "mixture",
+) -> DataFrame:
+    """The closed loop: LEARN the domain weights (``doremi_weights``,
+    ``n_iter`` Group-DRO rounds) and SPEND the token budget under
+    them (``mixture.mixture_sample``'s admission rule) in ONE plan —
+    no driver-side weight dict, no float detour. Each domain's
+    allowance is the integer floor share
+
+        allowance(d) = weight_units(d) · budget DIV Σ weight_units
+
+    (exact in int64 by the BUDGET_CAP rail — the float
+    ``w/Σw · budget`` of the dict path is replaced by the same
+    fixed-point arithmetic the learner runs on), and documents fill
+    it in the decision-hash order of ``sampling.sample_hash`` with
+    the straddler kept. Returns ``(source, doc_id, n_tokens,
+    cum_tokens, allowance_tokens)`` for every selected doc.
+
+    Scale: the learned-weights table is DOMAIN-sized and broadcast;
+    the selection adds one hash partition on source + one window
+    sort, exactly ``mixture_sample``'s shape. Nothing is collected.
+
+    Reference scope: sqlengine.py:1-753 has no corpus surface;
+    extension, SURVEY §2.4 training-composition family (closes the
+    doremi_weights → mixture_sample loop as one certified plan)."""
+    from minisql_engine_spark.operators.sampling import sample_hash
+    from pyspark.sql.window import Window
+
+    budget = int(token_budget)
+    if not 1 <= budget <= BUDGET_CAP:
+        raise ValueError(
+            f"token_budget must be in [1, {BUDGET_CAP}], got {budget}"
+        )
+    traj = doremi_weights(
+        docs, n_iter, domain_col, id_col, text_col, eta_num, eta_den
+    )
+    final = traj.filter(F.col("round") == n_iter).select(
+        F.col("domain").alias("source"), "weight_units"
+    )
+    tot = final.agg(
+        F.sum("weight_units").cast("long").alias("_tot_units")
+    )
+    allow = (
+        final.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(f"(weight_units * {budget}L) DIV _tot_units")
+            .cast("long")
+            .alias("allowance_tokens"),
+        )
+    )
+    base = docs.select(
+        F.col(domain_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(_ws_tokens(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).join(F.broadcast(allow), "source")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(sample_hash(F.col("doc_id"), seed), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        cum.alias("cum_tokens"),
+        "allowance_tokens",
+    ).filter(
+        F.col("cum_tokens") - F.col("n_tokens")
+        < F.col("allowance_tokens")
+    )
+
+
+def doremi_mixture_selection_sql(
+    token_budget: int,
+    n_iter: int = 4,
+    table: str = "documents",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eta_num: int = ETA_NUM,
+    eta_den: int = ETA_DEN,
+    seed: str = "mixture",
+) -> str:
+    """DuckDB oracle twin of :func:`doremi_mixture_selection` — the
+    shared learning-chain CTEs (every reweighting round replayed)
+    plus the integer allowance and the decision-hash admission
+    window, term for term."""
+    from minisql_engine_spark.operators.sampling import sample_hash_sql
+    from minisql_engine_spark.operators.packing import WS_COUNT_SQL
+
+    budget = int(token_budget)
+    if not 1 <= budget <= BUDGET_CAP:
+        raise ValueError(
+            f"token_budget must be in [1, {BUDGET_CAP}], got {budget}"
+        )
+    eta_num, eta_den = _validate_eta(eta_num, eta_den)
+    pri = sample_hash_sql("doc_id", seed)
+    n_tok = WS_COUNT_SQL.format(text=f"d.{text_col}")
+    return (
+        _doremi_ctes_sql(
+            n_iter, table, domain_col, id_col, text_col, eta_num,
+            eta_den,
+        )
+        + f", wt AS (SELECT CAST(sum(weight_units) AS BIGINT) AS tot"
+        f"  FROM w{n_iter}),"
+        " alw AS (SELECT domain AS source,"
+        f"  CAST((weight_units * {budget}) // tot AS BIGINT)"
+        "   AS allowance_tokens"
+        f"  FROM w{n_iter} CROSS JOIN wt),"
+        f" b AS (SELECT d.{domain_col} AS source,"
+        f"  d.{id_col} AS doc_id, {n_tok} AS n_tokens,"
+        "  a.allowance_tokens"
+        f"  FROM {table} d JOIN alw a ON a.source = d.{domain_col}),"
+        " c AS (SELECT source, doc_id, n_tokens,"
+        "  CAST(sum(n_tokens) OVER (PARTITION BY source"
+        f"   ORDER BY {pri}, doc_id ROWS UNBOUNDED PRECEDING)"
+        "   AS BIGINT) AS cum_tokens, allowance_tokens FROM b)"
+        " SELECT source, doc_id, n_tokens, cum_tokens,"
+        " allowance_tokens"
+        " FROM c WHERE cum_tokens - n_tokens < allowance_tokens"
     )

@@ -155,3 +155,65 @@ def test_doremi_feeds_mixture_sample(spark, sf_dir):
     tot = sum(weights.values())
     for s, a in got_alloc.items():
         assert a == int(weights[s] / tot * 5_000), s
+
+
+def test_doremi_mixture_selection_oracle(spark, duck, sf_dir):
+    """The composed closed-loop row: learn the weights AND spend the
+    budget in one plan, replayed end-to-end by the oracle."""
+    from minisql_engine_spark.operators.doremi import (
+        doremi_mixture_selection,
+        doremi_mixture_selection_sql,
+    )
+
+    out = doremi_mixture_selection(
+        load_table(spark, sf_dir, "documents"), 5_000, n_iter=3
+    )
+    assert_matches_oracle(
+        out,
+        duck.execute(
+            doremi_mixture_selection_sql(5_000, n_iter=3)
+        ).df(),
+        "doremi_sel",
+    )
+
+
+def test_doremi_mixture_selection_contracts(spark, sf_dir):
+    """Integer allowances follow the learned weights; admission keeps
+    the straddler and never admits past it; the allowance arithmetic
+    is the exact fixed-point floor share (no float detour)."""
+    from minisql_engine_spark.operators.doremi import (
+        doremi_mixture_selection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 5_000
+    sel = doremi_mixture_selection(docs, budget, n_iter=3).toPandas()
+    traj = doremi_weights(docs, n_iter=3).toPandas()
+    last = traj[traj["round"] == 3].set_index("domain")
+    tot = int(last.weight_units.sum())
+    # allowance = floor(weight_units · budget / Σunits), integer-exact
+    for s, grp in sel.groupby("source"):
+        want = int(last.loc[s].weight_units) * budget // tot
+        assert grp.allowance_tokens.eq(want).all(), s
+    # exclusive prefix below allowance (straddler kept), cum is a
+    # true running sum
+    assert (
+        sel.cum_tokens - sel.n_tokens < sel.allowance_tokens
+    ).all()
+    # the worst-loss domain's allowance is >= the best-loss domain's
+    alloc = sel.groupby("source")["allowance_tokens"].first()
+    worst, best = last.loss_units.idxmax(), last.loss_units.idxmin()
+    if worst in alloc.index and best in alloc.index:
+        assert alloc[worst] >= alloc[best]
+
+
+def test_doremi_mixture_selection_budget_rail():
+    from minisql_engine_spark.operators.doremi import (
+        BUDGET_CAP,
+        doremi_mixture_selection_sql,
+    )
+
+    with pytest.raises(ValueError, match="token_budget"):
+        doremi_mixture_selection_sql(0)
+    with pytest.raises(ValueError, match="token_budget"):
+        doremi_mixture_selection_sql(BUDGET_CAP + 1)
