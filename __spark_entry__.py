@@ -5719,6 +5719,113 @@ _ORACLES["doremi_mixture_selection"] = _doremi_sel_oracle()
 
 
 @_register(
+    "line_dedup_boilerplate",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_line_dedup_boilerplate(spark, sf_dir):
+    """Corpus-wide line-level dedup — the C4/CCNet boilerplate rule
+    (operators/line_dedup.py): any line occurring ≥2 times in the
+    corpus survives only at its FIRST (doc, pos) occurrence; blank
+    lines are structural and always kept; documents reassemble in
+    original line order with audit counts. The testdata corpus has
+    no newlines, so the row stages the boilerplate regime in-query
+    (the jsonl_corrupt_capture staging pattern): each staged doc's
+    lines are its own text plus the next two docs' texts within its
+    source — every text becomes a line in up to 3 staged docs, so
+    cross-document duplicate lines are guaranteed and the keep-first
+    rule is exercised corpus-wide. The engine resolves first owners
+    with a skew-immune min-struct aggregate (no per-hash window
+    sort); the oracle replays staging, hashing, the keep rule, and
+    the ordered reassembly."""
+    from minisql_engine_spark.operators.line_dedup import line_dedup
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    staged = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lead("text", 1).over(w),
+            F.lead("text", 2).over(w),
+        ).alias("text"),
+    )
+    return line_dedup(staged)
+
+
+def _line_dedup_oracle() -> str:
+    from minisql_engine_spark.operators.line_dedup import line_dedup_sql
+
+    staging = (
+        "SELECT doc_id, concat_ws(chr(10), text,"
+        " lead(text, 1) OVER w, lead(text, 2) OVER w) AS text"
+        " FROM documents"
+        " WINDOW w AS (PARTITION BY source ORDER BY doc_id)"
+    )
+    inner = line_dedup_sql(table="staged")
+    return "WITH staged AS (" + staging + ")," + inner[len("WITH ") :]
+
+
+_ORACLES["line_dedup_boilerplate"] = _line_dedup_oracle()
+
+
+@_register(
+    "classifier_eval_metrics",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_classifier_eval_metrics(spark, sf_dir):
+    """Classifier evaluation, integer-exact
+    (operators/classifier_eval.py — closes the classify.py loop:
+    train → score → MEASURE): a real language-ID score (per-doc
+    English-stopword ratio, pure integer fx6 — no float edge) against
+    the lang='en' label, evaluated as ROC-AUC via the Mann-Whitney
+    midrank statistic (×2-integral tie handling; the rank window runs
+    over DISTINCT scores — bounded by the 10⁶ score domain, never the
+    corpus), a threshold confusion matrix with floor-division
+    precision/recall and the integer F1 identity
+    2·tp·10⁶ DIV (2·tp+fp+fn), and 10-bin ECE with pinned
+    floor-division order. Output is a tall integer (metric,
+    value_units) table; the synthetic corpus has no real language
+    signal (AUC ≈ 0.53 — honestly near-chance), so discrimination
+    itself is pinned on planted-signal corpora in
+    test_classifier_eval.py, the nb_doc_classifier convention."""
+    from minisql_engine_spark.operators.classifier_eval import (
+        classifier_eval,
+        stopword_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = stopword_score(docs).join(
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("y"),
+        ),
+        "doc_id",
+    )
+    return classifier_eval(
+        scored, label_col="y", score_col="s", threshold_units=50_000
+    )
+
+
+def _classifier_eval_oracle() -> str:
+    from minisql_engine_spark.operators.classifier_eval import (
+        classifier_eval_sql,
+        stopword_score_sql,
+    )
+
+    scored = (
+        "SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y, t.s"
+        " FROM (" + stopword_score_sql() + ") t"
+        " JOIN documents d USING (doc_id)"
+    )
+    return classifier_eval_sql(scored, threshold_units=50_000)
+
+
+_ORACLES["classifier_eval_metrics"] = _classifier_eval_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6171,6 +6278,23 @@ _ARCHIVED: frozenset[str] = frozenset(
         # the first-fit packing arithmetic stays archive-parity-
         # tested every run.
         "sequence_packing",
+        # + line_dedup_boilerplate (same wave): streaming_dedup is
+        # hash-green r5–r10 (5 consecutive driver rounds) and the
+        # streaming family keeps THREE live rows (streaming_interval_
+        # join, streaming_curate_funnel, versioned_stream_admission)
+        # while the dedup family gains the line-granularity C4 rule
+        # beside semantic_dedup, dedup_index_admission, and
+        # image_near_dups; the dropDuplicates state arithmetic stays
+        # archive-parity-tested every run.
+        "streaming_dedup",
+        # + classifier_eval_metrics (same wave): hll_distinct is
+        # hash-green r5–r10 (5 consecutive driver rounds) and the
+        # sketch family keeps cms_frequency and pergroup_hll live
+        # (pergroup_hll exercises the same register arithmetic
+        # per-group); the text family gains the train→score→MEASURE
+        # closing row beside nb_doc_classifier; the HLL register fold
+        # stays archive-parity-tested every run.
+        "hll_distinct",
     }
 )
 
@@ -6180,6 +6304,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # r11 wave — brand new driver rows, never driver-checked
     "knn_graph_refine",
     "doremi_mixture_selection",
+    "line_dedup_boilerplate",
+    "classifier_eval_metrics",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

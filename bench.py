@@ -154,6 +154,12 @@ HEADLINE = (
     # r10 wave: cell-blocked kNN-graph construction + DoReMi-lite
     "knn_graph_cells",
     "doremi_mixture_weights",
+    # r11 wave: NN-descent refinement, the doremi->mixture closed
+    # loop, C4 line-level dedup, integer-exact classifier evaluation
+    "knn_graph_refine",
+    "doremi_mixture_selection",
+    "line_dedup_boilerplate",
+    "classifier_eval_metrics",
 )
 
 
