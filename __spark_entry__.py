@@ -5826,6 +5826,49 @@ _ORACLES["classifier_eval_metrics"] = _classifier_eval_oracle()
 
 
 @_register(
+    "unimax_language_budget",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_unimax_language_budget(spark, sf_dir):
+    """UniMax epoch-capped budget allocation (operators/unimax.py —
+    Chung et al. 2023; the third member of the training-composition
+    family: mixture spends GIVEN weights, doremi LEARNS weights,
+    UniMax needs none — only corpus statistics): allocate a
+    20 000-token budget across LANGUAGES (below the corpus cap sum,
+    so both branches run at the driver sf) (the paper's axis; the lang
+    distribution is 3:1 skewed, so low-resource languages hit the
+    1-epoch cap and surrender their excess to the rest) as uniformly
+    as the caps allow. The paper's iterative waterfilling is closed
+    form here — capped domains are a PREFIX of the cap-sorted order
+    (monotonicity proof in the module doc), so one window decides
+    everyone, integer floor shares + remainder distribution conserve
+    mass exactly (Σ alloc = min(budget, Σ caps)), and the oracle
+    replays the count pass, the prefix rule, and the share
+    arithmetic term for term."""
+    from minisql_engine_spark.operators.unimax import unimax_allocation
+
+    return unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        20_000,
+        max_epochs=1,
+        domain_col="lang",
+    )
+
+
+def _unimax_oracle() -> str:
+    from minisql_engine_spark.operators.unimax import (
+        unimax_allocation_sql,
+    )
+
+    return unimax_allocation_sql(
+        20_000, max_epochs=1, domain_col="lang"
+    )
+
+
+_ORACLES["unimax_language_budget"] = _unimax_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6295,6 +6338,16 @@ _ARCHIVED: frozenset[str] = frozenset(
         # closing row beside nb_doc_classifier; the HLL register fold
         # stays archive-parity-tested every run.
         "hll_distinct",
+        # + unimax_language_budget (same wave): weighted_sample is
+        # hash-green r6–r10 (4 consecutive driver rounds) and the
+        # sampling/composition surface keeps curriculum_order,
+        # split_leakage_safe, doremi_mixture_weights, and the new
+        # closed-loop selection row live; the A-ES exponential-key
+        # reservoir arithmetic stays archive-parity-tested every run
+        # while the family gains the weights-free allocation member
+        # (mixture spends given weights, doremi learns them, UniMax
+        # needs only corpus statistics).
+        "weighted_sample",
     }
 )
 
@@ -6306,6 +6359,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doremi_mixture_selection",
     "line_dedup_boilerplate",
     "classifier_eval_metrics",
+    "unimax_language_budget",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",
