@@ -5869,6 +5869,41 @@ _ORACLES["unimax_language_budget"] = _unimax_oracle()
 
 
 @_register(
+    "pmi_collocations_topk",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_pmi_collocations_topk(spark, sf_dir):
+    """PMI collocation mining (operators/collocations.py — the
+    word2vec phrases pass, Mikolov et al. 2013): the corpus's top-50
+    adjacent token pairs by pointwise mutual information among pairs
+    seen ≥3 times, ranked deterministically (pmi DESC, a, b). The
+    five-term expanded log form (log c_ab + 2 log T₁ − log c_a −
+    log c_b − log T₂) is a FIXED expression tree over exact integer
+    counts, so the doubles agree bitwise across engines and the fx6
+    edge is hash-stable. Shapes: positional explode → per-doc lag
+    window (doc-sized partitions) → two hash aggregates →
+    vocabulary-sized unigram joins → top-k over the min_count-
+    filtered candidates only. Complements tfidf_keywords (per-doc
+    token ranking) with corpus-wide PAIR ranking."""
+    from minisql_engine_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+def _pmi_oracle() -> str:
+    from minisql_engine_spark.operators.collocations import (
+        pmi_collocations_sql,
+    )
+
+    return pmi_collocations_sql()
+
+
+_ORACLES["pmi_collocations_topk"] = _pmi_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6348,6 +6383,15 @@ _ARCHIVED: frozenset[str] = frozenset(
         # (mixture spends given weights, doremi learns them, UniMax
         # needs only corpus statistics).
         "weighted_sample",
+        # + pmi_collocations_topk (same wave): incr_agg_events is
+        # hash-green r5–r10 (5 consecutive driver rounds) and the
+        # incremental-aggregate machinery stays live through
+        # drift_from_views (which consumes the same aggview layer)
+        # while the text family gains corpus-wide PAIR ranking beside
+        # tfidf_keywords' per-doc token ranking; the partition-pruned
+        # incremental-refresh arithmetic stays archive-parity-tested
+        # every run.
+        "incr_agg_events",
     }
 )
 
@@ -6360,6 +6404,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "line_dedup_boilerplate",
     "classifier_eval_metrics",
     "unimax_language_budget",
+    "pmi_collocations_topk",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

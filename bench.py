@@ -160,6 +160,8 @@ HEADLINE = (
     "doremi_mixture_selection",
     "line_dedup_boilerplate",
     "classifier_eval_metrics",
+    "unimax_language_budget",
+    "pmi_collocations_topk",
 )
 
 
