@@ -69,10 +69,21 @@ def clear_semdedup_cache() -> None:
             pass
 
 
+def auto_n_cells(n: int) -> int:
+    """The module-doc scale rule made callable: n_cells ≈ √n, clamped
+    to [4, 4096]. Keeps expected cell population ≈ √n, so the
+    within-cell pair work stays ~n·√n as the corpus grows instead of
+    leaning ever harder on the max_block_size → LSH fallback guard
+    (the r11 sf0.1→sf1 slope measurement's one flagged lever)."""
+    import math
+
+    return max(4, min(4096, math.isqrt(max(1, int(n)))))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = N_CELLS,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -81,7 +92,15 @@ def semantic_dedup(
 ) -> DataFrame:
     """(vec_id, cell, component, is_kept) for every embedding —
     semantic-duplicate groups resolved within k-means cells; the
-    min-id member of each group is kept."""
+    min-id member of each group is kept.
+
+    ``n_cells=None`` sizes the cell count from the corpus
+    (:func:`auto_n_cells` — one count job): the scale-correct default
+    for unknown corpora. The driver row pins an explicit value so its
+    hash is corpus-size-stable; the SQL twin takes the RESOLVED count
+    (compute :func:`auto_n_cells` on the same n)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count())
     cents = ivf_refined_centroids(
         embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
         dims=dims,

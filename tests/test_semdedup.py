@@ -68,3 +68,30 @@ def test_semdedup_transitive_groups(spark, duck):
     assert got[2] == (1, False)
     assert got[3] == (1, False)   # transitive via 2
     assert got[4] == (4, True)    # orthogonal singleton survives
+
+
+def test_semantic_dedup_auto_cells(spark, duck, sf_dir):
+    """n_cells=None resolves to the √n rule and stays oracle-exact
+    when the twin is built with the SAME resolved count."""
+    from minisql_engine_spark.operators.semdedup import (
+        auto_n_cells,
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+    from minisql_engine_spark.sources.parquet_catalog import load_table
+    from tests.conftest import assert_matches_oracle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    resolved = auto_n_cells(n)
+    assert resolved * resolved <= max(n, 16)  # √n rule (clamped)
+    out = semantic_dedup(emb, n_cells=None)
+    assert_matches_oracle(
+        out,
+        duck.execute(semantic_dedup_sql(n_cells=resolved)).df(),
+        "semdedup_auto",
+    )
+    # the rule itself: monotone, clamped
+    assert auto_n_cells(0) == 4
+    assert auto_n_cells(10**9) == 4096
+    assert auto_n_cells(2_000) <= auto_n_cells(20_000)
