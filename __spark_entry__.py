@@ -5904,6 +5904,84 @@ _ORACLES["pmi_collocations_topk"] = _pmi_oracle()
 
 
 @_register(
+    "record_linkage_entities",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_record_linkage_entities(spark, sf_dir):
+    """Record linkage / entity resolution (operators/linkage.py —
+    Fellegi & Sunter 1969 made deterministic): the structured-record
+    granularity of the dedup family. TPC-H customers are exact-unique
+    by construction, so the dirty regime is staged in-query (the
+    line_dedup staging convention): every 7th customer gains a
+    re-registered copy (offset key, one-character name typo, same
+    balance/segment). Blocking on (nationkey:segment) bounds
+    candidate pairs the way IVF cells bound ANN; a pair matches iff
+    the integer agreement weight (3·[levenshtein(name) ≤ 2] +
+    2·[balance equal]) reaches 5 — so a planted copy matches its
+    source (typo distance 1 + equal balance), while near-names alone
+    (Customer#…101 vs #…102, distance 1) never do; matches close
+    into entities (min-id) and the min-id member is canonical. The
+    oracle replays the staging, the block join, the exact-DP
+    levenshtein gate, the weight sum, and the closure as a recursive
+    CTE."""
+    from minisql_engine_spark.operators.linkage import record_linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("block"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    dirty = base.filter(F.col("rec_id") % 7 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        "block",
+        F.expr(
+            "concat(substring(name, 1, length(name) - 1), 'x')"
+        ).alias("name"),
+        "bal",
+    )
+    return record_linkage(
+        base.unionByName(dirty),
+        exact_weights={"bal": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+
+
+def _linkage_oracle() -> str:
+    from minisql_engine_spark.operators.linkage import (
+        record_linkage_sql,
+    )
+
+    staging = (
+        "SELECT CAST(c_custkey AS BIGINT) AS rec_id,"
+        " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)"
+        "  AS block,"
+        " lower(c_name) AS name, c_acctbal AS bal FROM customer"
+        " UNION ALL"
+        " SELECT CAST(c_custkey + 1000000 AS BIGINT),"
+        " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment),"
+        " concat(substring(lower(c_name), 1,"
+        "  length(c_name) - 1), 'x'), c_acctbal"
+        " FROM customer WHERE c_custkey % 7 = 0"
+    )
+    return record_linkage_sql(
+        staging,
+        exact_weights={"bal": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+
+
+_ORACLES["record_linkage_entities"] = _linkage_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6392,6 +6470,16 @@ _ARCHIVED: frozenset[str] = frozenset(
         # incremental-refresh arithmetic stays archive-parity-tested
         # every run.
         "incr_agg_events",
+        # + record_linkage_entities (same wave): psi_drift is
+        # hash-green r6–r10 (4 consecutive driver rounds) and the
+        # drift family keeps embedding_drift and drift_from_views
+        # live (drift_from_views exercises the same fixed-bucket
+        # histogram arithmetic); the dedup family gains its
+        # structured-record granularity (Fellegi-Sunter agreement
+        # weights + blocking + closure) beside content hashes, spans,
+        # lines, and embeddings; the PSI term arithmetic stays
+        # archive-parity-tested every run.
+        "psi_drift",
     }
 )
 
@@ -6405,6 +6493,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "classifier_eval_metrics",
     "unimax_language_budget",
     "pmi_collocations_topk",
+    "record_linkage_entities",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

@@ -162,6 +162,7 @@ HEADLINE = (
     "classifier_eval_metrics",
     "unimax_language_budget",
     "pmi_collocations_topk",
+    "record_linkage_entities",
 )
 
 
