@@ -5982,6 +5982,62 @@ _ORACLES["record_linkage_entities"] = _linkage_oracle()
 
 
 @_register(
+    "classifier_agreement_kappa",
+    None,  # filled below — composed from the NB + kappa SQL twins
+)
+def q_classifier_agreement_kappa(spark, sf_dir):
+    """Cohen's κ between two of the engine's own certified
+    classifiers (operators/classifier_eval.agreement_kappa — Cohen
+    1960): the Naive Bayes language prediction (nb_doc_classifier's
+    exact chain) against the stopword-ratio heuristic rater
+    ('en' iff the fx6 stopword ratio ≥ 0.05). Chance-corrected
+    agreement po/pe/κ, integer-exact with the sign subtlety handled:
+    κ can be negative and the engines' integer divisions disagree on
+    negatives (Spark DIV truncates, DuckDB // floors), so the edge
+    computes κ+1 — provably ≥ 0 — with nonnegative floor division
+    and subtracts FX. The oracle replays the FULL NB chain (counts,
+    smoothing, priors, argmax), the heuristic rater, the marginal
+    product Σ_k c_a(k)·c_b(k), and the κ+1 arithmetic."""
+    from minisql_engine_spark.operators.classify import nb_classify_self
+    from minisql_engine_spark.operators.classifier_eval import (
+        agreement_kappa,
+        stopword_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = nb_classify_self(docs).select("doc_id", "predicted")
+    sw = stopword_score(docs).select(
+        "doc_id",
+        F.when(F.col("s") >= 50_000, F.lit("en"))
+        .otherwise(F.lit("xx"))
+        .alias("rater_b"),
+    )
+    ratings = nb.join(sw, "doc_id").select(
+        F.col("predicted").alias("rater_a"), "rater_b"
+    )
+    return agreement_kappa(ratings)
+
+
+def _kappa_oracle() -> str:
+    from minisql_engine_spark.operators.classifier_eval import (
+        agreement_kappa_sql,
+        stopword_score_sql,
+    )
+
+    nb_prefix = _NB_ORACLE.split(" nacc AS")[0]
+    ratings = (
+        "SELECT npred.predicted AS a,"
+        " CASE WHEN sw.s >= 50000 THEN 'en' ELSE 'xx' END AS b"
+        " FROM npred JOIN (" + stopword_score_sql() + ") sw"
+        " USING (doc_id)"
+    )
+    return nb_prefix + agreement_kappa_sql(ratings)[len("WITH ") :]
+
+
+_ORACLES["classifier_agreement_kappa"] = _kappa_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6480,6 +6536,17 @@ _ARCHIVED: frozenset[str] = frozenset(
         # lines, and embeddings; the PSI term arithmetic stays
         # archive-parity-tested every run.
         "psi_drift",
+        # + classifier_agreement_kappa (same wave): normalize_nfc is
+        # hash-green r6–r10 (4 consecutive driver rounds) and the
+        # text family keeps a deep live bench (repetition_signals,
+        # lm_perplexity_buckets, nb_doc_classifier, bpe rows, dsir,
+        # classifier_eval_metrics, pmi_collocations_topk) while
+        # gaining the two-rater agreement closer (NB prediction vs
+        # the stopword heuristic — two already-certified classifiers
+        # feeding a chance-corrected measure); the Arrow NFC/NFKC
+        # normalization arithmetic stays archive-parity-tested every
+        # run.
+        "normalize_nfc",
     }
 )
 
@@ -6494,6 +6561,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "unimax_language_budget",
     "pmi_collocations_topk",
     "record_linkage_entities",
+    "classifier_agreement_kappa",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

@@ -163,6 +163,7 @@ HEADLINE = (
     "unimax_language_budget",
     "pmi_collocations_topk",
     "record_linkage_entities",
+    "classifier_agreement_kappa",
 )
 
 

@@ -327,3 +327,104 @@ def stopword_score_sql(
         f" * {FX} // len({norm}) AS s"
         f" FROM {table} WHERE trim({text_col}) <> ''"
     )
+
+
+#: kappa overflow rail: (2n² )·FX must stay < 2⁶³ → n ≤ 2·10⁶ per
+#: evaluation (CASE-guarded to NULL identically in both engines)
+KAPPA_N_CAP = 2_000_000
+
+
+def agreement_kappa(
+    ratings: DataFrame,
+    a_col: str = "rater_a",
+    b_col: str = "rater_b",
+) -> DataFrame:
+    """(metric, value_units) — Cohen's κ between two raters/
+    classifiers over the same items (Cohen 1960, the standard
+    chance-corrected agreement measure): po = observed agreement,
+    pe = Σ_k p_a(k)·p_b(k) the chance agreement, κ = (po−pe)/(1−pe).
+
+    Integer-exact with one subtlety worth the comment: κ can be
+    NEGATIVE (below-chance agreement), and the two engines' integer
+    divisions disagree on negatives (Spark's ``DIV`` truncates toward
+    zero, DuckDB's ``//`` floors). So the fixed-point edge computes
+    κ+1 = (po + 1 − 2pe)/(1 − pe) — provably ≥ 0 since κ ≥ −1 —
+    with floor division on nonnegative integers (identical in both
+    engines), then subtracts FX. Emits: n, n_agree, po_fx6, pe_fx6,
+    kappa_fx6 (NULL when pe = 1 — a constant-rater degenerate — or
+    when n exceeds the overflow rail)."""
+    base = ratings.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("int"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ca = base.groupBy("a").agg(F.count("*").cast("bigint").alias("ca"))
+    cb = base.groupBy("b").agg(F.count("*").cast("bigint").alias("cb"))
+    s = (
+        ca.join(cb, ca["a"] == cb["b"])
+        .agg(F.sum(F.expr("ca * cb")).cast("bigint").alias("s"))
+        .select(F.coalesce(F.col("s"), F.lit(0)).alias("s"))
+    )
+    m = tot.crossJoin(F.broadcast(s)).select(
+        "n",
+        F.col("agree").alias("n_agree"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN agree * {FX}L DIV n END"
+        ).alias("po_fx6"),
+        F.expr(
+            f"CASE WHEN n > 0 THEN s * {FX}L DIV (n * n) END"
+        ).alias("pe_fx6"),
+        F.expr(
+            f"CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}L"
+            " AND n * n > s THEN"
+            f" (agree * n + n * n - 2 * s) * {FX}L DIV (n * n - s)"
+            f" - {FX}L ELSE NULL END"
+        ).alias("kappa_fx6"),
+    )
+    tall = None
+    for name in ("n", "n_agree", "po_fx6", "pe_fx6", "kappa_fx6"):
+        row = m.select(
+            F.lit(name).alias("metric"),
+            F.col(name).cast("bigint").alias("value_units"),
+        )
+        tall = row if tall is None else tall.unionByName(row)
+    return tall
+
+
+def agreement_kappa_sql(ratings_cte: str) -> str:
+    """DuckDB oracle twin of :func:`agreement_kappa`.
+
+    ``ratings_cte`` is a SELECT producing columns ``a`` and ``b``
+    (both VARCHAR)."""
+    return (
+        f"WITH rt AS ({ratings_cte}),"
+        " ktot AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS agree FROM rt),"
+        " kca AS (SELECT a, CAST(count(*) AS BIGINT) AS ca"
+        "  FROM rt GROUP BY a),"
+        " kcb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb"
+        "  FROM rt GROUP BY b),"
+        " ks AS (SELECT CAST(COALESCE(sum(ca * cb), 0) AS BIGINT)"
+        "  AS s FROM kca JOIN kcb ON kca.a = kcb.b),"
+        " km AS (SELECT n, agree AS n_agree,"
+        f"  CASE WHEN n > 0 THEN agree * {FX} // n END AS po_fx6,"
+        f"  CASE WHEN n > 0 THEN s * {FX} // (n * n) END AS pe_fx6,"
+        f"  CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}"
+        "   AND n * n > s THEN"
+        f"   (agree * n + n * n - 2 * s) * {FX} // (n * n - s)"
+        f"   - {FX} ELSE NULL END AS kappa_fx6"
+        "  FROM ktot CROSS JOIN ks)"
+        " SELECT metric, CAST(value_units AS BIGINT) AS value_units"
+        " FROM (SELECT 'n' AS metric, n AS value_units, 1 AS o FROM km"
+        "  UNION ALL SELECT 'n_agree', n_agree, 2 FROM km"
+        "  UNION ALL SELECT 'po_fx6', po_fx6, 3 FROM km"
+        "  UNION ALL SELECT 'pe_fx6', pe_fx6, 4 FROM km"
+        "  UNION ALL SELECT 'kappa_fx6', kappa_fx6, 5 FROM km"
+        " ) ORDER BY o"
+    )

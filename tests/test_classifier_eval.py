@@ -153,3 +153,100 @@ def test_classifier_eval_rejects_bad_params(spark):
         classifier_eval_sql("SELECT 1 AS y, 1 AS s", threshold_units=-1)
     with pytest.raises(ValueError, match="n_bins"):
         classifier_eval_sql("SELECT 1 AS y, 1 AS s", n_bins=7)
+
+
+def _kappa_vals(spark, rows):
+    from minisql_engine_spark.operators.classifier_eval import (
+        agreement_kappa,
+    )
+
+    df = spark.createDataFrame(rows, "rater_a string, rater_b string")
+    return {
+        r["metric"]: r["value_units"]
+        for r in agreement_kappa(df).collect()
+    }
+
+
+def test_kappa_oracle_composed_raters(spark, duck, sf_dir):
+    """The driver row's exact shape: NB prediction vs the stopword
+    heuristic, full chain vs DuckDB."""
+    from minisql_engine_spark.operators.classify import nb_classify_self
+    from minisql_engine_spark.operators.classifier_eval import (
+        agreement_kappa,
+        agreement_kappa_sql,
+        stopword_score_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    nb = nb_classify_self(docs).select("doc_id", "predicted")
+    sw = stopword_score(docs).select(
+        "doc_id",
+        F.when(F.col("s") >= 50_000, F.lit("en"))
+        .otherwise(F.lit("xx"))
+        .alias("rater_b"),
+    )
+    out = agreement_kappa(
+        nb.join(sw, "doc_id").select(
+            F.col("predicted").alias("rater_a"), "rater_b"
+        )
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_kappa", "/root/repo/__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    assert_matches_oracle(
+        out,
+        duck.execute(
+            em.oracle_sql()["classifier_agreement_kappa"]
+        ).df(),
+        "kappa",
+    )
+
+
+def test_kappa_hand_checked_and_sign(spark):
+    """Cohen's worked-example arithmetic plus the NEGATIVE-kappa
+    branch — the one where a naive DIV would diverge between engines
+    (Spark truncates toward zero, DuckDB floors)."""
+    # po=0.75, pe=0.5 -> kappa = 0.5
+    got = _kappa_vals(
+        spark, [("x", "x"), ("x", "y"), ("y", "y"), ("y", "y")]
+    )
+    assert (got["po_fx6"], got["pe_fx6"], got["kappa_fx6"]) == (
+        750_000,
+        500_000,
+        500_000,
+    )
+    # perfect disagreement with symmetric marginals -> kappa = -1
+    got = _kappa_vals(spark, [("x", "y"), ("y", "x")])
+    assert got["kappa_fx6"] == -1_000_000
+    # perfect agreement -> kappa = 1
+    got = _kappa_vals(spark, [("x", "x"), ("y", "y")])
+    assert got["kappa_fx6"] == 1_000_000
+    # constant raters (pe = 1) -> NULL, not a fabricated value
+    got = _kappa_vals(spark, [("x", "x"), ("x", "x")])
+    assert got["kappa_fx6"] is None
+
+
+def test_kappa_negative_parity_with_oracle(spark, duck):
+    """The negative branch agrees across engines — the kappa+1
+    construction is what makes floor-division portable here."""
+    from minisql_engine_spark.operators.classifier_eval import (
+        agreement_kappa,
+        agreement_kappa_sql,
+    )
+
+    rows = [("x", "y"), ("y", "x"), ("x", "y"), ("y", "y")]
+    df = spark.createDataFrame(rows, "rater_a string, rater_b string")
+    vals = ",".join(f"('{a}','{b}')" for a, b in rows)
+    assert_matches_oracle(
+        agreement_kappa(df),
+        duck.execute(
+            agreement_kappa_sql(
+                f"SELECT * FROM (VALUES {vals}) t(a, b)"
+            )
+        ).df(),
+        "kappa_neg",
+    )
