@@ -6038,6 +6038,42 @@ _ORACLES["classifier_agreement_kappa"] = _kappa_oracle()
 
 
 @_register(
+    "matryoshka_prefix_recall",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_matryoshka_prefix_recall(spark, sf_dir):
+    """Matryoshka prefix-dimension recall audit
+    (operators/matryoshka.py — Kusupati et al. 2022): per query, the
+    exact cosine top-10 under the first 8/16/32 dimensions vs the
+    full-64 ground truth, recall as an integer fx6 ratio — the
+    due-diligence measurement before adopting truncated embeddings
+    (drops COMPONENTS where SQ8/PQ compress per-component precision).
+    One pair materialization computes all prefix sims in the same
+    pass; the proven rounded-cosine twin applies to SLICED vectors;
+    the full-dims rows ride along as the trivially-1.0 sanity anchor.
+    The synthetic corpus is isotropic, so prefix recall lands near
+    d/64 (0.10/0.19/0.36 at sf0.01) — the audit correctly reporting
+    that THESE embeddings have no matryoshka structure; real MRL
+    embeddings would hold the curve high."""
+    from minisql_engine_spark.operators.matryoshka import (
+        matryoshka_recall,
+    )
+
+    return matryoshka_recall(_t(spark, sf_dir, "embeddings"))
+
+
+def _matryoshka_oracle() -> str:
+    from minisql_engine_spark.operators.matryoshka import (
+        matryoshka_recall_sql,
+    )
+
+    return matryoshka_recall_sql()
+
+
+_ORACLES["matryoshka_prefix_recall"] = _matryoshka_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6547,6 +6583,16 @@ _ARCHIVED: frozenset[str] = frozenset(
         # normalization arithmetic stays archive-parity-tested every
         # run.
         "normalize_nfc",
+        # + matryoshka_prefix_recall (same wave): emb_lsh_ann is
+        # hash-green r6–r10 (4 consecutive driver rounds) and the ANN
+        # family keeps emb_sq8_topk, ivf_index_maintenance,
+        # knn_graph_cells, and knn_graph_refine live while gaining
+        # the prefix-dimension audit (the memory/recall spectrum's
+        # third axis: SQ8/PQ compress per-component precision, IVF
+        # bounds candidates, matryoshka drops components); the
+        # SRP-plane fold + hamming multi-probe arithmetic stays
+        # archive-parity-tested every run.
+        "emb_lsh_ann",
     }
 )
 
@@ -6562,6 +6608,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "pmi_collocations_topk",
     "record_linkage_entities",
     "classifier_agreement_kappa",
+    "matryoshka_prefix_recall",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

@@ -164,6 +164,7 @@ HEADLINE = (
     "pmi_collocations_topk",
     "record_linkage_entities",
     "classifier_agreement_kappa",
+    "matryoshka_prefix_recall",
 )
 
 
