@@ -61,14 +61,64 @@ def main() -> int:
     # deliberately NOT minisql_engine_spark.get_spark(): the point is
     # the driver's vanilla environment (200 shuffle partitions, no
     # tuned configs)
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+    def _fresh_session():
+        return (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
         )
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+
+    spark = _fresh_session()
     em = importlib.import_module("__spark_entry__")
+
+    def _release_caches() -> None:
+        # bench.py's inter-query hygiene: a 131-row sweep in ONE
+        # vanilla 1g-heap session OOMs around row 105 without it
+        # (r11); the driver itself never runs more than the 50-row
+        # window per session, so per-row release + periodic session
+        # recycle keeps the sweep at least as forgiving as the
+        # driver's real condition.
+        for mod, fn in [
+            ("minisql_engine_spark.operators.dedup", "clear_simhash_cache"),
+            ("minisql_engine_spark.operators.sq", "clear_sq_cache"),
+            ("minisql_engine_spark.operators.curriculum",
+             "clear_curriculum_cache"),
+            ("minisql_engine_spark.operators.lm_score",
+             "clear_lm_frozen_cache"),
+            ("minisql_engine_spark.operators.editsim",
+             "clear_editsim_cache"),
+            ("minisql_engine_spark.operators.hashvec",
+             "clear_hashvec_cache"),
+            ("minisql_engine_spark.operators.similarity",
+             "clear_centroid_cache"),
+            ("minisql_engine_spark.operators.clustering",
+             "clear_clustering_cache"),
+            ("minisql_engine_spark.operators.semdedup",
+             "clear_semdedup_cache"),
+            ("minisql_engine_spark.operators.retrieval",
+             "clear_retrieval_cache"),
+            ("minisql_engine_spark.pipeline", "clear_llm_pipeline_cache"),
+            ("minisql_engine_spark.operators.graph", "clear_graph_cache"),
+            ("minisql_engine_spark.operators.classify",
+             "clear_classify_cache"),
+            ("minisql_engine_spark.operators.knn_graph",
+             "clear_knn_cache"),
+        ]:
+            try:
+                getattr(importlib.import_module(mod), fn)()
+            except Exception:
+                pass
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
+    #: recycle the vanilla session every N rows — mirrors the driver
+    #: contract (≤ 50 rows per session) instead of stacking the whole
+    #: 131-row surface onto one default-1g JVM heap
+    recycle_every = 40
 
     con = duckdb.connect()
     for t in TABLES:
@@ -87,7 +137,11 @@ def main() -> int:
     import pandas as pd
 
     fails: list[str] = []
-    for name in names:
+    for idx, name in enumerate(names):
+        if idx and idx % recycle_every == 0:
+            _release_caches()
+            spark.stop()
+            spark = _fresh_session()
         if name not in qs:
             print(f"{name}: UNKNOWN row name", flush=True)
             fails.append(name)
@@ -124,6 +178,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — sweep must finish
             print(f"{name}: ERROR {e!r:.200}", flush=True)
             fails.append(name)
+        finally:
+            _release_caches()
 
     print(f"\nswept {len(names)} rows, FAILS = {fails}")
     spark.stop()
