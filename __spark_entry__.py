@@ -6074,6 +6074,99 @@ _ORACLES["matryoshka_prefix_recall"] = _matryoshka_oracle()
 
 
 @_register(
+    "tokenizer_fertility_by_lang",
+    None,  # filled below — composed from the BPE-apply SQL twin
+)
+def q_tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit per language (the standard
+    multilingual-tokenizer parity metric — tokens per word, chars per
+    token — the measurement behind UniMax-style budget decisions: a
+    language with 2× fertility pays 2× tokens for the same text):
+    the production trie BPE apply (bpe_apply_trie, one broadcast
+    merge dict + Arrow mapInPandas) tokenizes the corpus, then one
+    per-language aggregate derives n_docs / words / BPE tokens /
+    normalized chars and the integer fx6 ratios fertility =
+    bpe·10⁶ DIV words and chars-per-token = chars·10⁶ DIV bpe. The
+    oracle replays the CHAINED-REPLACE definition of the same merge
+    table (trie ≡ chained certified by bpe_apply_trie) plus the
+    aggregate arithmetic."""
+    from minisql_engine_spark.operators.bpe import bpe_apply_trie
+    from minisql_engine_spark.operators.text import (
+        _norm_text,
+        _ws_tokens,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "lang", "text")
+    )
+    toked = bpe_apply_trie(docs, _BPE_TRIE_MERGES)
+    return (
+        toked.select(
+            "lang",
+            F.size(_ws_tokens(_norm_text(F.col("text"))))
+            .cast("bigint")
+            .alias("n_words"),
+            F.size("bpe_tokens").cast("bigint").alias("n_bpe"),
+            F.length(_norm_text(F.col("text")))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr("n_bpe_tokens * 1000000L DIV n_words").alias(
+                "fertility_fx6"
+            ),
+            F.expr("n_chars * 1000000L DIV n_bpe_tokens").alias(
+                "chars_per_token_fx6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_oracle() -> str:
+    from minisql_engine_spark.operators.bpe import bpe_apply_sql
+
+    long_sql = bpe_apply_sql("documents", _BPE_TRIE_MERGES)
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return (
+        "WITH bl AS (" + long_sql + "),"
+        " pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe"
+        "  FROM bl GROUP BY doc_id),"
+        " dd AS (SELECT doc_id, lang,"
+        f"  CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_words,"
+        f"  CAST(length({norm}) AS BIGINT) AS n_chars"
+        "  FROM documents WHERE trim(text) <> ''),"
+        " pl AS (SELECT lang,"
+        "  CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(n_words) AS BIGINT) AS n_words,"
+        "  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,"
+        "  CAST(sum(n_chars) AS BIGINT) AS n_chars"
+        "  FROM dd JOIN pd USING (doc_id) GROUP BY lang)"
+        " SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,"
+        "  n_bpe_tokens * 1000000 // n_words AS fertility_fx6,"
+        "  n_chars * 1000000 // n_bpe_tokens AS chars_per_token_fx6"
+        " FROM pl ORDER BY lang"
+    )
+
+
+_ORACLES["tokenizer_fertility_by_lang"] = _fertility_oracle()
+
+
+@_register(
     "versioned_stream_admission",
     None,  # filled below — built from the operator's SQL twin
 )
@@ -6593,6 +6686,15 @@ _ARCHIVED: frozenset[str] = frozenset(
         # SRP-plane fold + hamming multi-probe arithmetic stays
         # archive-parity-tested every run.
         "emb_lsh_ann",
+        # + tokenizer_fertility_by_lang (same wave): bpe_train_merges
+        # is hash-green r5–r10 (5 consecutive driver rounds) and the
+        # BPE family keeps bpe_apply_trie live (the production apply
+        # whose trie ≡ chained ≡ oracle identity the fertility row
+        # REUSES) while gaining the per-language tokenizer-parity
+        # audit that motivates UniMax-style budget decisions; the
+        # training-loop replace chain stays archive-parity-tested
+        # every run.
+        "bpe_train_merges",
     }
 )
 
@@ -6609,6 +6711,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "record_linkage_entities",
     "classifier_agreement_kappa",
     "matryoshka_prefix_recall",
+    "tokenizer_fertility_by_lang",
     # r10 wave — first re-certification round
     "knn_graph_cells",
     "doremi_mixture_weights",

@@ -165,6 +165,7 @@ HEADLINE = (
     "record_linkage_entities",
     "classifier_agreement_kappa",
     "matryoshka_prefix_recall",
+    "tokenizer_fertility_by_lang",
 )
 
 
