@@ -49,6 +49,29 @@ from pyspark.sql.window import Window
 FX = 10**6
 
 
+def _tall(m: DataFrame, metrics: list[str]) -> DataFrame:
+    """One-row metrics frame → tall (metric, value_units) via a
+    single explode. NOT a per-metric union: each union branch would
+    re-derive the whole upstream aggregate subtree (measured as 12
+    redundant corpus scans / 98 Exchanges in the plan audit — the
+    explode keeps it at one)."""
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.col(name)
+                        .cast("bigint")
+                        .alias("value_units"),
+                    )
+                    for name in metrics
+                ]
+            )
+        ).alias("e")
+    ).select("e.metric", "e.value_units")
+
+
 def classifier_eval(
     scored: DataFrame,
     label_col: str = "label",
@@ -187,14 +210,7 @@ def classifier_eval(
         "f1_fx6",
         "ece_fx6",
     ]
-    tall = None
-    for name in metrics:
-        row = m.select(
-            F.lit(name).alias("metric"),
-            F.col(name).cast("bigint").alias("value_units"),
-        )
-        tall = row if tall is None else tall.unionByName(row)
-    return tall
+    return _tall(m, metrics)
 
 
 def classifier_eval_sql(
@@ -353,10 +369,15 @@ def agreement_kappa(
     engines), then subtracts FX. Emits: n, n_agree, po_fx6, pe_fx6,
     kappa_fx6 (NULL when pe = 1 — a constant-rater degenerate — or
     when n exceeds the overflow rail)."""
+    # three consumers (totals + both marginals) — without truncating
+    # lineage each re-derives the FULL upstream rater chain (the NB
+    # composition showed 188 Exchanges in the plan audit). The
+    # ratings relation is two short strings per row: trivially
+    # checkpointable at any corpus size.
     base = ratings.select(
         F.col(a_col).cast("string").alias("a"),
         F.col(b_col).cast("string").alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum((F.col("a") == F.col("b")).cast("int"))
@@ -386,14 +407,9 @@ def agreement_kappa(
             f" - {FX}L ELSE NULL END"
         ).alias("kappa_fx6"),
     )
-    tall = None
-    for name in ("n", "n_agree", "po_fx6", "pe_fx6", "kappa_fx6"):
-        row = m.select(
-            F.lit(name).alias("metric"),
-            F.col(name).cast("bigint").alias("value_units"),
-        )
-        tall = row if tall is None else tall.unionByName(row)
-    return tall
+    return _tall(
+        m, ["n", "n_agree", "po_fx6", "pe_fx6", "kappa_fx6"]
+    )
 
 
 def agreement_kappa_sql(ratings_cte: str) -> str:
