@@ -194,3 +194,109 @@ def record_linkage_sql(
         "  lab.entity = lab.rec_id AS is_canonical, sz.n_members"
         " FROM lab JOIN sz USING (entity)"
     )
+
+
+def entity_rollup(
+    records: DataFrame,
+    resolved: DataFrame,
+    id_col: str = "rec_id",
+    recency_col: str | None = None,
+    max_cols: tuple[str, ...] = (),
+    first_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Golden records: collapse each resolved entity's members into
+    ONE canonical row by field-level survivorship — the step after
+    :func:`record_linkage` in every MDM pipeline (match → merge).
+
+    Three deterministic survivorship rules, one per column class:
+
+    - ``first_cols``: the canonical (min-id) member's value — the
+      stable-identity fields (names, keys);
+    - ``max_cols``: the entity max — monotone measures where the
+      largest observation wins (balances, last-seen counters);
+    - ``recency_col``: if given, every ``first_cols`` value comes
+      from the member with the HIGHEST recency (ties → min id)
+      instead of the min-id member — the most-recent-wins variant.
+
+    ``resolved`` is :func:`record_linkage` output. Returns one row
+    per entity: (entity, n_members, <first_cols…>, <max_cols…>).
+    Shapes: one join records⋈resolved on id (both sides keyed), one
+    per-entity aggregate with max_by/min_by-free arithmetic — the
+    chooser is a max over a (key, struct) pair, partial-aggregatable
+    and skew-immune like line_dedup's owner rule."""
+    cols = [id_col, *first_cols, *max_cols] + (
+        [recency_col] if recency_col else []
+    )
+    base = records.select(*dict.fromkeys(cols)).join(
+        resolved.select(
+            F.col("rec_id").alias(id_col), "entity"
+        ),
+        id_col,
+    )
+    # chooser key: (recency asc? we need MAX recency, tie min id) —
+    # encode as a struct max: (recency, -id) so max picks highest
+    # recency then SMALLEST id. Without recency_col the canonical
+    # min-id member wins: max over (-id).
+    if recency_col:
+        chooser = F.struct(
+            F.col(recency_col).alias("r"),
+            (-F.col(id_col)).alias("nid"),
+        )
+    else:
+        chooser = F.struct((-F.col(id_col)).alias("nid"))
+    picked = F.max(
+        F.struct(
+            chooser.alias("k"),
+            F.struct(
+                *[F.col(c).alias(c) for c in first_cols]
+            ).alias("v"),
+        )
+    ).alias("_pick")
+    aggs = [
+        F.count("*").cast("bigint").alias("n_members"),
+        picked,
+        *[F.max(c).alias(c) for c in max_cols],
+    ]
+    out = base.groupBy("entity").agg(*aggs)
+    return out.select(
+        "entity",
+        "n_members",
+        *[F.col(f"_pick.v.{c}").alias(c) for c in first_cols],
+        *max_cols,
+    )
+
+
+def entity_rollup_sql(
+    records_cte: str,
+    resolved_cte: str,
+    id_col: str = "rec_id",
+    recency_col: str | None = None,
+    max_cols: tuple[str, ...] = (),
+    first_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB oracle twin of :func:`entity_rollup` — the chooser
+    replays as ``arg-max by (recency, -id)`` via a window, value-
+    identical to the engine's struct-max aggregate."""
+    order = (
+        f"r.{recency_col} DESC, r.{id_col} ASC"
+        if recency_col
+        else f"r.{id_col} ASC"
+    )
+    firsts = "".join(
+        f" first(r.{c}) FILTER (rn = 1) AS {c}," for c in first_cols
+    )
+    maxes = "".join(f" max(r.{c}) AS {c}," for c in max_cols)
+    return (
+        f"WITH rr AS ({records_cte}),"
+        f" rs AS ({resolved_cte}),"
+        " j AS (SELECT rr.*, rs.entity FROM rr"
+        f"  JOIN rs ON rs.rec_id = rr.{id_col}),"
+        " rk AS (SELECT j.*, row_number() OVER ("
+        f"  PARTITION BY entity ORDER BY {order.replace('r.', '')})"
+        "  AS rn FROM j)"
+        " SELECT entity, CAST(count(*) AS BIGINT) AS n_members,"
+        + firsts
+        + maxes.rstrip(",")
+        + (" " if not maxes else "")
+        + " FROM rk r GROUP BY entity"
+    )

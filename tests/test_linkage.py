@@ -139,3 +139,98 @@ def test_linkage_rejects_bad_params():
         record_linkage_sql("SELECT 1", threshold=0)
     with pytest.raises(ValueError, match="weights must be >= 0"):
         record_linkage_sql("SELECT 1", exact_weights={"x": -1})
+
+
+def test_entity_rollup_survivorship(spark, duck, sf_dir):
+    """Golden records from the staged dirty corpus: one row per
+    entity, first-rule fields from the canonical member, max-rule
+    fields from the entity max — oracle-exact."""
+    from minisql_engine_spark.operators.linkage import (
+        entity_rollup,
+        entity_rollup_sql,
+    )
+
+    staged = _staged(spark, sf_dir)
+    resolved = record_linkage(staged, exact_weights={"bal": 2})
+    out = entity_rollup(
+        staged,
+        resolved,
+        first_cols=("name", "block"),
+        max_cols=("bal",),
+    )
+    sql = entity_rollup_sql(
+        _STAGING_SQL,
+        record_linkage_sql(_STAGING_SQL, exact_weights={"bal": 2}),
+        first_cols=("name", "block"),
+        max_cols=("bal",),
+    )
+    assert_matches_oracle(out, duck.execute(sql).df(), "rollup")
+    got = out.toPandas()
+    # one golden row per entity; planted entities keep the SOURCE
+    # (min-id, un-typo'd) name under the first rule
+    assert got.entity.is_unique
+    two = got[got.n_members == 2]
+    assert len(two) > 0
+    assert (~two.name.str.endswith("x")).all()
+
+
+def test_entity_rollup_recency_wins(spark, duck):
+    """With a recency column the most-recent member's first-rule
+    values win (ties -> min id), while max-rule fields stay the
+    entity max — pinned on a hand-built entity."""
+    from minisql_engine_spark.operators.linkage import (
+        entity_rollup,
+        entity_rollup_sql,
+    )
+    import pandas as pd
+
+    recs = [
+        (1, "blk", "old name", 10.0, 100),
+        (2, "blk", "old n4me", 30.0, 300),
+        (3, "blk", "old nam3", 20.0, 300),  # recency tie with 2
+    ]
+    res = [(1, 1), (2, 1), (3, 1)]
+    rdf = spark.createDataFrame(
+        recs, "rec_id long, block string, name string,"
+        " bal double, seen long"
+    )
+    sdf = spark.createDataFrame(res, "rec_id long, entity long")
+    out = entity_rollup(
+        rdf,
+        sdf,
+        recency_col="seen",
+        first_cols=("name",),
+        max_cols=("bal",),
+    ).toPandas()
+    # recency 300 tie between ids 2 and 3 -> min id 2 wins firsts;
+    # bal is the entity max (30.0 happens to be id 2's)
+    assert out.iloc[0].to_dict() == {
+        "entity": 1,
+        "n_members": 3,
+        "name": "old n4me",
+        "bal": 30.0,
+    }
+    duck.register(
+        "_ro_recs",
+        pd.DataFrame(
+            recs, columns=["rec_id", "block", "name", "bal", "seen"]
+        ),
+    )
+    duck.register(
+        "_ro_res", pd.DataFrame(res, columns=["rec_id", "entity"])
+    )
+    sql = entity_rollup_sql(
+        "SELECT * FROM _ro_recs",
+        "SELECT * FROM _ro_res",
+        recency_col="seen",
+        first_cols=("name",),
+        max_cols=("bal",),
+    )
+    assert_matches_oracle(
+        entity_rollup(
+            rdf, sdf, recency_col="seen",
+            first_cols=("name",), max_cols=("bal",),
+        ),
+        duck.execute(sql).df(),
+        "rollup_recency",
+    )
