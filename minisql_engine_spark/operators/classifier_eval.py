@@ -26,9 +26,14 @@ oracle:
   Σscore DIV n``, ``ece_fx6 = Σ n_b·|acc_b − conf_b| DIV N`` —
   floor-division order pinned identically in both engines.
 
-Overflow rails: scores ≤ 10⁶ so Σscore ≤ n·10⁶ and rank sums ≤ n²
-— safe in int64 for any n < 3·10⁹ rows per evaluation (raise the
-fx scale only with a rail review).
+Overflow rails: the AUC chain (rank sums ≤ 2n², then ×10⁶) is
+carried in DECIMAL(38,0) on Spark and HUGEINT in DuckDB — exact for
+any n < 7·10¹⁵ rows per evaluation (2n²·10⁶ < 10³⁸), with only the
+per-group window inputs (cum_before ≤ n, 2·cum+n+1 ≤ 2n+1) in int64,
+safe to n < 4.6·10¹⁸. The confusion/ECE paths stay int64
+(scores ≤ 10⁶ so Σscore ≤ n·10⁶ and count·10⁶ ≤ n·10⁶) — safe for
+n < 9·10¹² rows per evaluation; raise the fx scale only with a rail
+review.
 
 Output is a tall (metric, value_units) table — integers only, the
 most hash-stable shape the driver can certify.
@@ -107,10 +112,16 @@ def classifier_eval(
     w = Window.orderBy("s").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # rs2 and its sum run in DECIMAL(38,0): rs2_pos <= 2n² overflows
+    # int64 past n ~ 2.1e9, and the downstream ×FX multiply past
+    # n_pos·n_neg ~ 4.6e12 — the decimal chain is exact to n < 7e15
     ranked = g.withColumn(
         "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
     ).withColumn(
-        "rs2", F.expr("np * (2 * cum_before + n + 1)")
+        "rs2",
+        F.expr(
+            "CAST(np AS DECIMAL(38,0)) * (2 * cum_before + n + 1)"
+        ),
     )
 
     bin_w = FX // n_bins
@@ -156,7 +167,7 @@ def classifier_eval(
         .alias("fp"),
     )
     rsum = ranked.agg(
-        F.sum("rs2").cast("bigint").alias("rs2_pos")
+        F.sum("rs2").cast("decimal(38,0)").alias("rs2_pos")
     )
     esum = bins.agg(F.sum("term").cast("bigint").alias("eterm"))
 
@@ -172,9 +183,14 @@ def classifier_eval(
             F.expr("n_pos - tp").alias("fn"),
             F.expr("n_scored - n_pos - fp").alias("tn"),
             F.expr(
+                # decimal-wide numerator: the int64 form overflows
+                # once n_pos·n_neg > ~4.6e12; DIV on decimals is
+                # Spark's IntegralDivide → BIGINT, and auc ≤ 10⁶
                 "CASE WHEN n_pos > 0 AND n_scored - n_pos > 0 THEN"
-                f" (rs2_pos - n_pos * (n_pos + 1)) * {FX}"
-                " DIV (2 * n_pos * (n_scored - n_pos))"
+                " (rs2_pos - CAST(n_pos AS DECIMAL(38,0))"
+                f" * (n_pos + 1)) * {FX}"
+                " DIV (2 * CAST(n_pos AS DECIMAL(38,0))"
+                " * (n_scored - n_pos))"
                 " ELSE NULL END"
             ).alias("auc_fx6"),
             F.expr(
@@ -238,8 +254,9 @@ def classifier_eval_sql(
         "  CAST(COALESCE(sum(n) OVER (ORDER BY s"
         "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
         "   AS BIGINT) AS cum_before FROM g),"
-        " rs AS (SELECT CAST(sum(np * (2 * cum_before + n + 1))"
-        "  AS BIGINT) AS rs2_pos FROM rk),"
+        " rs AS (SELECT CAST(sum(CAST(np AS HUGEINT)"
+        "  * (2 * cum_before + n + 1))"
+        "  AS HUGEINT) AS rs2_pos FROM rk),"
         f" bn AS (SELECT least(s // {bin_w}, {n_bins - 1}) AS bin,"
         "  CAST(count(*) AS BIGINT) AS bn,"
         "  CAST(sum(y) AS BIGINT) AS bp,"
@@ -255,8 +272,10 @@ def classifier_eval_sql(
         " m AS (SELECT n_scored, n_pos, n_scored - n_pos AS n_neg,"
         "  tp, fp, n_pos - tp AS fn, n_scored - n_pos - fp AS tn,"
         "  CASE WHEN n_pos > 0 AND n_scored - n_pos > 0 THEN"
-        f"   (rs2_pos - n_pos * (n_pos + 1)) * {FX}"
-        "   // (2 * n_pos * (n_scored - n_pos)) ELSE NULL END"
+        "   CAST((rs2_pos - CAST(n_pos AS HUGEINT)"
+        f"   * (n_pos + 1)) * {FX}"
+        "   // (2 * CAST(n_pos AS HUGEINT)"
+        "   * (n_scored - n_pos)) AS BIGINT) ELSE NULL END"
         "   AS auc_fx6,"
         f"  CASE WHEN tp + fp > 0 THEN tp * {FX} // (tp + fp)"
         "   ELSE NULL END AS precision_fx6,"
@@ -367,8 +386,11 @@ def agreement_kappa(
     κ+1 = (po + 1 − 2pe)/(1 − pe) — provably ≥ 0 since κ ≥ −1 —
     with floor division on nonnegative integers (identical in both
     engines), then subtracts FX. Emits: n, n_agree, po_fx6, pe_fx6,
-    kappa_fx6 (NULL when pe = 1 — a constant-rater degenerate — or
-    when n exceeds the overflow rail)."""
+    kappa_fx6 — kappa NULL when pe = 1 (a constant-rater
+    degenerate), and ALL of po/pe/kappa NULL when n exceeds the
+    ``KAPPA_N_CAP`` overflow rail (pe's s·10⁶ term, s ≤ n², is the
+    binding constraint; every emitted metric sits inside the same
+    documented rail)."""
     # three consumers (totals + both marginals) — without truncating
     # lineage each re-derives the FULL upstream rater chain (the NB
     # composition showed 188 Exchanges in the plan audit). The
@@ -394,11 +416,16 @@ def agreement_kappa(
     m = tot.crossJoin(F.broadcast(s)).select(
         "n",
         F.col("agree").alias("n_agree"),
+        # the same n-rail guards every emitted metric: pe's s·FX
+        # (s ≤ n²) overflows int64 past n ~ 3e6, so po/pe NULL
+        # beyond the rail exactly like kappa does
         F.expr(
-            f"CASE WHEN n > 0 THEN agree * {FX}L DIV n END"
+            f"CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}L"
+            f" THEN agree * {FX}L DIV n END"
         ).alias("po_fx6"),
         F.expr(
-            f"CASE WHEN n > 0 THEN s * {FX}L DIV (n * n) END"
+            f"CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}L"
+            f" THEN s * {FX}L DIV (n * n) END"
         ).alias("pe_fx6"),
         F.expr(
             f"CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}L"
@@ -429,8 +456,10 @@ def agreement_kappa_sql(ratings_cte: str) -> str:
         " ks AS (SELECT CAST(COALESCE(sum(ca * cb), 0) AS BIGINT)"
         "  AS s FROM kca JOIN kcb ON kca.a = kcb.b),"
         " km AS (SELECT n, agree AS n_agree,"
-        f"  CASE WHEN n > 0 THEN agree * {FX} // n END AS po_fx6,"
-        f"  CASE WHEN n > 0 THEN s * {FX} // (n * n) END AS pe_fx6,"
+        f"  CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}"
+        f"   THEN agree * {FX} // n END AS po_fx6,"
+        f"  CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}"
+        f"   THEN s * {FX} // (n * n) END AS pe_fx6,"
         f"  CASE WHEN n > 0 AND n <= {KAPPA_N_CAP}"
         "   AND n * n > s THEN"
         f"   (agree * n + n * n - 2 * s) * {FX} // (n * n - s)"

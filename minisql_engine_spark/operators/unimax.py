@@ -29,12 +29,19 @@ with the first ``remainder`` of them (in sort order) taking one
 extra token, so Σ alloc = min(B, Σ caps) EXACTLY (mass conservation
 a consumer can assert).
 
-Integer-exactness rails: every product is bounded by
-``cap · m ≤ max_epochs · Σtokens · m``; the constructor enforces
-``token_budget ≤ 10¹⁵`` and ``max_epochs ≤ 10⁴``, and the plan
-carries the (documented, test-pinned) assumption m ≤ 10⁶ domains —
-at which point cap·m ≤ 10¹⁵·10⁶ would overflow, so cap·(m−i+1) is
-evaluated only AFTER the budget rail bounds cap ≤ B.
+Integer-exactness rails: the capped-prefix test is evaluated in the
+DIVISION form ``Pᵢ₋₁ ≤ B AND kᵢ ≤ (B − Pᵢ₋₁) DIV (m − i + 1)`` —
+provably equivalent to the multiply form for positive integers
+(``k·q ≤ R ⟺ k ≤ ⌊R/q⌋``) and free of the ``cap·(m−i+1)`` product,
+which is data-bounded (cap = n_tokens·max_epochs) and would
+otherwise overflow int64 for large corpora regardless of the budget
+rail. The prefix sum Pᵢ is carried in DECIMAL(38,0) (Spark) /
+HUGEINT (DuckDB), so the only remaining int64 rails are data-shaped
+and explicit: each domain's own cap ``n_tokens·max_epochs < 2⁶³``
+(a cap that big is unrepresentable as an allocation anyway), the
+constructor's ``token_budget ≤ 10¹⁵`` and ``max_epochs ≤ 10⁴``, and
+``alloc·10⁶`` in the epochs audit (alloc ≤ max(cap, B) keeps it
+< 10²⁵ ≪ the decimal range; alloc itself ≤ B or ≤ cap fits int64).
 
 Scale shape: one corpus pass for the per-domain token counts (the
 ``mixture.py`` tokenizer arithmetic), then everything runs on the
@@ -56,7 +63,8 @@ from .text import _ws_tokens
 
 #: fx6 fixed point for the epochs audit column
 FX = 10**6
-#: budget rail: cap·m products stay < 2⁶³ for m ≤ 10⁶ domains
+#: budget rail: B·10⁶ epoch-audit products stay < 2⁶³; the capped
+#: test itself is division-form and needs no product rail
 BUDGET_CAP = 10**15
 EPOCHS_CAP = 10**4
 
@@ -106,15 +114,24 @@ def unimax_allocation(
     )
     ranked = (
         counts.withColumn("i", F.row_number().over(w))
-        .withColumn("p", F.sum("cap_tokens").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ))
+        # prefix sum in DECIMAL(38,0): Σcaps is data-bounded and
+        # int64 only up to ~9e14 total tokens at the epoch cap
+        .withColumn(
+            "p",
+            F.sum(F.col("cap_tokens").cast("decimal(38,0)")).over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
         .withColumn("m", F.count("*").over(wall))
+        # division form of k·q + P <= B (see module doc): no
+        # cap·(m-i+1) product, so no data-dependent overflow
         .withColumn(
             "capped",
             F.expr(
-                f"cap_tokens * (m - i + 1) + (p - cap_tokens)"
-                f" <= {budget}L"
+                f"p - cap_tokens <= {budget}L AND cap_tokens <="
+                f" ({budget}L - (p - cap_tokens)) DIV (m - i + 1)"
             ),
         )
     )
@@ -144,8 +161,14 @@ def unimax_allocation(
             ).alias("alloc_tokens"),
         )
         .withColumn(
+            # alloc ≤ cap = n_tokens·max_epochs, so alloc·10⁶ can
+            # exceed int64 for large domains — widen the product;
+            # the quotient ≤ max_epochs·10⁶ + 10⁶ fits bigint
             "epochs_fx6",
-            F.expr(f"alloc_tokens * {FX}L DIV n_tokens"),
+            F.expr(
+                "CAST(alloc_tokens AS DECIMAL(38,0))"
+                f" * {FX} DIV n_tokens"
+            ),
         )
         .orderBy("domain")
     )
@@ -172,11 +195,12 @@ def unimax_allocation_sql(
         " r AS (SELECT domain, n_tokens, cap_tokens,"
         "  CAST(row_number() OVER o AS BIGINT) AS i,"
         "  CAST(sum(cap_tokens) OVER (o ROWS UNBOUNDED PRECEDING)"
-        "   AS BIGINT) AS p,"
+        "   AS HUGEINT) AS p,"
         "  CAST(count(*) OVER () AS BIGINT) AS m"
         "  FROM c WINDOW o AS (ORDER BY cap_tokens, domain)),"
-        " rc AS (SELECT *, cap_tokens * (m - i + 1)"
-        f"  + (p - cap_tokens) <= {budget} AS capped FROM r),"
+        f" rc AS (SELECT *, p - cap_tokens <= {budget}"
+        f"  AND cap_tokens <= ({budget} - (p - cap_tokens))"
+        "  // (m - i + 1) AS capped FROM r),"
         " t AS (SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END)"
         "  AS BIGINT) AS n_capped,"
         "  CAST(COALESCE(max(CASE WHEN capped THEN p END), 0)"
@@ -187,10 +211,11 @@ def unimax_allocation_sql(
         f"   + (CASE WHEN i - n_capped <= ({budget} - p_capped)"
         "     % (m - n_capped) THEN 1 ELSE 0 END) END AS BIGINT)"
         "   AS alloc_tokens,"
-        "  CAST((CASE WHEN capped THEN cap_tokens ELSE"
+        "  CAST((CAST(CASE WHEN capped THEN cap_tokens ELSE"
         f"   ({budget} - p_capped) // (m - n_capped)"
         f"   + (CASE WHEN i - n_capped <= ({budget} - p_capped)"
-        f"     % (m - n_capped) THEN 1 ELSE 0 END) END * {FX})"
+        "     % (m - n_capped) THEN 1 ELSE 0 END) END AS HUGEINT)"
+        f"   * {FX})"
         "   // n_tokens AS BIGINT) AS epochs_fx6"
         " FROM rc CROSS JOIN t ORDER BY domain"
     )
