@@ -79,6 +79,9 @@ def line_dedup(
         .groupBy("_d")
         .agg(
             F.count("*").cast("bigint").alias("n_kept"),
+            # per-group collect is DOCUMENT-bounded (one doc's kept
+            # lines), never corpus-bounded — same rail as the other
+            # per-record assembly sites
             F.concat_ws(
                 "\n",
                 F.transform(

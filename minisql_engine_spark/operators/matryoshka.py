@@ -25,6 +25,16 @@ ground-truth top-k. Brute force by design: this is the AUDIT (run on
 a sample of queries), not the serving path — serving stays on the
 IVF/PQ/SQ8 rows.
 
+Audit budget: ``query_mod`` alone keeps the query count PROPORTIONAL
+to the corpus (pair count ~ n²/query_mod — quadratic at scale), so
+``n_queries`` bounds it ABSOLUTELY: the n_queries ids with the
+smallest deterministic decision hash (``sampling.sample_hash``, ties
+by id) are audited, making the whole audit O(n·n_queries) at any
+corpus size. The pick is a distributed top-k
+(TakeOrderedAndProject — per-partition heads merged on the driver,
+no global sort shuffle) and replays exactly in the oracle's
+ORDER BY hash, id LIMIT n.
+
 Reference scope: ``sqlengine.py:1-753`` has no vector surface;
 extension, SURVEY §2.4 similarity-search family.
 """
@@ -35,9 +45,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .sampling import sample_hash, sample_hash_sql
 from .similarity import DUCK_COS, as_double_sql
 
 FX = 10**6
+#: decision-hash seed for the n_queries audit pick — fixed and
+#: versioned with the operator (changing it changes the sample)
+MRL_SEED = "mrl-audit"
 
 
 def _sliced_cos(d: int) -> str:
@@ -63,11 +77,14 @@ def matryoshka_recall(
     full_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """(vec_id, dims, n_hits, recall_fx6) per query and prefix
     length; the ``full_dims`` row rides along as the trivially-1.0
     sanity anchor. Queries are the deterministic
-    ``vec_id % query_mod == 0`` sample; self-matches excluded."""
+    ``vec_id % query_mod == 0`` sample, absolutely bounded to the
+    ``n_queries`` smallest decision hashes when set (see module doc);
+    self-matches excluded."""
     dims = tuple(sorted(set(dims_list)))
     if not dims or dims[-1] >= full_dims or dims[0] < 1:
         raise ValueError(
@@ -75,12 +92,18 @@ def matryoshka_recall(
         )
     if k < 1 or query_mod < 1:
         raise ValueError(f"need k >= 1, query_mod >= 1, got {k}, {query_mod}")
+    if n_queries is not None and n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
     vecs = embeddings.selectExpr(
         id_col, as_double_sql(vec_col) + " as v"
     )
     q = vecs.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv")
     )
+    if n_queries is not None:
+        q = q.orderBy(
+            sample_hash(F.col("qid"), MRL_SEED), F.col("qid")
+        ).limit(n_queries)
     c = vecs.select(F.col(id_col).alias("nbr"), F.col("v").alias("cv"))
     pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nbr"))
     all_d = [*dims, full_dims]
@@ -139,10 +162,12 @@ def matryoshka_recall_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_queries: int | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`matryoshka_recall` — per-prefix
     sliced cosines via the shared DUCK_COS formula, the same (sim
-    DESC, nbr) top-k, and the integer recall edge."""
+    DESC, nbr) top-k, the same hash-order ``n_queries`` pick, and
+    the integer recall edge."""
     dims = tuple(sorted(set(dims_list)))
     if not dims or dims[-1] >= full_dims or dims[0] < 1:
         raise ValueError(
@@ -150,6 +175,14 @@ def matryoshka_recall_sql(
         )
     if k < 1 or query_mod < 1:
         raise ValueError(f"need k >= 1, query_mod >= 1, got {k}, {query_mod}")
+    if n_queries is not None and n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    budget = (
+        f" ORDER BY {sample_hash_sql(id_col, MRL_SEED)}, {id_col}"
+        f" LIMIT {n_queries}"
+        if n_queries is not None
+        else ""
+    )
     all_d = [*dims, full_dims]
     per_d = " UNION ALL ".join(
         f"SELECT q.{id_col} AS qid, c.{id_col} AS nbr,"
@@ -157,7 +190,7 @@ def matryoshka_recall_sql(
         " "
         + DUCK_COS.format(a=f"q.v[1:{d}]", b=f"c.v[1:{d}]")
         + " AS sim"
-        " FROM e q JOIN e c ON q.qid_flag AND"
+        " FROM qs q JOIN e c ON"
         f" q.{id_col} <> c.{id_col}"
         for d in all_d
     )
@@ -165,6 +198,7 @@ def matryoshka_recall_sql(
         f"WITH e AS (SELECT {id_col},"
         f" CAST({vec_col} AS DOUBLE[]) AS v,"
         f" {id_col} % {query_mod} = 0 AS qid_flag FROM {table}),"
+        f" qs AS (SELECT {id_col}, v FROM e WHERE qid_flag{budget}),"
         f" st AS ({per_d}),"
         " tk AS (SELECT qid, nbr, dims FROM ("
         "  SELECT qid, nbr, dims, row_number() OVER ("

@@ -66,3 +66,39 @@ def test_matryoshka_rejects_bad_params():
         matryoshka_recall_sql(dims_list=())
     with pytest.raises(ValueError, match="k >= 1"):
         matryoshka_recall_sql(k=0)
+
+
+def test_matryoshka_n_queries_budget(spark, duck, sf_dir):
+    """The absolute audit budget (VERDICT r11 task 4): exactly
+    n_queries distinct query ids, the deterministic hash-order pick
+    replays in the oracle, and the query set is a SUBSET of the
+    query_mod sample (the knobs compose)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = matryoshka_recall(emb, query_mod=10, n_queries=7)
+    pdf = out.toPandas()
+    assert pdf.vec_id.nunique() == 7
+    assert (pdf.vec_id % 10 == 0).all()
+    assert_matches_oracle(
+        out,
+        duck.execute(
+            matryoshka_recall_sql(query_mod=10, n_queries=7)
+        ).df(),
+        "matryoshka_n_queries",
+    )
+
+
+def test_matryoshka_n_queries_default_unchanged(spark, duck, sf_dir):
+    """n_queries=None is byte-identical to the pre-knob operator:
+    the restructured qs CTE at defaults equals the current driver
+    row's certified values (oracle parity re-asserted)."""
+    out = matryoshka_recall(load_table(spark, sf_dir, "embeddings"))
+    assert_matches_oracle(
+        out,
+        duck.execute(matryoshka_recall_sql()).df(),
+        "matryoshka_defaults",
+    )
+
+
+def test_matryoshka_n_queries_rail():
+    with pytest.raises(ValueError, match="n_queries"):
+        matryoshka_recall_sql(n_queries=0)
