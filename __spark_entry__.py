@@ -5981,6 +5981,112 @@ def _linkage_oracle() -> str:
 _ORACLES["record_linkage_entities"] = _linkage_oracle()
 
 
+#: shared staging for the linkage→rollup composition: the dirty
+#: customer corpus with balances as integer cents, so the equality
+#: agreement AND the max-survivorship output are both integer-exact
+_ROLLUP_STAGING_SQL = (
+    "SELECT CAST(c_custkey AS BIGINT) AS rec_id,"
+    " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)"
+    "  AS block,"
+    " lower(c_name) AS name,"
+    " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c"
+    " FROM customer"
+    " UNION ALL"
+    " SELECT CAST(c_custkey + 1000000 AS BIGINT),"
+    " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment),"
+    " concat(substring(lower(c_name), 1,"
+    "  length(c_name) - 1), 'x'),"
+    " CAST(round(c_acctbal * 100) AS BIGINT)"
+    " FROM customer WHERE c_custkey % 7 = 0"
+)
+
+
+@_register(
+    "entity_rollup_golden",
+    None,  # filled below — built from the operator's SQL twin
+)
+def q_entity_rollup_golden(spark, sf_dir):
+    """Golden records (operators/linkage.py entity_rollup): the
+    match→MERGE survivorship step composing the r11-certified
+    record_linkage_entities row into the MDM closed loop — the
+    doremi→mixture promotion pattern (VERDICT r11 task 2). Same
+    staged dirty corpus (every 7th customer re-registered with an
+    offset key and a one-char name typo), with balances staged as
+    integer cents so both the equality agreement and the
+    max-survivorship output stay integer-exact. One row per resolved
+    entity: first-rule fields (name, block) from the canonical
+    min-id member — every planted typo heals back to the source
+    name — and max-rule bal_c from the entity max via the
+    skew-immune partial-aggregatable struct-max chooser. The oracle
+    replays staging, linkage (block join, exact-DP levenshtein
+    decisive band, weight sum, recursive-CTE closure), and the
+    survivorship chooser end-to-end."""
+    from minisql_engine_spark.operators.linkage import (
+        entity_rollup,
+        record_linkage,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("block"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    dirty = base.filter(F.col("rec_id") % 7 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        "block",
+        F.expr(
+            "concat(substring(name, 1, length(name) - 1), 'x')"
+        ).alias("name"),
+        "bal_c",
+    )
+    staged = base.unionByName(dirty)
+    resolved = record_linkage(
+        staged,
+        exact_weights={"bal_c": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+    return entity_rollup(
+        staged,
+        resolved,
+        first_cols=("name", "block"),
+        max_cols=("bal_c",),
+    ).orderBy("entity")
+
+
+def _entity_rollup_oracle() -> str:
+    from minisql_engine_spark.operators.linkage import (
+        entity_rollup_sql,
+        record_linkage_sql,
+    )
+
+    return (
+        entity_rollup_sql(
+            _ROLLUP_STAGING_SQL,
+            record_linkage_sql(
+                _ROLLUP_STAGING_SQL,
+                exact_weights={"bal_c": 2},
+                name_weight=3,
+                max_name_dist=2,
+                threshold=5,
+            ),
+            first_cols=("name", "block"),
+            max_cols=("bal_c",),
+        )
+        + " ORDER BY entity"
+    )
+
+
+_ORACLES["entity_rollup_golden"] = _entity_rollup_oracle()
+
+
 @_register(
     "classifier_agreement_kappa",
     None,  # filled below — composed from the NB + kappa SQL twins
@@ -6695,13 +6801,25 @@ _ARCHIVED: frozenset[str] = frozenset(
         # training-loop replace chain stays archive-parity-tested
         # every run.
         "bpe_train_merges",
+        # r12 wave — room for entity_rollup_golden: hist_quantiles is
+        # hash-green r6–r11 (6 consecutive driver rounds, the
+        # longest-certified remaining stats row) and the stats family
+        # keeps the exact fixed-bucket + exact-quantile arithmetic
+        # archive-parity-tested every run (stats_quantiles,
+        # winsorize_clip, mad_outlier_flags, profile_events all
+        # archived-green) while the dedup family closes its MDM loop:
+        # record_linkage_entities (match) stays live and the new
+        # golden-record survivorship row (MERGE) composes it.
+        "hist_quantiles",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r11 wave — brand new driver rows, never driver-checked
+    # r12 wave — brand new driver row, never driver-checked
+    "entity_rollup_golden",
+    # r11 wave — first re-certification round
     "knn_graph_refine",
     "doremi_mixture_selection",
     "line_dedup_boilerplate",

@@ -166,6 +166,9 @@ HEADLINE = (
     "classifier_agreement_kappa",
     "matryoshka_prefix_recall",
     "tokenizer_fertility_by_lang",
+    # r12 wave: the match->MERGE golden-record survivorship closing
+    # the MDM loop over the certified linkage row
+    "entity_rollup_golden",
 )
 
 
