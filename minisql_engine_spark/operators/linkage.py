@@ -46,6 +46,59 @@ from pyspark.sql import functions as F
 from .clustering import connected_components
 
 
+def _weighted_edges(
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    name_col: str,
+    exact_weights: dict[str, int],
+    name_weight: int,
+    max_name_dist: int,
+    threshold: int,
+) -> DataFrame:
+    """(id_a, id_b, weight >= threshold) from a candidate-pair frame
+    with ``a_``/``b_``-prefixed columns — shared by the one-shot
+    self-join (:func:`record_linkage`) and the incremental
+    batch-vs-index join (:mod:`linkage_index`), so both paths score
+    pairs with the IDENTICAL rule.
+
+    Weight evaluation order is a measured 3.7× on the driver row:
+    the exact-equality terms are integer compares, the name term is
+    an O(len²) Levenshtein DP. Sum the cheap terms first and run
+    the DP only where it is DECISIVE — the pair could reach the
+    threshold with the name weight but hasn't without it. Pairs
+    outside that band get 0 for the name term, which cannot change
+    the MATCH decision (already ≥ threshold, or unreachable even
+    with name_weight), so the edge set — and the oracle, which
+    computes the full sum — is value-identical."""
+    cheap = F.lit(0)
+    for c, cw in exact_weights.items():
+        cheap = cheap + F.when(
+            F.col(f"a_{c}") == F.col(f"b_{c}"), F.lit(cw)
+        ).otherwise(F.lit(0))
+    name_rule = F.when(
+        F.levenshtein(
+            F.col(f"a_{name_col}"), F.col(f"b_{name_col}")
+        )
+        <= max_name_dist,
+        F.lit(name_weight),
+    ).otherwise(F.lit(0))
+    w = F.col("_cheap") + F.when(
+        (F.col("_cheap") < threshold)
+        & (F.col("_cheap") + name_weight >= threshold),
+        name_rule,
+    ).otherwise(F.lit(0))
+    return (
+        pairs.withColumn("_cheap", cheap)
+        .select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            w.alias("weight"),
+        )
+        .filter(F.col("weight") >= threshold)
+    )
+
+
 def record_linkage(
     records: DataFrame,
     id_col: str = "rec_id",
@@ -76,40 +129,14 @@ def record_linkage(
         (F.col(f"a_{block_col}") == F.col(f"b_{block_col}"))
         & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")),
     )
-    # Weight evaluation order is a measured 3.7× on the driver row:
-    # the exact-equality terms are integer compares, the name term is
-    # an O(len²) Levenshtein DP. Sum the cheap terms first and run
-    # the DP only where it is DECISIVE — the pair could reach the
-    # threshold with the name weight but hasn't without it. Pairs
-    # outside that band get 0 for the name term, which cannot change
-    # the MATCH decision (already ≥ threshold, or unreachable even
-    # with name_weight), so the edge set — and the oracle, which
-    # computes the full sum — is value-identical.
-    cheap = F.lit(0)
-    for c, cw in exact_weights.items():
-        cheap = cheap + F.when(
-            F.col(f"a_{c}") == F.col(f"b_{c}"), F.lit(cw)
-        ).otherwise(F.lit(0))
-    name_rule = F.when(
-        F.levenshtein(
-            F.col(f"a_{name_col}"), F.col(f"b_{name_col}")
-        )
-        <= max_name_dist,
-        F.lit(name_weight),
-    ).otherwise(F.lit(0))
-    w = F.col("_cheap") + F.when(
-        (F.col("_cheap") < threshold)
-        & (F.col("_cheap") + name_weight >= threshold),
-        name_rule,
-    ).otherwise(F.lit(0))
-    edges = (
-        pairs.withColumn("_cheap", cheap)
-        .select(
-            F.col(f"a_{id_col}").alias("id_a"),
-            F.col(f"b_{id_col}").alias("id_b"),
-            w.alias("weight"),
-        )
-        .filter(F.col("weight") >= threshold)
+    edges = _weighted_edges(
+        pairs,
+        id_col=id_col,
+        name_col=name_col,
+        exact_weights=exact_weights,
+        name_weight=name_weight,
+        max_name_dist=max_name_dist,
+        threshold=threshold,
     )
 
     comp = connected_components(edges, "id_a", "id_b")

@@ -1,0 +1,234 @@
+"""Incremental linkage index — the equivalence contract (labels ==
+one-shot record_linkage over the union after ANY batch sequence),
+the entity-merge cascade, admission rails, DuckDB oracle parity via
+the one-shot twin, and downstream composition (entity_rollup plugs
+into the index surface unchanged)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.linkage import (
+    record_linkage,
+    record_linkage_sql,
+)
+from minisql_engine_spark.operators.linkage_index import (
+    admit_linkage_batch,
+    init_linkage_index,
+    linkage_index_entities,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+_KW = dict(
+    exact_weights={"bal_c": 2},
+    name_weight=3,
+    max_name_dist=2,
+    threshold=5,
+)
+
+
+def _tmp(tag: str) -> str:
+    h = hashlib.md5(tag.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"minisql_lidx_{h}")
+
+
+def _base(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("block"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+
+
+def _dirty(base):
+    return base.filter(F.col("rec_id") % 7 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        "block",
+        F.expr(
+            "concat(substring(name, 1, length(name) - 1), 'x')"
+        ).alias("name"),
+        "bal_c",
+    )
+
+
+def _entities_pdf(df):
+    return (
+        df.select("rec_id", "entity", "is_canonical", "n_members")
+        .toPandas()
+        .sort_values("rec_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_equals_oneshot(spark, duck, sf_dir):
+    """Init with the clean corpus, admit the dirty copies as batch 1
+    — after EACH step the index labels equal one-shot linkage over
+    the union, and the final state matches the DuckDB one-shot twin
+    (the equivalence contract makes the one-shot oracle the
+    incremental oracle)."""
+    base = _base(spark, sf_dir)
+    dirty = _dirty(base)
+    path = _tmp("equiv" + sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_linkage_index(base, path, **_KW)
+        got0 = _entities_pdf(linkage_index_entities(spark, path))
+        want0 = _entities_pdf(record_linkage(base, **_KW))
+        assert got0.equals(want0)
+
+        admit_linkage_batch(spark, path, dirty, 1, **_KW)
+        got1 = linkage_index_entities(spark, path)
+        want1 = _entities_pdf(
+            record_linkage(base.unionByName(dirty), **_KW)
+        )
+        assert _entities_pdf(got1).equals(want1)
+        # planted pairs resolved: two-member entities exist
+        assert (want1.n_members == 2).any()
+
+        staging = (
+            "SELECT CAST(c_custkey AS BIGINT) AS rec_id,"
+            " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)"
+            "  AS block, lower(c_name) AS name,"
+            " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c"
+            " FROM customer UNION ALL"
+            " SELECT CAST(c_custkey + 1000000 AS BIGINT),"
+            " concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment),"
+            " concat(substring(lower(c_name), 1,"
+            "  length(c_name) - 1), 'x'),"
+            " CAST(round(c_acctbal * 100) AS BIGINT)"
+            " FROM customer WHERE c_custkey % 7 = 0"
+        )
+        assert_matches_oracle(
+            got1.select(
+                "rec_id", "entity", "is_canonical", "n_members"
+            ),
+            duck.execute(
+                record_linkage_sql(staging, **_KW)
+            ).df(),
+            "linkage_index",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "rec_id long, block string, name string, bal_c long"
+    )
+
+
+def test_merge_cascade(spark):
+    """A later record bridging two existing entities MERGES them to
+    the component minimum: A='abcdef' and B='abxyzf' never match
+    (lev 3, equal bal only = 2 < 5), but C='abcyzf' is within lev 2
+    of both — admitting C relabels B's entity 2 -> 1."""
+    path = _tmp("cascade")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_linkage_index(
+            _mk(spark, [(1, "blk", "abcdef", 50),
+                        (2, "blk", "abxyzf", 50)]),
+            path,
+            **_KW,
+        )
+        before = _entities_pdf(linkage_index_entities(spark, path))
+        assert sorted(before.entity) == [1, 2]
+
+        admit_linkage_batch(
+            spark, path, _mk(spark, [(3, "blk", "abcyzf", 50)]),
+            1, **_KW,
+        )
+        after = _entities_pdf(linkage_index_entities(spark, path))
+        assert list(after.entity) == [1, 1, 1]
+        assert list(after.n_members) == [3, 3, 3]
+        assert list(after.is_canonical) == [True, False, False]
+        # still equal to the one-shot over the union
+        want = _entities_pdf(
+            record_linkage(
+                _mk(spark, [(1, "blk", "abcdef", 50),
+                            (2, "blk", "abxyzf", 50),
+                            (3, "blk", "abcyzf", 50)]),
+                **_KW,
+            )
+        )
+        assert after.equals(want)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_blocking_still_bounds(spark):
+    """A would-match pair in DIFFERENT blocks never links through
+    the index either — the blocked-candidates contract survives
+    incrementality."""
+    path = _tmp("blocks")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_linkage_index(
+            _mk(spark, [(1, "b1", "same name", 50)]), path, **_KW
+        )
+        admit_linkage_batch(
+            spark, path, _mk(spark, [(2, "b2", "same name", 50)]),
+            1, **_KW,
+        )
+        got = _entities_pdf(linkage_index_entities(spark, path))
+        assert sorted(got.entity) == [1, 2]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_admission_rails(spark):
+    path = _tmp("rails")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_linkage_index(
+            _mk(spark, [(1, "blk", "abcdef", 50)]), path, **_KW
+        )
+        with pytest.raises(ValueError, match="already in the index"):
+            admit_linkage_batch(
+                spark, path,
+                _mk(spark, [(1, "blk", "abcdef", 50)]), 1, **_KW,
+            )
+        with pytest.raises(ValueError, match="duplicate"):
+            admit_linkage_batch(
+                spark, path,
+                _mk(spark, [(9, "blk", "x", 1), (9, "blk", "y", 2)]),
+                1, **_KW,
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rollup_composes_with_index(spark):
+    """entity_rollup consumes linkage_index_entities unchanged —
+    the incremental index slots into the MDM chain."""
+    from minisql_engine_spark.operators.linkage import entity_rollup
+
+    path = _tmp("compose")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        recs0 = _mk(spark, [(1, "blk", "abcdef", 50),
+                            (5, "blk", "zzzzzz", 10)])
+        recs1 = _mk(spark, [(3, "blk", "abcdez", 50)])
+        init_linkage_index(recs0, path, **_KW)
+        admit_linkage_batch(spark, path, recs1, 1, **_KW)
+        golden = entity_rollup(
+            recs0.unionByName(recs1),
+            linkage_index_entities(spark, path),
+            first_cols=("name", "block"),
+            max_cols=("bal_c",),
+        ).toPandas().sort_values("entity").reset_index(drop=True)
+        assert list(golden.entity) == [1, 5]
+        assert list(golden.n_members) == [2, 1]
+        assert golden.name.iloc[0] == "abcdef"  # canonical min-id
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
