@@ -6088,6 +6088,136 @@ _ORACLES["entity_rollup_golden"] = _entity_rollup_oracle()
 
 
 @_register(
+    "linkage_index_admission",
+    None,  # filled below — the ONE-SHOT twin, by the equivalence contract
+)
+def q_linkage_index_admission(spark, sf_dir):
+    """Incremental entity-resolution life cycle
+    (operators/linkage_index.py — the persisted-MDM machinery a
+    100 TB registration stream runs on): init a REAL on-disk index
+    from the clean customer corpus, admit the dirty re-registration
+    batch (offset key + one-char typo, id +1e6 — the planted pairs
+    must attach to their source entities), then admit a second batch
+    that EXTENDS existing entities (a second re-registration, typo
+    'y', id +2e6, for every 14th customer — chain growth through the
+    index's entity super-nodes) and founds brand-new singletons
+    ('zz '-prefixed names, id +3e6, for every 11th customer — the
+    equal-balance agreement alone is 2 < 5, so they must NOT link).
+    The oracle is the ONE-SHOT ``record_linkage_sql`` twin over the
+    union of all three batches: by the min-member-id equivalence
+    contract (module doc), the incremental index must equal the
+    batch-global resolution EXACTLY — so the driver hash certifies
+    incrementality itself, not just the final labels. Admission
+    never re-scores old pairs: candidates are batch×batch and
+    batch×index within blocks, closure runs over entity super-nodes."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from minisql_engine_spark.operators.linkage_index import (
+        admit_linkage_batch,
+        init_linkage_index,
+        linkage_index_entities,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("block"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    batch1 = base.filter(F.col("rec_id") % 7 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        "block",
+        F.expr(
+            "concat(substring(name, 1, length(name) - 1), 'x')"
+        ).alias("name"),
+        "bal_c",
+    )
+    batch2 = (
+        base.filter(F.col("rec_id") % 14 == 0)
+        .select(
+            (F.col("rec_id") + 2_000_000).alias("rec_id"),
+            "block",
+            F.expr(
+                "concat(substring(name, 1, length(name) - 1), 'y')"
+            ).alias("name"),
+            "bal_c",
+        )
+        .unionByName(
+            base.filter(F.col("rec_id") % 11 == 0).select(
+                (F.col("rec_id") + 3_000_000).alias("rec_id"),
+                "block",
+                F.concat(F.lit("zz "), F.col("name")).alias("name"),
+                "bal_c",
+            )
+        )
+    )
+    kw = dict(
+        exact_weights={"bal_c": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+    tag = hashlib.md5(("lidx" + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"minisql_lidx_{tag}")
+    # rebuilt every call — the init→admit→admit cycle IS the operator
+    shutil.rmtree(path, ignore_errors=True)
+    init_linkage_index(base, path, **kw)
+    admit_linkage_batch(spark, path, batch1, 1, **kw)
+    admit_linkage_batch(spark, path, batch2, 2, **kw)
+    return linkage_index_entities(spark, path)
+
+
+def _linkage_index_oracle() -> str:
+    from minisql_engine_spark.operators.linkage import (
+        record_linkage_sql,
+    )
+
+    b = (
+        "concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)"
+    )
+    staging = (
+        f"SELECT CAST(c_custkey AS BIGINT) AS rec_id, {b} AS block,"
+        " lower(c_name) AS name,"
+        " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c"
+        " FROM customer"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 1000000 AS BIGINT), {b},"
+        " concat(substring(lower(c_name), 1,"
+        "  length(c_name) - 1), 'x'),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 7 = 0"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 2000000 AS BIGINT), {b},"
+        " concat(substring(lower(c_name), 1,"
+        "  length(c_name) - 1), 'y'),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 14 = 0"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 3000000 AS BIGINT), {b},"
+        " concat('zz ', lower(c_name)),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 11 = 0"
+    )
+    return record_linkage_sql(
+        staging,
+        exact_weights={"bal_c": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+
+
+_ORACLES["linkage_index_admission"] = _linkage_index_oracle()
+
+
+@_register(
     "classifier_agreement_kappa",
     None,  # filled below — composed from the NB + kappa SQL twins
 )
@@ -6811,14 +6941,26 @@ _ARCHIVED: frozenset[str] = frozenset(
         # record_linkage_entities (match) stays live and the new
         # golden-record survivorship row (MERGE) composes it.
         "hist_quantiles",
+        # + linkage_index_admission (same wave): scd2_dimension is
+        # hash-green r6–r11 (6 consecutive driver rounds) and its
+        # init→apply machinery now has THREE other live/pytest
+        # surfaces: scd2_asof_enrichment stays in the window, the
+        # r12 entity-SCD2 composition replays a full init→apply in
+        # test_entity_scd2.py with oracle parity, and the archived
+        # row keeps exact parity every pytest run. The slot buys the
+        # dedup family its INCREMENTAL entity-resolution member —
+        # the driver hash certifying incremental ≡ batch-global via
+        # the one-shot twin.
+        "scd2_dimension",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r12 wave — brand new driver row, never driver-checked
+    # r12 wave — brand new driver rows, never driver-checked
     "entity_rollup_golden",
+    "linkage_index_admission",
     # r11 wave — first re-certification round
     "knn_graph_refine",
     "doremi_mixture_selection",

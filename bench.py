@@ -167,8 +167,10 @@ HEADLINE = (
     "matryoshka_prefix_recall",
     "tokenizer_fertility_by_lang",
     # r12 wave: the match->MERGE golden-record survivorship closing
-    # the MDM loop over the certified linkage row
+    # the MDM loop over the certified linkage row, and the
+    # incremental linkage-index cycle (driver hash == one-shot twin)
     "entity_rollup_golden",
+    "linkage_index_admission",
 )
 
 

@@ -150,21 +150,38 @@ def admit_linkage_batch(
     :mod:`sources.scd2`'s job, not the identity graph's)."""
     exact_weights = dict(exact_weights or {})
     cols = _match_cols(id_col, block_col, name_col, exact_weights)
-    new = batch.select(*cols)
+    # the batch projection is consumed by the rail, both edge sides,
+    # the label union, and the append — checkpoint once (batch-sized
+    # by definition) so none of them re-derives the input lineage
+    new = batch.select(*cols).localCheckpoint(eager=True)
     old = _read_records(spark, path)
     labels = read_snapshot(spark, _labels_dir(path))
 
-    n_dup = new.join(
-        old.select(id_col), id_col, "left_semi"
-    ).count()
-    if n_dup:
-        raise ValueError(
-            f"{n_dup} batch ids already in the index — admission "
-            "resolves NEW records; re-presenting an id is an upsert"
+    # both rails in ONE action: id-disjointness vs the index and
+    # in-batch id uniqueness
+    rail = (
+        new.join(
+            old.select(F.col(id_col), F.lit(1).alias("_in")),
+            id_col,
+            "left",
         )
-    n, d = new.count(), new.select(id_col).distinct().count()
-    if n != d:
-        raise ValueError(f"{n - d} duplicate {id_col} rows in batch")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(id_col).alias("d"),
+            F.count("_in").alias("n_dup"),
+        )
+        .collect()[0]
+    )
+    if rail["n_dup"]:
+        raise ValueError(
+            f"{rail['n_dup']} batch ids already in the index — "
+            "admission resolves NEW records; re-presenting an id "
+            "is an upsert"
+        )
+    if rail["n"] != rail["d"]:
+        raise ValueError(
+            f"{rail['n'] - rail['d']} duplicate {id_col} rows in batch"
+        )
 
     a = new.select(*[F.col(c).alias(f"a_{c}") for c in cols])
     kw = dict(

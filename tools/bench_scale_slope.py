@@ -54,7 +54,7 @@ DEFAULT_QUERIES = [
     "semantic_dedup",
 ]
 #: which tables each measured query reads (only these are scaled)
-TABLES = ["documents", "embeddings", "lineitem"]
+TABLES = ["documents", "embeddings", "lineitem", "orders"]
 
 
 def build_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> None:
@@ -115,6 +115,48 @@ def build_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> None:
         .parquet(os.path.join(dst_dir, "lineitem.parquet"))
     )
 
+    # orders: keys offset in lockstep with lineitem so the
+    # orderkey join scales coherently; custkey offset too, so the
+    # customer node set grows 10× while suppliers stay shared
+    # (hub structure — the realistic shape for a trade graph)
+    od = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    (
+        od.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("_r") * OFFSET).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("_r") * OFFSET).alias(
+                "o_custkey"
+            ),
+            *[
+                c
+                for c in od.columns
+                if c not in ("o_orderkey", "o_custkey")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "orders.parquet"))
+    )
+
+
+def _matryoshka_nq40(spark, sf_dir):
+    """The r12 n_queries budget variant: same audit, absolute
+    40-query budget — the O(n·n_queries) scale path next to the
+    registry row's proportional query_mod sampling."""
+    from minisql_engine_spark.operators.matryoshka import (
+        matryoshka_recall,
+    )
+    from minisql_engine_spark.sources.parquet_catalog import load_table
+
+    return matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), n_queries=40
+    )
+
+
+#: operator variants measurable by name beside registry rows
+EXTRA_VARIANTS = {"matryoshka_nq40": _matryoshka_nq40}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -148,6 +190,7 @@ def main() -> int:
     em = importlib.import_module("__spark_entry__")
     qs = dict(em.queries())
     qs.update(em.archived_queries())
+    qs.update(EXTRA_VARIANTS)
 
     t0 = time.monotonic()
     build_scaled(spark, args.sf, args.scaled_dir, args.factor)
