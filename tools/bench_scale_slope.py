@@ -54,7 +54,7 @@ DEFAULT_QUERIES = [
     "semantic_dedup",
 ]
 #: which tables each measured query reads (only these are scaled)
-TABLES = ["documents", "embeddings", "lineitem", "orders"]
+TABLES = ["documents", "embeddings", "lineitem", "orders", "customer"]
 
 
 def build_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> None:
@@ -137,6 +137,51 @@ def build_scaled(spark, src_dir: str, dst_dir: str, factor: int) -> None:
         )
         .write.mode("overwrite")
         .parquet(os.path.join(dst_dir, "orders.parquet"))
+    )
+
+    _scale_customer(spark, src_dir, dst_dir, factor)
+
+
+def _scale_customer(spark, src_dir: str, dst_dir: str, factor: int):
+    """customer replicas: keys offset (10× distinct customers), names
+    re-suffixed per replica (no artificial cross-replica typo
+    collisions — lev >> 2 across replicas), and NATIONKEY offset per
+    replica so blocking-key cardinality grows WITH the corpus — the
+    linkage module's documented contract (pick blocking keys the way
+    you'd pick IVF cells: block size bounded, block count ∝ n). A
+    replica set sharing the original 125 blocks would instead fatten
+    every block 10× and measure the deliberate quadratic of an
+    under-carded blocking key, not the operator."""
+    from pyspark.sql import functions as F
+
+    reps = spark.range(factor).select(F.col("id").alias("_r"))
+    cu = spark.read.parquet(os.path.join(src_dir, "customer.parquet"))
+    (
+        cu.crossJoin(reps)
+        .select(
+            (F.col("c_custkey") + F.col("_r") * OFFSET).alias(
+                "c_custkey"
+            ),
+            (F.col("c_nationkey") + F.col("_r") * 100).alias(
+                "c_nationkey"
+            ),
+            F.when(F.col("_r") == 0, F.col("c_name"))
+            .otherwise(
+                F.concat(
+                    F.col("c_name"),
+                    F.lit(" r"),
+                    F.col("_r").cast("string"),
+                )
+            )
+            .alias("c_name"),
+            *[
+                c
+                for c in cu.columns
+                if c not in ("c_custkey", "c_name", "c_nationkey")
+            ],
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "customer.parquet"))
     )
 
 
