@@ -977,3 +977,228 @@ def byte_tone_decoder(payload: bytes):
         # slightly different band energies -> small nonzero BER
         x += 900.0 * np.sin(2.0 * np.pi * 3310.0 * t + 0.7)
     return np.clip(x, -32768, 32767).astype(np.int16).reshape(-1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Video perceptual near-dups (r12): frame-sampled dHash + frame vote
+# ---------------------------------------------------------------------------
+#
+# The video-modality member of the perceptual-dedup family: sample
+# n_frames evenly-spaced frames (sample_frames — the production slot
+# for a pyav/ffmpeg keyframe extractor), dHash each frame with the
+# image machinery, band-join candidates PER FRAME INDEX (a re-cut or
+# re-encoded copy aligns frame-for-frame under even sampling), and
+# vote: two videos are near-duplicates when at least ``min_frames``
+# aligned frames match at Hamming ≤ max_hamming. Frame voting is
+# what makes the rule robust to frame-local edits (an inserted logo,
+# a replaced end-card) that would flip a single whole-video hash.
+
+
+def perceptual_video_corpus(
+    docs: DataFrame,
+    n: int = 60,
+    n_dups: int = 6,
+    n_partial: int = 6,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, modality, payload) video corpus for the near-dup
+    row: each base video is the concatenation of ``n_frames``
+    16-byte frame digests ``md5(src ':f' i)`` (so the even byte-range
+    sampler recovers EXACTLY the per-frame digests); the first
+    ``n_dups`` contents re-present under ids 1000+src (exact copies
+    — all frames match), and the first ``n_partial`` under ids
+    2000+src with the LAST frame re-rendered (``md5(src ':f' last
+    'x')``) — a frame-local edit that the frame vote must tolerate
+    at min_frames ≤ n_frames−1 and a whole-video hash would miss.
+    Everything re-derives from the id alone, so both engines replay
+    it."""
+    did = F.col(id_col).cast("bigint")
+
+    def frames(last_alt: bool):
+        parts = []
+        for i in range(n_frames):
+            suffix = (
+                f":f{i}x"
+                if last_alt and i == n_frames - 1
+                else f":f{i}"
+            )
+            parts.append(
+                F.unhex(
+                    F.md5(F.concat(did.cast("string"), F.lit(suffix)))
+                )
+            )
+        return F.concat(*parts)
+
+    base = docs.filter(did < n).select(
+        did.alias("doc_id"),
+        F.lit("video").alias("modality"),
+        frames(False).alias("payload"),
+    )
+    dups = docs.filter(did < n_dups).select(
+        (did + 1000).alias("doc_id"),
+        F.lit("video").alias("modality"),
+        frames(False).alias("payload"),
+    )
+    partial = docs.filter(did < n_partial).select(
+        (did + 2000).alias("doc_id"),
+        F.lit("video").alias("modality"),
+        frames(True).alias("payload"),
+    )
+    return base.unionByName(dups).unionByName(partial)
+
+
+def video_near_dups(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    max_hamming: int = 3,
+    min_frames: int = 3,
+    frame_extractor=None,
+    decoder: "object" = None,
+) -> DataFrame:
+    """(id_a, id_b, n_frames_matched, ham_total) pairs of
+    perceptually-near videos — id_a < id_b, at least ``min_frames``
+    frame-index-aligned frames within Hamming ≤ ``max_hamming``.
+
+    Shape: one mapInPandas frame expansion (rows ×n_frames), one
+    Arrow dHash pass, then the image family's 4×16-bit band bucket
+    join run on composite (doc, frame) ids — candidates are band
+    collisions bounded per frame index, NEVER all pairs — and a
+    per-pair frame-count vote. ``ham_total`` is the sum of matched
+    frames' Hamming distances (0 for exact copies)."""
+    if not 1 <= min_frames <= n_frames:
+        raise ValueError(
+            f"need 1 <= min_frames <= n_frames, got {min_frames}, "
+            f"{n_frames}"
+        )
+    if n_frames > 16:
+        raise ValueError(
+            f"n_frames must be <= 16 (composite-id radix), got {n_frames}"
+        )
+    src = df
+    if "modality" not in src.columns:
+        src = src.withColumn("modality", F.lit("video"))
+    frames = sample_frames(
+        src.select(
+            F.col(id_col).alias("doc_id"), "modality", F.col(payload_col).alias("payload")
+        ),
+        n_frames=n_frames,
+        frame_extractor=frame_extractor,
+    )
+    # composite id = doc·16 + frame: one banding pass covers every
+    # frame index; same-frame alignment recovers as composite % 16
+    comp = frames.select(
+        (F.col("doc_id") * 16 + F.col("frame_idx")).alias("fid"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    hashes = image_dhash(comp, "payload", "fid", "dhash", decoder)
+    pairs = hash_near_pairs(hashes, "fid", "dhash", max_hamming)
+    return (
+        pairs.filter(
+            (F.col("id_a") % 16 == F.col("id_b") % 16)
+        )
+        .select(
+            F.expr("id_a DIV 16").alias("id_a"),
+            F.expr("id_b DIV 16").alias("id_b"),
+            "hamming",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames_matched"),
+            F.sum("hamming").cast("bigint").alias("ham_total"),
+        )
+        .filter(F.col("n_frames_matched") >= min_frames)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def video_near_dups_sql(
+    table: str = "documents",
+    n: int = 60,
+    n_dups: int = 6,
+    n_partial: int = 6,
+    n_frames: int = 4,
+    max_hamming: int = 3,
+    min_frames: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``video_near_dups(perceptual_video_corpus(…))``
+    — the image twin's full dHash arithmetic with a FRAME dimension:
+    per-frame payload bytes from ``md5(src ':f' f [ 'x' ])`` (the
+    even byte-range sampler recovers exactly these digests), the
+    16×16 tiling → 8×9 cross-multiplied area means → row patterns,
+    band keys scoped to (frame, band), per-frame Hamming verify,
+    then the frame-count vote ≥ ``min_frames``."""
+    if not 1 <= min_frames <= n_frames:
+        raise ValueError(
+            f"need 1 <= min_frames <= n_frames, got {min_frames}, "
+            f"{n_frames}"
+        )
+    cb = [(j * 16) // 9 for j in range(10)]
+    cb_rows = ", ".join(
+        f"({j}, {cb[j]}, {cb[j + 1]})" for j in range(9)
+    )
+    last = n_frames - 1
+    return (
+        "WITH corpus AS ("
+        f" SELECT CAST({id_col} AS BIGINT) AS i,"
+        f"  CAST({id_col} AS BIGINT) AS src, FALSE AS alt"
+        f"  FROM {table} WHERE {id_col} < {n}"
+        f" UNION ALL SELECT CAST({id_col} + 1000 AS BIGINT),"
+        f"  CAST({id_col} AS BIGINT), FALSE FROM {table}"
+        f"  WHERE {id_col} < {n_dups}"
+        f" UNION ALL SELECT CAST({id_col} + 2000 AS BIGINT),"
+        f"  CAST({id_col} AS BIGINT), TRUE FROM {table}"
+        f"  WHERE {id_col} < {n_partial}),"
+        # per-(video, frame) 16 payload bytes: frame digest
+        # md5(src ':f' f) — with the 'x' re-render on the partial
+        # copies' last frame
+        " vbytes AS MATERIALIZED (SELECT i, f.f, c.c,"
+        "  ('0x' || substr(md5(CAST(src AS VARCHAR) || ':f' ||"
+        "   CAST(f.f AS VARCHAR) ||"
+        f"   (CASE WHEN alt AND f.f = {last} THEN 'x' ELSE '' END)),"
+        "   2 * c.c + 1, 2))::BIGINT AS bv"
+        f"  FROM corpus, (SELECT unnest(range(0, {n_frames})) AS f) f,"
+        "  (SELECT unnest(range(0, 16)) AS c) c),"
+        " vcells AS MATERIALIZED (SELECT i, b.f, rr.r, cbs.j,"
+        "  sum(b.bv) AS s, count(*) AS cnt"
+        "  FROM (SELECT unnest(range(0, 16)) AS pr) pr"
+        "  CROSS JOIN (SELECT unnest(range(0, 16)) AS pc) pc"
+        "  CROSS JOIN LATERAL (SELECT pr.pr // 2 AS r) rr"
+        f"  JOIN (VALUES {cb_rows}) AS cbs(j, lo, hi)"
+        "   ON pc.pc >= cbs.lo AND pc.pc < cbs.hi"
+        "  JOIN vbytes b ON b.c = (pr.pr * 16 + pc.pc) % 16"
+        "  GROUP BY i, b.f, rr.r, cbs.j),"
+        " vrowpat AS MATERIALIZED (SELECT a.i, a.f, a.r,"
+        "  CAST(sum(CASE WHEN b.s * a.cnt > a.s * b.cnt"
+        "   THEN 1 << CAST(a.j AS INT) ELSE 0 END) AS BIGINT) AS pat"
+        "  FROM vcells a JOIN vcells b ON b.i = a.i AND b.f = a.f"
+        "   AND b.r = a.r AND b.j = a.j + 1"
+        "  WHERE a.j < 8 GROUP BY a.i, a.f, a.r),"
+        " vbands AS (SELECT p0.i, p0.f, p0.r // 2 AS band,"
+        "  p0.pat + 256 * p1.pat AS key"
+        "  FROM vrowpat p0 JOIN vrowpat p1"
+        "   ON p1.i = p0.i AND p1.f = p0.f AND p1.r = p0.r + 1"
+        "  WHERE p0.r % 2 = 0),"
+        " vcand AS (SELECT DISTINCT a.i AS id_a, b.i AS id_b, a.f"
+        "  FROM vbands a JOIN vbands b"
+        "   ON a.f = b.f AND a.band = b.band AND a.key = b.key"
+        "   AND a.i < b.i),"
+        " vham AS (SELECT c.id_a, c.id_b, c.f,"
+        "  CAST(sum(bit_count(xor(pa.pat, pb.pat))) AS BIGINT)"
+        "   AS hamming"
+        "  FROM vcand c JOIN vrowpat pa ON pa.i = c.id_a"
+        "   AND pa.f = c.f"
+        "  JOIN vrowpat pb ON pb.i = c.id_b AND pb.f = c.f"
+        "   AND pb.r = pa.r"
+        "  GROUP BY c.id_a, c.id_b, c.f)"
+        " SELECT id_a, id_b,"
+        "  CAST(count(*) AS BIGINT) AS n_frames_matched,"
+        "  CAST(sum(hamming) AS BIGINT) AS ham_total"
+        f" FROM vham WHERE hamming <= {max_hamming}"
+        " GROUP BY id_a, id_b"
+        f" HAVING count(*) >= {min_frames}"
+        " ORDER BY id_a, id_b"
+    )
