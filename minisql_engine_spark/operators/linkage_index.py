@@ -158,10 +158,16 @@ def admit_linkage_batch(
     labels = read_snapshot(spark, _labels_dir(path))
 
     # both rails in ONE action: id-disjointness vs the index and
-    # in-batch id uniqueness
+    # in-batch id uniqueness. Membership is checked against LABELS —
+    # the commit point — not the record store: a crashed admission
+    # can leave an orphaned records/batch=k dir whose labels never
+    # committed, and a replay must see those ids as NOT admitted
+    # (the streaming wrapper's exactly-once argument rests on this)
     rail = (
         new.join(
-            old.select(F.col(id_col), F.lit(1).alias("_in")),
+            labels.select(
+                F.col("rec_id").alias(id_col), F.lit(1).alias("_in")
+            ),
             id_col,
             "left",
         )

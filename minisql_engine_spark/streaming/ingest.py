@@ -473,3 +473,84 @@ def versioned_admission_sql(
         "  CAST(0 AS BIGINT) AS replay_new_versions"
         " FROM adm CROSS JOIN nv"
     )
+
+
+def stream_admit_linkage(
+    stream_records: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    batch_base: int = 1,
+    id_col: str = "rec_id",
+    block_col: str = "block",
+    name_col: str = "name",
+    exact_weights: dict[str, int] | None = None,
+    name_weight: int = 3,
+    max_name_dist: int = 2,
+    threshold: int = 5,
+):
+    """Streaming entity resolution — the MDM twin of
+    :func:`stream_admit`: each micro-batch of records resolves
+    against the persisted linkage index
+    (:mod:`operators.linkage_index`) and folds in, so a
+    re-registration links to its entity whether the first
+    registration arrived in this batch, the previous one, or a
+    backfill — and a bridging record merges existing entities
+    mid-stream.
+
+    Idempotence under at-least-once delivery: already-labeled ids
+    drop via an anti-join against the LABEL snapshot — the commit
+    point, so an orphaned ``records/batch=k`` dir from a crashed
+    admission is invisible to the check — and an all-dropped batch
+    is skipped with NO writes, so a replay can neither double-label
+    nor clobber a committed records dir. Records dirs are keyed
+    ``batch_base + batch_id`` (init owns batch 0; give concurrent
+    logical sources distinct bases).
+
+    The index must already exist (:func:`init_linkage_index`,
+    possibly on an empty frame) so a first-batch race can't observe
+    a missing path. Semantics equal the batch operator's BY
+    CONSTRUCTION (the call graph IS ``admit_linkage_batch``), and by
+    its equivalence contract the stream's final labels equal one-shot
+    ``record_linkage`` over everything ever admitted, regardless of
+    micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.linkage_index import (
+        _labels_dir,
+        admit_linkage_batch,
+    )
+    from minisql_engine_spark.sources.snapshots import read_snapshot
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        labels = read_snapshot(spark, _labels_dir(index_path))
+        fresh = batch_df.join(
+            labels.select(F.col("rec_id").alias(id_col)),
+            id_col,
+            "left_anti",
+        ).persist()
+        try:
+            if fresh.count() == 0:
+                return
+            admit_linkage_batch(
+                spark,
+                index_path,
+                fresh,
+                batch_base + int(batch_id),
+                id_col=id_col,
+                block_col=block_col,
+                name_col=name_col,
+                exact_weights=exact_weights,
+                name_weight=name_weight,
+                max_name_dist=max_name_dist,
+                threshold=threshold,
+            )
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream_records.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -232,3 +232,64 @@ def test_rollup_composes_with_index(spark):
         assert golden.name.iloc[0] == "abcdef"  # canonical min-id
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_admit_linkage(spark, tmp_path):
+    """Streaming MDM: file-per-trigger micro-batches resolve against
+    the index; the final labels equal one-shot record_linkage over
+    everything admitted (the equivalence contract, now across
+    micro-batch boundaries), a mid-stream bridge merges existing
+    entities, and a fresh-checkpoint replay admits nothing."""
+    import os
+
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_linkage,
+    )
+
+    seed = _mk(spark, [(1, "blk", "abcdef", 50),
+                       (2, "blk", "abxyzf", 50)])
+    b1 = _mk(spark, [(10, "blk", "abcdeg", 50)])   # links to 1
+    b2 = _mk(spark, [(20, "blk", "abcyzf", 50)])   # bridges 1 and 2
+    drop = str(tmp_path / "drop")
+    for part in [b1, b2]:
+        part.coalesce(1).write.mode("append").parquet(drop)
+    path = str(tmp_path / "lidx")
+    init_linkage_index(seed, path, **_KW)
+
+    schema = spark.read.parquet(drop).schema
+    q = stream_admit_linkage(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        path,
+        str(tmp_path / "ckpt"),
+        **_KW,
+    )
+    q.awaitTermination(120)
+
+    got = _entities_pdf(linkage_index_entities(spark, path))
+    want = _entities_pdf(
+        record_linkage(
+            seed.unionByName(b1).unionByName(b2), **_KW
+        )
+    )
+    assert got.equals(want)
+    assert set(got.entity) == {1}  # the bridge merged everything
+
+    # fresh-checkpoint replay: at-least-once delivery, idempotent
+    # admission — labels unchanged, no new records dirs
+    dirs_before = sorted(os.listdir(os.path.join(path, "records")))
+    q2 = stream_admit_linkage(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        path,
+        str(tmp_path / "ckpt2"),
+        **_KW,
+    )
+    q2.awaitTermination(120)
+    got2 = _entities_pdf(linkage_index_entities(spark, path))
+    assert got2.equals(want)
+    assert sorted(
+        os.listdir(os.path.join(path, "records"))
+    ) == dirs_before
