@@ -706,3 +706,79 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def keep_best_of_cluster(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "s",
+) -> DataFrame:
+    """(id, cluster, score, is_kept): per duplicate cluster, keep the
+    member with the HIGHEST score, ties → min id — the curation
+    upgrade over min-id survivorship (FineWeb-style pipelines keep a
+    near-dup group's best-quality member, not its smallest id).
+
+    ``labels`` is any (id, cluster) relation — minhash/simhash
+    components, ``semantic_dedup`` output, linkage entities;
+    ``scores`` any integer per-id quality (``stopword_score``,
+    Gopher rule counts, perplexity buckets). The chooser is the
+    ``entity_rollup`` struct-max: ONE partial-aggregatable aggregate
+    per cluster, skew-immune (a million-member boilerplate cluster
+    costs one combiner cell, not a window sort), broadcast back to
+    members. Missing scores are treated as the lowest (NULL loses to
+    any scored member; an all-NULL cluster falls back to min id)."""
+    j = labels.select(
+        F.col(id_col), F.col(cluster_col).alias("_cl")
+    ).join(
+        scores.select(
+            F.col(id_col), F.col(score_col).cast("long").alias("_s")
+        ),
+        id_col,
+        "left",
+    )
+    best = j.groupBy("_cl").agg(
+        F.max(
+            F.struct(
+                F.coalesce(F.col("_s"), F.lit(-(1 << 62))).alias("s"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_b")
+    )
+    return (
+        j.join(F.broadcast(best), "_cl")
+        .select(
+            F.col(id_col),
+            F.col("_cl").alias(cluster_col),
+            F.col("_s").alias(score_col),
+            (F.col(id_col) == -F.col("_b.nid")).alias("is_kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def keep_best_of_cluster_sql(
+    labels_cte: str,
+    scores_cte: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "s",
+) -> str:
+    """DuckDB twin of :func:`keep_best_of_cluster` — the chooser
+    replays as arg-max by (score DESC NULLS LAST, id ASC)."""
+    return (
+        f"WITH kb_l AS ({labels_cte}),"
+        f" kb_s AS ({scores_cte}),"
+        " kb_j AS (SELECT kb_l.*, kb_s._kb_score FROM kb_l"
+        "  LEFT JOIN (SELECT"
+        f"   {id_col}, CAST({score_col} AS BIGINT) AS _kb_score"
+        f"   FROM kb_s) kb_s USING ({id_col})),"
+        " kb_r AS (SELECT *, row_number() OVER ("
+        f"  PARTITION BY {cluster_col}"
+        f"  ORDER BY _kb_score DESC NULLS LAST, {id_col} ASC) AS _rn"
+        "  FROM kb_j)"
+        f" SELECT {id_col}, {cluster_col},"
+        f"  _kb_score AS {score_col}, _rn = 1 AS is_kept"
+        f" FROM kb_r ORDER BY {id_col}"
+    )
