@@ -63,6 +63,7 @@ def pack_sequences(
     text_col: str = "text",
     seed: str = "pack",
     shard_chars: int = 1,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign every document's tokens to fixed-``capacity`` training
     sequences (concat-and-chunk; see module docstring).
@@ -73,6 +74,10 @@ def pack_sequences(
     token range of the doc owned by shard-local sequence ``seq_id``.
     Empty documents produce no rows. Deterministic for a given seed:
     re-runs, re-partitions, and the SQL oracle agree byte-for-byte.
+
+    ``count_col`` overrides the whitespace token count with a
+    precomputed per-doc count column (e.g. real BPE counts — see
+    :func:`bpe_pack_sequences`); ``text_col`` is then unused.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -83,10 +88,15 @@ def pack_sequences(
         1,
         shard_chars,
     )
+    n_tok = (
+        F.col(count_col).cast("bigint")
+        if count_col is not None
+        else F.size(_ws_tokens(F.col(text_col))).cast("bigint")
+    )
     base = docs.select(
         did.alias("doc_id"),
         shard.alias("shard"),
-        F.size(_ws_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
     w = (
@@ -126,11 +136,18 @@ def pack_sequences_sql(
     text_col: str = "text",
     seed: str = "pack",
     shard_chars: int = 1,
+    count_sql: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`pack_sequences` — identical
-    integer arithmetic, window, and explode."""
+    integer arithmetic, window, and explode. ``count_sql`` overrides
+    the whitespace count expression (a column name or SQL expression
+    over ``table``'s rows), mirroring ``count_col``."""
     cap = int(capacity)
-    n_tok = WS_COUNT_SQL.format(text=text_col)
+    n_tok = (
+        count_sql
+        if count_sql is not None
+        else WS_COUNT_SQL.format(text=text_col)
+    )
     return (
         "WITH b AS ("
         f" SELECT {id_col} AS doc_id,"
@@ -250,3 +267,67 @@ def read_training_shard(spark, path: str, shard: str) -> DataFrame:
     ``shard=`` partition filter prunes every other directory at the
     source (verified via PartitionFilters in tests)."""
     return spark.read.parquet(path).filter(F.col("shard") == shard)
+
+
+def bpe_pack_sequences(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+    shard_chars: int = 1,
+) -> DataFrame:
+    """The tokenizer→packer closed loop: pack by REAL subword token
+    counts from the production trie BPE apply (:func:`bpe.
+    bpe_apply_trie`) instead of the whitespace proxy — what a
+    pretraining pipeline actually needs, since sequence budgets are
+    spent in TOKENIZER tokens and whitespace counts under-fill
+    capacity by the corpus fertility ratio (the quantity
+    ``tokenizer_fertility_by_lang`` measures). One extra corpus pass
+    (the Arrow trie apply + a per-doc count aggregate); the packing
+    arithmetic, sharding, and determinism contract are unchanged."""
+    from .bpe import bpe_apply_trie
+
+    toks = bpe_apply_trie(docs.select(id_col, text_col), merges)
+    counts = toks.select(
+        F.col(id_col),
+        F.size("bpe_tokens").cast("bigint").alias("_n_bpe"),
+    )
+    return pack_sequences(
+        counts,
+        capacity,
+        id_col=id_col,
+        seed=seed,
+        shard_chars=shard_chars,
+        count_col="_n_bpe",
+    )
+
+
+def bpe_pack_sequences_sql(
+    table: str,
+    merges: list[tuple[str, str]],
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "pack",
+    shard_chars: int = 1,
+) -> str:
+    """DuckDB twin of :func:`bpe_pack_sequences` — the apply-identity
+    chain (``bpe_apply_sql``) grouped to per-doc counts, then the
+    packing twin over the counted relation."""
+    from .bpe import bpe_apply_sql
+
+    counts = (
+        f"(SELECT {id_col}, CAST(count(*) AS BIGINT) AS _n_bpe"
+        f" FROM ({bpe_apply_sql(table, merges, id_col=id_col, text_col=text_col)})"
+        f" GROUP BY {id_col})"
+    )
+    return pack_sequences_sql(
+        counts,
+        capacity,
+        id_col=id_col,
+        seed=seed,
+        shard_chars=shard_chars,
+        count_sql="_n_bpe",
+    )
