@@ -129,6 +129,11 @@ def test_entry_module_round_sites_classified():
     """__spark_entry__.py carries inline oracles; its residual
     F.round sites must stay at the classified set: two rows-only
     ml_lsh quality ratios, one fixed-point events sum (3-decimal
-    data, on-grid), one rows-only audio BER."""
+    data, on-grid), one rows-only audio BER, and two integer-cents
+    stagings (r12: `F.round(c_acctbal * 100)` in
+    entity_rollup_golden and linkage_index_admission — 2-decimal
+    data on-grid ×100, so round() snaps a float-epsilon
+    near-integer to the exact integer identically in both engines;
+    the staged column is BIGINT from there on)."""
     src = (PKG.parent / "__spark_entry__.py").read_text()
-    assert len(re.findall(r"F\.round\(", src)) == 4
+    assert len(re.findall(r"F\.round\(", src)) == 6
