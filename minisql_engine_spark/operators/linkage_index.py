@@ -156,7 +156,43 @@ def admit_linkage_batch(
     new = batch.select(*cols).localCheckpoint(eager=True)
     old = _read_records(spark, path)
     labels = read_snapshot(spark, _labels_dir(path))
+    next_labels = _resolve_against(
+        new,
+        old,
+        labels,
+        cols,
+        id_col,
+        block_col,
+        name_col,
+        exact_weights,
+        name_weight,
+        max_name_dist,
+        threshold,
+    )
+    new.write.mode("overwrite").parquet(
+        os.path.join(_records_dir(path), f"batch={batch_no}")
+    )
+    return write_snapshot(next_labels, _labels_dir(path))
 
+
+def _resolve_against(
+    new: DataFrame,
+    old: DataFrame,
+    labels: DataFrame,
+    cols: list[str],
+    id_col: str,
+    block_col: str,
+    name_col: str,
+    exact_weights: dict[str, int],
+    name_weight: int,
+    max_name_dist: int,
+    threshold: int,
+) -> DataFrame:
+    """The layout-agnostic admission core: rails, edge building,
+    closure, and the label union — shared by the directory layout
+    (:func:`admit_linkage_batch`) and the bucketed-table layout
+    (:func:`admit_linkage_batch_bucketed`). Returns the next label
+    table's content (old relabeled ∪ new labeled)."""
     # both rails in ONE action: id-disjointness vs the index and
     # in-batch id uniqueness. Membership is checked against LABELS —
     # the commit point — not the record store: a crashed admission
@@ -193,7 +229,7 @@ def admit_linkage_batch(
     kw = dict(
         id_col=id_col,
         name_col=name_col,
-        exact_weights=exact_weights,
+        exact_weights=dict(exact_weights),
         name_weight=name_weight,
         max_name_dist=max_name_dist,
         threshold=threshold,
@@ -207,22 +243,28 @@ def admit_linkage_batch(
         ),
         **kw,
     )
-    # batch×index edges, index side collapsed to its ENTITY label —
-    # the closure below never touches old record ids
-    cross = _weighted_edges(
+    # batch×index edges against RECORD ids first, entity mapping
+    # AFTER the weight filter: the edge set is candidate-sized, so
+    # the labels join touches edge keys only — the index records are
+    # never shuffled on rec_id (and under the bucketed layout never
+    # shuffled at all). Orphan records from a crashed admission have
+    # no label and drop out of the inner join, exactly as before.
+    cross_raw = _weighted_edges(
         a.join(
-            old.join(
-                labels.select(
-                    F.col("rec_id").alias(id_col), "entity"
-                ),
-                id_col,
-            ).select(
-                F.col("entity").alias(f"b_{id_col}"),
-                *[F.col(c).alias(f"b_{c}") for c in cols[1:]],
-            ),
+            old.select(*[F.col(c).alias(f"b_{c}") for c in cols]),
             F.col(f"a_{block_col}") == F.col(f"b_{block_col}"),
         ),
         **kw,
+    )
+    # collapse the old side to its ENTITY label — the closure below
+    # never touches old record ids
+    cross = cross_raw.join(
+        labels.select(
+            F.col("rec_id").alias("id_b"), F.col("entity")
+        ),
+        "id_b",
+    ).select(
+        "id_a", F.col("entity").alias("id_b"), "weight"
     )
     edges = within.unionByName(cross)
 
@@ -257,12 +299,112 @@ def admit_linkage_batch(
             ),
         )
     )
-    new.write.mode("overwrite").parquet(
-        os.path.join(_records_dir(path), f"batch={batch_no}")
+    return old_labels.unionByName(new_labels)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: the index side of admission is SCAN-ONLY
+# ---------------------------------------------------------------------------
+#
+# The directory layout shuffles the index records into the block join
+# once per admission. The bucketed layout removes that: the record
+# store lives as a catalog table hash-bucketed on ``block`` (the
+# ``dedup_index`` bucketing precedent), so the batch×index block join
+# plans with NO Exchange on the index side — only the batch hashes
+# into the index's buckets, and appends accumulate bucket files with
+# the identical spec. Combined with the candidate-first entity
+# mapping above (labels joined on edge keys only), NOTHING
+# corpus-sized moves per admission: the index records are scanned in
+# place, the labels scan once. At a fixed cluster this IS the layout
+# a persisted MDM index would use.
+
+
+def init_linkage_index_bucketed(
+    records: DataFrame,
+    table: str,
+    labels_path: str,
+    n_buckets: int = 16,
+    id_col: str = "rec_id",
+    block_col: str = "block",
+    name_col: str = "name",
+    exact_weights: dict[str, int] | None = None,
+    name_weight: int = 3,
+    max_name_dist: int = 2,
+    threshold: int = 5,
+) -> int:
+    """:func:`init_linkage_index` with the record store as a catalog
+    table bucketed on ``block``; labels stay snapshot-versioned at
+    ``labels_path``. Returns the label version."""
+    from ..sources.bucketing import write_bucketed
+    from .linkage import record_linkage
+
+    exact_weights = dict(exact_weights or {})
+    cols = _match_cols(id_col, block_col, name_col, exact_weights)
+    base = records.select(*cols)
+    resolved = record_linkage(
+        base,
+        id_col=id_col,
+        block_col=block_col,
+        name_col=name_col,
+        exact_weights=exact_weights,
+        name_weight=name_weight,
+        max_name_dist=max_name_dist,
+        threshold=threshold,
     )
+    write_bucketed(base, table, block_col, n_buckets, sort_by=block_col)
     return write_snapshot(
-        old_labels.unionByName(new_labels), _labels_dir(path)
+        resolved.select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.col("entity").cast("long").alias("entity"),
+        ),
+        _labels_dir(labels_path),
     )
+
+
+def admit_linkage_batch_bucketed(
+    spark: SparkSession,
+    table: str,
+    labels_path: str,
+    batch: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "rec_id",
+    block_col: str = "block",
+    name_col: str = "name",
+    exact_weights: dict[str, int] | None = None,
+    name_weight: int = 3,
+    max_name_dist: int = 2,
+    threshold: int = 5,
+) -> int:
+    """:func:`admit_linkage_batch` for the bucketed layout: the index
+    side of the block join is the bucketed table (scan-only, no
+    Exchange — plan-gated in ``test_linkage_index.py``); admitted
+    records append with the identical bucket spec."""
+    exact_weights = dict(exact_weights or {})
+    cols = _match_cols(id_col, block_col, name_col, exact_weights)
+    new = batch.select(*cols).localCheckpoint(eager=True)
+    old = spark.table(table)
+    labels = read_snapshot(spark, _labels_dir(labels_path))
+    next_labels = _resolve_against(
+        new,
+        old,
+        labels,
+        cols,
+        id_col,
+        block_col,
+        name_col,
+        exact_weights,
+        name_weight,
+        max_name_dist,
+        threshold,
+    )
+    (
+        new.write.mode("append")
+        .bucketBy(n_buckets, block_col)
+        .sortBy(block_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return write_snapshot(next_labels, _labels_dir(labels_path))
 
 
 def linkage_index_entities(

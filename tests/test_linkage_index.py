@@ -293,3 +293,105 @@ def test_stream_admit_linkage(spark, tmp_path):
     assert sorted(
         os.listdir(os.path.join(path, "records"))
     ) == dirs_before
+
+
+def test_bucketed_layout_identity(spark, sf_dir, tmp_path):
+    """The bucketed-catalog layout produces EXACTLY the directory
+    layout's labels across an init + two-admission sequence (and so,
+    by the equivalence contract, the one-shot resolution)."""
+    from minisql_engine_spark.operators.linkage_index import (
+        admit_linkage_batch_bucketed,
+        init_linkage_index_bucketed,
+    )
+    from minisql_engine_spark.sources.bucketing import drop_bucketed
+
+    base = _base(spark, sf_dir)
+    b1 = _dirty(base)
+    b2 = base.filter(F.col("rec_id") % 11 == 0).select(
+        (F.col("rec_id") + 3_000_000).alias("rec_id"),
+        "block",
+        F.concat(F.lit("zz "), F.col("name")).alias("name"),
+        "bal_c",
+    )
+    dir_path = str(tmp_path / "lidx_dir")
+    lbl_path = str(tmp_path / "lidx_lbl")
+    tbl = "linkage_idx_bucketed_test"
+    drop_bucketed(spark, tbl)
+    init_linkage_index(base, dir_path, **_KW)
+    init_linkage_index_bucketed(base, tbl, lbl_path, **_KW)
+    try:
+        for i, batch in enumerate([b1, b2], start=1):
+            admit_linkage_batch(spark, dir_path, batch, i, **_KW)
+            admit_linkage_batch_bucketed(
+                spark, tbl, lbl_path, batch, **_KW
+            )
+        got_dir = _entities_pdf(
+            linkage_index_entities(spark, dir_path)
+        )
+        got_tbl = _entities_pdf(
+            linkage_index_entities(spark, lbl_path)
+        )
+        assert got_tbl.equals(got_dir)
+        want = _entities_pdf(
+            record_linkage(
+                base.unionByName(b1).unionByName(b2), **_KW
+            )
+        )
+        assert got_tbl.equals(want)
+    finally:
+        drop_bucketed(spark, tbl)
+
+
+def test_bucketed_admission_zero_exchange_on_index_side(
+    spark, sf_dir, tmp_path
+):
+    """With broadcast disabled, the batch×index block join (the
+    cross_raw construction _resolve_against builds) reads the
+    bucketed record store with NO Exchange above it: the scan
+    reports Bucketed: true, the SortMergeJoin's index side is
+    satisfied by the table's bucketing, and the single Exchange in
+    the tree is the batch hashing into the index's buckets."""
+    from minisql_engine_spark.operators.linkage import (
+        _weighted_edges,
+    )
+    from minisql_engine_spark.operators.linkage_index import (
+        _match_cols,
+        init_linkage_index_bucketed,
+    )
+    from minisql_engine_spark.sources.bucketing import drop_bucketed
+    from tests.test_plans import plan_of
+
+    base = _base(spark, sf_dir)
+    tbl = "linkage_idx_bucketed_plan"
+    lbl_path = str(tmp_path / "lbl")
+    drop_bucketed(spark, tbl)
+    init_linkage_index_bucketed(base, tbl, lbl_path, **_KW)
+    bpath = str(tmp_path / "batch")
+    _dirty(base).write.parquet(bpath)
+    batch = spark.read.parquet(bpath)
+    cols = _match_cols("rec_id", "block", "name", {"bal_c": 2})
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = batch.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+        b = spark.table(tbl).select(
+            *[F.col(c).alias(f"b_{c}") for c in cols]
+        )
+        cross_raw = _weighted_edges(
+            a.join(b, F.col("a_block") == F.col("b_block")),
+            id_col="rec_id",
+            name_col="name",
+            exact_weights={"bal_c": 2},
+            name_weight=3,
+            max_name_dist=2,
+            threshold=5,
+        )
+        plan = plan_of(cross_raw)
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("- Exchange") == 1, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
+        drop_bucketed(spark, tbl)
