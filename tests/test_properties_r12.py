@@ -1,0 +1,151 @@
+"""Property-based tests for the r12 operators: keep-best
+survivorship ≡ a Python argmax replay on arbitrary cluster/score
+relations (NULLs, ties, singletons included), and the video frame
+vote ≡ brute-force per-frame Hamming counting on random hash
+relations straddling the radius boundary."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import pytest  # noqa: E402
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ids 0..9, clusters from a tiny domain (guaranteed shared
+# clusters), scores sparse (None = unscored) with deliberate ties
+KB_CASE = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),       # doc id
+        st.integers(min_value=0, max_value=3),       # cluster
+        st.one_of(
+            st.none(), st.integers(min_value=-5, max_value=5)
+        ),                                            # score
+    ),
+    min_size=1,
+    max_size=14,
+    unique_by=lambda t: t[0],
+)
+
+
+@pytest.fixture(scope="module")
+def _spark():
+    # module-scoped so hypothesis examples share one session
+    # (getOrCreate returns the suite's JVM-wide session)
+    from minisql_engine_spark import get_spark
+
+    return get_spark("props-r12", shuffle_partitions=4)
+
+
+@given(case=KB_CASE)
+@SLOW
+def test_keep_best_equals_argmax_replay(_spark, case):
+    from minisql_engine_spark.operators.dedup import (
+        keep_best_of_cluster,
+    )
+
+    labels = [(i, c) for i, c, _ in case]
+    scores = [(i, s) for i, _, s in case if s is not None]
+    ldf = _spark.createDataFrame(
+        labels, "doc_id long, component long"
+    )
+    if scores:
+        sdf = _spark.createDataFrame(scores, "doc_id long, s long")
+    else:
+        sdf = _spark.createDataFrame([], "doc_id long, s long")
+    got = {
+        r["doc_id"]: bool(r["is_kept"])
+        for r in keep_best_of_cluster(ldf, sdf).collect()
+    }
+    # replay: per cluster, argmax by (score with None lowest, -id)
+    by_cluster: dict[int, list[tuple[int, int | None]]] = {}
+    for i, c, s in case:
+        by_cluster.setdefault(c, []).append((i, s))
+    want = {}
+    for c, members in by_cluster.items():
+        best = max(
+            members,
+            key=lambda t: (
+                t[1] if t[1] is not None else -(1 << 62),
+                -t[0],
+            ),
+        )[0]
+        for i, _s in members:
+            want[i] = i == best
+    assert got == want
+
+
+# small hash domain so band collisions and near-ties are common;
+# 4 frames per "video"
+VIDEO_HASHES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # doc id
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            min_size=4,
+            max_size=4,
+        ),
+    ),
+    min_size=2,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(case=VIDEO_HASHES, max_h=st.integers(min_value=0, max_value=3),
+       min_f=st.integers(min_value=1, max_value=4))
+@SLOW
+def test_frame_vote_equals_bruteforce(_spark, case, max_h, min_f):
+    """hash_near_pairs on composite (doc, frame) ids + the frame
+    vote == brute-force per-frame Hamming counting, for any hash
+    relation and any (radius ≤ 3, vote) setting."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.multimodal import (
+        hash_near_pairs,
+        _signed64,
+    )
+
+    rows = [
+        (doc * 16 + f, _signed64(h))
+        for doc, hs in case
+        for f, h in enumerate(hs)
+    ]
+    hdf = _spark.createDataFrame(rows, "fid long, dhash long")
+    pairs = hash_near_pairs(hdf, "fid", "dhash", max_h)
+    voted = (
+        pairs.filter(F.col("id_a") % 16 == F.col("id_b") % 16)
+        .select(
+            F.expr("id_a DIV 16").alias("a"),
+            F.expr("id_b DIV 16").alias("b"),
+        )
+        .groupBy("a", "b")
+        .count()
+        .filter(F.col("count") >= min_f)
+    )
+    got = {(r["a"], r["b"]) for r in voted.collect()}
+    want = set()
+    docs = dict(case)
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = sum(
+                1
+                for f in range(4)
+                if bin(docs[a][f] ^ docs[b][f]).count("1") <= max_h
+            )
+            if n >= min_f:
+                want.add((a, b))
+    assert got == want
