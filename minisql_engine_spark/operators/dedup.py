@@ -782,3 +782,221 @@ def keep_best_of_cluster_sql(
         f"  _kb_score AS {score_col}, _rn = 1 AS is_kept"
         f" FROM kb_r ORDER BY {id_col}"
     )
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    threshold_fx6: int = 500_000,
+    n_queries: int = 40,
+    seed: str = "lshaudit",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_true, n_detected, recall_fx6) — measured banding
+    recall per sampled query doc: of the pairs whose EXACT shingle
+    Jaccard ≥ ``threshold_fx6``/10⁶, how many does the production
+    MinHash+LSH candidate generation surface? The due-diligence
+    audit run before trusting a (num_hashes, band_size) operating
+    point — the dedup family's analogue of the matryoshka/IVF
+    recall audits (serving stays on the banded path; the audit runs
+    on a budgeted sample).
+
+    Ground truth is exact and integer-exact: candidates for a query
+    doc are docs sharing ≥ 1 shingle (the inverted-shingle join — a
+    pair below that shares nothing and has Jaccard 0), scored
+    ``inter·10⁶ DIV (n_a + n_b − inter)``. The query set is the
+    ``n_queries`` smallest decision hashes (ties → id), so the audit
+    is O(n_queries · shingle-cooccurrence) at any corpus size.
+    Detection is judged at CANDIDATE level (≥ 1 shared band) —
+    banding is the recall-lossy stage; verification after it is
+    exact. Queries with no true pair emit recall NULL (nothing to
+    recall), keeping the sampled set visible and hash-stable."""
+    from .sampling import sample_hash
+
+    if not 0 < threshold_fx6 <= 10**6:
+        raise ValueError(
+            f"threshold_fx6 must be in (0, 1e6], got {threshold_fx6}"
+        )
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    sh = shingle_table(docs, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_sh")
+    )
+    queries = (
+        sizes.select(id_col)
+        .orderBy(sample_hash(F.col(id_col), seed), F.col(id_col))
+        .limit(n_queries)
+        .select(F.col(id_col).alias("qid"))
+        .localCheckpoint(eager=True)
+    )
+    qsh = sh.join(
+        queries, sh[id_col] == queries["qid"], "left_semi"
+    ).select(F.col(id_col).alias("qid"), "sh")
+    cooc = (
+        qsh.join(sh, "sh")
+        .filter(F.col("qid") != F.col(id_col))
+        .groupBy("qid", F.col(id_col).alias("other"))
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    truth = (
+        cooc.join(
+            sizes.select(
+                F.col(id_col).alias("qid"),
+                F.col("n_sh").alias("na"),
+            ),
+            "qid",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("other"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "other",
+        )
+        .filter(
+            F.expr(
+                f"n_inter * {10**6}L DIV (na + nb - n_inter)"
+                f" >= {int(threshold_fx6)}L"
+            )
+        )
+        .select("qid", "other")
+    )
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingles=sh
+    )
+    cand = lsh_candidate_pairs(
+        lsh_band_keys(sigs, id_col, num_hashes, band_size), id_col
+    )
+    detected = (
+        cand.select(
+            F.col("id_a").alias("qid"), F.col("id_b").alias("other")
+        )
+        .unionByName(
+            cand.select(
+                F.col("id_b").alias("qid"),
+                F.col("id_a").alias("other"),
+            )
+        )
+        .join(queries, "qid", "left_semi")
+    )
+    hits = truth.join(
+        detected, ["qid", "other"], "left_semi"
+    ).groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_detected")
+    )
+    trues = truth.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return (
+        queries.join(trues, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias(id_col),
+            F.coalesce(F.col("n_true"), F.lit(0))
+            .cast("bigint")
+            .alias("n_true"),
+            F.coalesce(F.col("n_detected"), F.lit(0))
+            .cast("bigint")
+            .alias("n_detected"),
+            F.expr(
+                "CASE WHEN COALESCE(n_true, 0) > 0 THEN"
+                f" COALESCE(n_detected, 0) * {10**6}L DIV n_true"
+                " ELSE NULL END"
+            ).alias("recall_fx6"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def lsh_recall_audit_sql(
+    threshold_fx6: int = 500_000,
+    n_queries: int = 40,
+    seed: str = "lshaudit",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`lsh_recall_audit` — the shingle base,
+    the md5-min signature family, banding, the hash-order query
+    pick, the exact integer Jaccard, and the recall edge, term for
+    term."""
+    from .sampling import sample_hash_sql
+
+    if not 0 < threshold_fx6 <= 10**6:
+        raise ValueError(
+            f"threshold_fx6 must be in (0, 1e6], got {threshold_fx6}"
+        )
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    n_bands = num_hashes // band_size
+    FXL = 10**6
+    sig_list = ",".join(
+        f" min(md5('{i}:' || s)) AS sig_{i}" for i in range(num_hashes)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, md5("
+        + " || '|' || ".join(
+            f"sig_{b * band_size + r}" for r in range(band_size)
+        )
+        + f") AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    norm = (
+        f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    )
+    return (
+        f"WITH tk AS (SELECT {id_col},"
+        f"  string_split({norm}, ' ') AS t FROM {table}),"
+        f" shl AS (SELECT {id_col}, list_distinct("
+        "  [t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+        "   for i in range(1, len(t)-1)]) AS shs"
+        "  FROM tk WHERE len(t) >= 3),"
+        f" ex AS (SELECT {id_col}, unnest(shs) AS s FROM shl),"
+        f" sz AS (SELECT {id_col},"
+        f"  CAST(len(shs) AS BIGINT) AS n_sh FROM shl),"
+        f" q AS (SELECT {id_col} AS qid FROM sz"
+        f"  ORDER BY {sample_hash_sql(id_col, seed)}, {id_col}"
+        f"  LIMIT {n_queries}),"
+        " cooc AS (SELECT a.qid, b.doc_id AS other,"
+        "  CAST(count(*) AS BIGINT) AS n_inter"
+        f"  FROM (SELECT q.qid, ex.s FROM q JOIN ex"
+        f"   ON ex.{id_col} = q.qid) a"
+        f"  JOIN ex b ON b.s = a.s AND b.{id_col} <> a.qid"
+        "  GROUP BY a.qid, other),"
+        " truth AS (SELECT c.qid, c.other FROM cooc c"
+        f"  JOIN sz sa ON sa.{id_col} = c.qid"
+        f"  JOIN sz sb ON sb.{id_col} = c.other"
+        f"  WHERE n_inter * {FXL} // (sa.n_sh + sb.n_sh - n_inter)"
+        f"   >= {int(threshold_fx6)}),"
+        f" sigs AS (SELECT {id_col},{sig_list} FROM ex"
+        f"  GROUP BY {id_col}),"
+        f" bands AS ({band_union}),"
+        " cand AS (SELECT DISTINCT"
+        f"  a.{id_col} AS id_a, b.{id_col} AS id_b"
+        "  FROM bands a JOIN bands b ON a.band = b.band"
+        f"  AND a.band_key = b.band_key AND a.{id_col} < b.{id_col}),"
+        " det AS (SELECT qid, other FROM ("
+        "   SELECT id_a AS qid, id_b AS other FROM cand"
+        "   UNION ALL SELECT id_b, id_a FROM cand) d"
+        "  WHERE qid IN (SELECT qid FROM q)),"
+        " tr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_true"
+        "  FROM truth GROUP BY qid),"
+        " ht AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_detected"
+        "  FROM truth t JOIN det d ON d.qid = t.qid"
+        "   AND d.other = t.other GROUP BY t.qid)"
+        f" SELECT q.qid AS {id_col},"
+        "  COALESCE(tr.n_true, 0) AS n_true,"
+        "  COALESCE(ht.n_detected, 0) AS n_detected,"
+        "  CASE WHEN COALESCE(tr.n_true, 0) > 0 THEN"
+        f"   CAST(COALESCE(ht.n_detected, 0) * {FXL}"
+        "    // tr.n_true AS BIGINT)"
+        "  ELSE NULL END AS recall_fx6"
+        " FROM q LEFT JOIN tr ON tr.qid = q.qid"
+        " LEFT JOIN ht ON ht.qid = q.qid"
+        f" ORDER BY q.qid"
+    )
