@@ -378,7 +378,16 @@ def admit_linkage_batch_bucketed(
     """:func:`admit_linkage_batch` for the bucketed layout: the index
     side of the block join is the bucketed table (scan-only, no
     Exchange — plan-gated in ``test_linkage_index.py``); admitted
-    records append with the identical bucket spec."""
+    records append with the identical bucket spec.
+
+    Crash semantics differ from the directory layout in one benign
+    way: a crash between the append and the label commit leaves
+    orphan rows that a replay re-appends (no per-batch dir to
+    overwrite), so the record store can hold duplicate rows for a
+    replayed batch. Labels stay exactly-once (the rail checks the
+    label snapshot), and duplicates only duplicate edge candidates —
+    deduped in the closure — so results are unaffected; compact by
+    rewriting with the identical spec when storage warrants."""
     exact_weights = dict(exact_weights or {})
     cols = _match_cols(id_col, block_col, name_col, exact_weights)
     new = batch.select(*cols).localCheckpoint(eager=True)
