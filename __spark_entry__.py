@@ -2992,7 +2992,13 @@ def q_semantic_dedup(spark, sf_dir):
     connected-components group resolution, min-id keep rule. The
     whole pipeline — Lloyd iterations, argmax assignment, pair
     search, closure — is replayed by the oracle
-    (operators/semdedup.py)."""
+    (operators/semdedup.py). Since r13 the row runs the
+    scale-correct AUTO cell count (n_cells ≈ √n from one corpus
+    count, clamped [4, 4096] — 22 cells at sf0.01 vs the old
+    constant 16): cell population stays ≈ √n as the corpus grows
+    instead of leaning on the LSH fallback guard. The oracle derives
+    the SAME count in-query (AUTO_N_CELLS_SQL scalar-subquery LIMIT),
+    so the twin adapts with the data; hash re-certified r13."""
     from minisql_engine_spark.operators.semdedup import semantic_dedup
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"))
@@ -3005,6 +3011,45 @@ def _semdedup_oracle() -> str:
 
 
 _ORACLES["semantic_dedup"] = _semdedup_oracle()
+
+
+@_register(
+    "lsh_recall_audit",
+    None,  # filled below — the audit's term-for-term SQL twin
+)
+def q_lsh_recall_audit(spark, sf_dir):
+    """LSH banding recall audit (operators/dedup.py, r12; promoted
+    r13): per sampled query doc, of the pairs whose EXACT shingle
+    Jaccard ≥ 0.5 (integer-exact inter·10⁶ DIV union over the
+    inverted-shingle cooccurrence join), how many does the
+    production MinHash banding surface as candidates? The
+    due-diligence measurement before trusting a (num_hashes,
+    band_size) operating point — the dedup family's analogue of the
+    matryoshka/IVF recall audits. Registered with the ABSOLUTE
+    n_queries=40 budget from the start (smallest decision hashes,
+    oracle-replayed ORDER BY hash LIMIT n): work is
+    O(n_queries·shingle-cooccurrence) at ANY corpus size — the
+    linear-audit idiom the matryoshka row had to be re-certified
+    onto. Detection is judged at candidate level (banding is the
+    recall-lossy stage; verification after it is exact); queries
+    with no true pair emit recall NULL, keeping the sample visible
+    and hash-stable."""
+    from minisql_engine_spark.operators.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(
+        _t(spark, sf_dir, "documents"), n_queries=40
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from minisql_engine_spark.operators.dedup import (
+        lsh_recall_audit_sql,
+    )
+
+    return lsh_recall_audit_sql(n_queries=40)
+
+
+_ORACLES["lsh_recall_audit"] = _lsh_recall_oracle()
 
 
 @_register(
@@ -4036,6 +4081,47 @@ def _imgdup_oracle() -> str:
 
 
 _ORACLES["image_near_dups"] = _imgdup_oracle()
+
+
+@_register(
+    "video_near_dups",
+    None,  # filled below — the operator's full-arithmetic SQL twin
+)
+def q_video_near_dups(spark, sf_dir):
+    """Perceptual VIDEO near-duplicates (operators/multimodal.py,
+    r12; promoted r13 — the first hash-certified video entry): one
+    mapInPandas frame expansion (even byte-range sampler, 4 frames
+    per payload), the image family's Arrow dHash pass per frame,
+    band bucket joins bounded per FRAME INDEX via composite
+    (doc·16+frame) ids — candidates are band collisions within a
+    frame, never all pairs — then a per-pair frame-count vote
+    (≥ min_frames aligned frames within Hamming ≤ 3). Corpus = 60
+    deterministic 4-frame videos with 6 exact copies (all frames
+    match, ham_total 0) and 6 frame-local edits (last frame
+    re-rendered — the vote must tolerate them; a whole-video hash
+    would miss them). Unlike audio (FFT, rows-only by design) the
+    whole pipeline is integer/md5 arithmetic, so the oracle
+    re-derives EVERYTHING — frame digests, tiling, cross-multiplied
+    area means, difference bits, per-frame banding, Hamming verify,
+    and the vote."""
+    from minisql_engine_spark.operators.multimodal import (
+        perceptual_video_corpus,
+        video_near_dups,
+    )
+
+    corpus = perceptual_video_corpus(_t(spark, sf_dir, "documents"))
+    return video_near_dups(corpus)
+
+
+def _videodup_oracle() -> str:
+    from minisql_engine_spark.operators.multimodal import (
+        video_near_dups_sql,
+    )
+
+    return video_near_dups_sql()
+
+
+_ORACLES["video_near_dups"] = _videodup_oracle()
 
 
 @_register(
@@ -6087,6 +6173,11 @@ def _entity_rollup_oracle() -> str:
 _ORACLES["entity_rollup_golden"] = _entity_rollup_oracle()
 
 
+# last linkage-index tempdir per dataset tag, reclaimed on the next
+# same-process invocation (see q_linkage_index_admission)
+_LIDX_DIRS: dict[str, str] = {}
+
+
 @_register(
     "linkage_index_admission",
     None,  # filled below — the ONE-SHOT twin, by the equivalence contract
@@ -6110,9 +6201,11 @@ def q_linkage_index_admission(spark, sf_dir):
     incrementality itself, not just the final labels. Admission
     never re-scores old pairs: candidates are batch×batch and
     batch×index within blocks, closure runs over entity super-nodes."""
+    import atexit
     import hashlib
     import shutil
     import tempfile
+    import uuid as _uuid
 
     from minisql_engine_spark.operators.linkage_index import (
         admit_linkage_batch,
@@ -6164,10 +6257,23 @@ def q_linkage_index_admission(spark, sf_dir):
         max_name_dist=2,
         threshold=5,
     )
+    # Per-invocation path (dataset tag + pid + uuid): two concurrent
+    # driver/bench processes on the same machine must not race on one
+    # dir (the returned DataFrame lazily reads the label snapshot, so
+    # a sibling's rmtree would tear it). Rebuilt every call — the
+    # init→admit→admit cycle IS the operator; the previous
+    # invocation's dir is reclaimed here (its DataFrame has been
+    # consumed by then, same-process) and the last one at exit.
     tag = hashlib.md5(("lidx" + sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"minisql_lidx_{tag}")
-    # rebuilt every call — the init→admit→admit cycle IS the operator
-    shutil.rmtree(path, ignore_errors=True)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"minisql_lidx_{tag}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+    )
+    prev = _LIDX_DIRS.get(tag)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _LIDX_DIRS[tag] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     init_linkage_index(base, path, **kw)
     admit_linkage_batch(spark, path, batch1, 1, **kw)
     admit_linkage_batch(spark, path, batch2, 2, **kw)
@@ -6215,6 +6321,166 @@ def _linkage_index_oracle() -> str:
 
 
 _ORACLES["linkage_index_admission"] = _linkage_index_oracle()
+
+
+# last stream-admission tempdir per dataset tag, reclaimed on the
+# next same-process invocation (same pattern as _LIDX_DIRS)
+_SLNK_DIRS: dict[str, str] = {}
+
+
+@_register(
+    "stream_admit_linkage",
+    None,  # filled below — the ONE-SHOT twin over everything admitted
+)
+def q_stream_admit_linkage(spark, sf_dir):
+    """STREAMING entity resolution (streaming/ingest.py
+    stream_admit_linkage — the MDM ingest loop a registration STREAM
+    runs at 100 TB): init a real on-disk linkage index from the
+    clean customer corpus, then drive two re-registration batches
+    through the REAL Structured Streaming engine (file source,
+    maxFilesPerTrigger=1 → two micro-batches, availableNow trigger,
+    checkpointed foreachBatch) — each micro-batch anti-joins the
+    label snapshot (idempotence under at-least-once delivery) and
+    resolves against the index via admit_linkage_batch. Batch A
+    (every 5th customer, last-char typo 'q', id +1e6) must attach to
+    its source entity; batch B extends chains (every 15th, typo 'r',
+    id +2e6) and founds singletons ('zz '-prefixed, every 13th, id
+    +3e6 — balance agreement alone is 2 < 5). The oracle is one-shot
+    record_linkage_sql over base ∪ A ∪ B: the driver hash certifies
+    that streaming admission across micro-batch boundaries equals
+    batch-global resolution — the equivalence contract THROUGH the
+    streaming engine, which versioned_stream_admission certifies
+    only for content-hash admission. Differs from
+    linkage_index_admission (batch twin) in delivery path AND batch
+    composition, so the two rows' hashes are independent."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from minisql_engine_spark.operators.linkage_index import (
+        init_linkage_index,
+        linkage_index_entities,
+    )
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_linkage,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        F.concat_ws(
+            ":", F.col("c_nationkey"), F.col("c_mktsegment")
+        ).alias("block"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_c"),
+    )
+    batch_a = base.filter(F.col("rec_id") % 5 == 0).select(
+        (F.col("rec_id") + 1_000_000).alias("rec_id"),
+        "block",
+        F.expr(
+            "concat(substring(name, 1, length(name) - 1), 'q')"
+        ).alias("name"),
+        "bal_c",
+    )
+    batch_b = (
+        base.filter(F.col("rec_id") % 15 == 0)
+        .select(
+            (F.col("rec_id") + 2_000_000).alias("rec_id"),
+            "block",
+            F.expr(
+                "concat(substring(name, 1, length(name) - 1), 'r')"
+            ).alias("name"),
+            "bal_c",
+        )
+        .unionByName(
+            base.filter(F.col("rec_id") % 13 == 0).select(
+                (F.col("rec_id") + 3_000_000).alias("rec_id"),
+                "block",
+                F.concat(F.lit("zz "), F.col("name")).alias("name"),
+                "bal_c",
+            )
+        )
+    )
+    kw = dict(
+        exact_weights={"bal_c": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+    tag = hashlib.md5(("slnk" + sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"minisql_slnk_{tag}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+    )
+    prev = _SLNK_DIRS.get(tag)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SLNK_DIRS[tag] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    drop = os.path.join(root, "drop")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    batch_a.coalesce(1).write.mode("append").parquet(drop)
+    batch_b.coalesce(1).write.mode("append").parquet(drop)
+    index_path = os.path.join(root, "lidx")
+    init_linkage_index(base, index_path, **kw)
+    schema = spark.read.parquet(drop).schema
+    q = stream_admit_linkage(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index_path,
+        os.path.join(root, "ckpt"),
+        **kw,
+    )
+    q.awaitTermination(300)
+    return linkage_index_entities(spark, index_path)
+
+
+def _stream_linkage_oracle() -> str:
+    from minisql_engine_spark.operators.linkage import (
+        record_linkage_sql,
+    )
+
+    b = (
+        "concat(CAST(c_nationkey AS VARCHAR), ':', c_mktsegment)"
+    )
+    staging = (
+        f"SELECT CAST(c_custkey AS BIGINT) AS rec_id, {b} AS block,"
+        " lower(c_name) AS name,"
+        " CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c"
+        " FROM customer"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 1000000 AS BIGINT), {b},"
+        " concat(substring(lower(c_name), 1,"
+        "  length(c_name) - 1), 'q'),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 5 = 0"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 2000000 AS BIGINT), {b},"
+        " concat(substring(lower(c_name), 1,"
+        "  length(c_name) - 1), 'r'),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 15 = 0"
+        " UNION ALL"
+        f" SELECT CAST(c_custkey + 3000000 AS BIGINT), {b},"
+        " concat('zz ', lower(c_name)),"
+        " CAST(round(c_acctbal * 100) AS BIGINT)"
+        " FROM customer WHERE c_custkey % 13 = 0"
+    )
+    return record_linkage_sql(
+        staging,
+        exact_weights={"bal_c": 2},
+        name_weight=3,
+        max_name_dist=2,
+        threshold=5,
+    )
+
+
+_ORACLES["stream_admit_linkage"] = _stream_linkage_oracle()
 
 
 @_register(
@@ -6288,14 +6554,24 @@ def q_matryoshka_prefix_recall(spark, sf_dir):
     pass; the proven rounded-cosine twin applies to SLICED vectors;
     the full-dims rows ride along as the trivially-1.0 sanity anchor.
     The synthetic corpus is isotropic, so prefix recall lands near
-    d/64 (0.10/0.19/0.36 at sf0.01) — the audit correctly reporting
-    that THESE embeddings have no matryoshka structure; real MRL
-    embeddings would hold the curve high."""
+    d/64 — the audit correctly reporting that THESE embeddings have
+    no matryoshka structure; real MRL embeddings would hold the
+    curve high.
+
+    The registered row runs the ABSOLUTE ``n_queries=40`` budget
+    (smallest decision hashes within the mod sample, oracle-replayed
+    ORDER BY hash LIMIT n): query count is O(1) in corpus size, so
+    pair work is O(n·n_queries) — linear, measured 7.3× on 10× data
+    vs 91.4× for the unbudgeted ∝-corpus default (BASELINE r12 slope
+    table). Re-certified r13; the hash changed with the sample, by
+    design."""
     from minisql_engine_spark.operators.matryoshka import (
         matryoshka_recall,
     )
 
-    return matryoshka_recall(_t(spark, sf_dir, "embeddings"))
+    return matryoshka_recall(
+        _t(spark, sf_dir, "embeddings"), n_queries=40
+    )
 
 
 def _matryoshka_oracle() -> str:
@@ -6303,7 +6579,7 @@ def _matryoshka_oracle() -> str:
         matryoshka_recall_sql,
     )
 
-    return matryoshka_recall_sql()
+    return matryoshka_recall_sql(n_queries=40)
 
 
 _ORACLES["matryoshka_prefix_recall"] = _matryoshka_oracle()
@@ -6400,6 +6676,48 @@ def _fertility_oracle() -> str:
 
 
 _ORACLES["tokenizer_fertility_by_lang"] = _fertility_oracle()
+
+
+@_register(
+    "bpe_pack_sequences",
+    None,  # filled below — the apply-identity chain + packing twin
+)
+def q_bpe_pack_sequences(spark, sf_dir):
+    """Tokenizer→packer CLOSED LOOP (operators/packing.py
+    bpe_pack_sequences, r12; promoted r13 — the last §2.4-adjacent
+    operator without driver visibility): pack sequences by REAL
+    subword counts from the production trie BPE apply instead of the
+    whitespace proxy — pretraining budgets are spent in TOKENIZER
+    tokens, and whitespace counts under-fill capacity by exactly the
+    fertility ratio `tokenizer_fertility_by_lang` measures. One
+    extra corpus pass (Arrow trie apply + per-doc count aggregate),
+    then the unchanged packing arithmetic: md5-sharded deterministic
+    order, per-shard window cumsum, integer-exact slicing — ONE
+    shuffle, shards pack independently at 100 TB. The oracle replays
+    the chained-replace BPE identity grouped to counts, then the
+    packing twin over the counted relation."""
+    from minisql_engine_spark.operators.packing import (
+        bpe_pack_sequences,
+    )
+
+    return bpe_pack_sequences(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BPE_TRIE_MERGES,
+        capacity=_PACK_CAP,
+    )
+
+
+def _bpe_pack_oracle() -> str:
+    from minisql_engine_spark.operators.packing import (
+        bpe_pack_sequences_sql,
+    )
+
+    return bpe_pack_sequences_sql(
+        "documents", _BPE_TRIE_MERGES, capacity=_PACK_CAP
+    )
+
+
+_ORACLES["bpe_pack_sequences"] = _bpe_pack_oracle()
 
 
 @_register(
@@ -6952,13 +7270,60 @@ _ARCHIVED: frozenset[str] = frozenset(
         # the driver hash certifying incremental ≡ batch-global via
         # the one-shot twin.
         "scd2_dimension",
+        # r13 wave — room for video_near_dups: cms_frequency is
+        # hash-green r5–r12 (7 consecutive driver rounds, the
+        # longest-certified remaining sketch row) and the sketch
+        # family keeps pergroup_hll live (the same associative
+        # partial-merge discipline, per group) while the CMS
+        # width/depth/point-query arithmetic stays archive-parity-
+        # tested every run; the multimodal family gains its first
+        # hash-certified VIDEO entry beside image_near_dups (audio
+        # stays rows-only by design — FFT is not SQL-portable).
+        "cms_frequency",
+        # + lsh_recall_audit (same wave): dsir_importance is
+        # hash-green r5–r12 (7 consecutive driver rounds) and the
+        # importance/composition family keeps doremi_mixture_weights,
+        # doremi_mixture_selection, and unimax_language_budget live
+        # while the hashed-ngram importance-weight arithmetic stays
+        # archive-parity-tested every run; the dedup family gains
+        # its recall-audit member (the measurement that justifies
+        # every banded operating point the family's other rows use),
+        # registered with the linear n_queries budget from the start.
+        "dsir_importance",
+        # + stream_admit_linkage (same wave): streaming_interval_join
+        # is hash-green r5–r12 (7 consecutive driver rounds) and the
+        # streaming family keeps THREE live rows (streaming_curate_
+        # funnel, versioned_stream_admission, and the NEW streaming
+        # MDM admission — the first row to hash-certify the linkage
+        # equivalence contract ACROSS micro-batch boundaries through
+        # the real streaming engine); the stream-stream interval-join
+        # state arithmetic stays archive-parity-tested every run.
+        "streaming_interval_join",
+        # + bpe_pack_sequences (same wave): lm_perplexity_buckets is
+        # hash-green r5–r12 (7 consecutive driver rounds) and the LM
+        # family keeps the frozen-LM scorer live inside BOTH funnel
+        # rows (llm_curation_funnel, streaming_curate_funnel) while
+        # the bigram-interpolation bucket arithmetic stays archive-
+        # parity-tested every run; the training-composition family
+        # closes its tokenizer→packer loop with a driver row (packing
+        # budgets in REAL subword counts — the §2.4 mandate's last
+        # member without driver visibility at any point).
+        "lm_perplexity_buckets",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # r12 wave — brand new driver rows, never driver-checked
+    # r13 wave — brand new driver rows, never driver-checked, plus
+    # the two re-certifications whose hashes changed by design
+    # (matryoshka: linear n_queries budget; semantic_dedup: auto √n
+    # cell count — both already listed below / in file order)
+    "video_near_dups",
+    "lsh_recall_audit",
+    "stream_admit_linkage",
+    "bpe_pack_sequences",
+    # r12 wave — first re-certification round
     "entity_rollup_golden",
     "linkage_index_admission",
     # r11 wave — first re-certification round

@@ -738,16 +738,26 @@ def keep_best_of_cluster(
         id_col,
         "left",
     )
+    # NULLS-LAST is encoded structurally (a has-score flag leads the
+    # struct) rather than with a numeric sentinel, so a legitimate
+    # score at LONG_MIN still beats a NULL — exact parity with the
+    # oracle's ``ORDER BY _kb_score DESC NULLS LAST`` for all longs.
     best = j.groupBy("_cl").agg(
         F.max(
             F.struct(
-                F.coalesce(F.col("_s"), F.lit(-(1 << 62))).alias("s"),
+                F.col("_s").isNotNull().alias("has_s"),
+                F.coalesce(F.col("_s"), F.lit(0)).alias("s"),
                 (-F.col(id_col)).alias("nid"),
             )
         ).alias("_b")
     )
+    # No broadcast hint: ``best`` has one row per cluster — roughly
+    # label-table cardinality for dedup inputs — so a forced broadcast
+    # would blow the driver at corpus scale. The shuffle join on _cl
+    # is skew-safe (one row per key on the build side); AQE may still
+    # choose to broadcast when the cluster count is genuinely small.
     return (
-        j.join(F.broadcast(best), "_cl")
+        j.join(best, "_cl")
         .select(
             F.col(id_col),
             F.col("_cl").alias(cluster_col),
@@ -962,7 +972,7 @@ def lsh_recall_audit_sql(
         f" q AS (SELECT {id_col} AS qid FROM sz"
         f"  ORDER BY {sample_hash_sql(id_col, seed)}, {id_col}"
         f"  LIMIT {n_queries}),"
-        " cooc AS (SELECT a.qid, b.doc_id AS other,"
+        f" cooc AS (SELECT a.qid, b.{id_col} AS other,"
         "  CAST(count(*) AS BIGINT) AS n_inter"
         f"  FROM (SELECT q.qid, ex.s FROM q JOIN ex"
         f"   ON ex.{id_col} = q.qid) a"

@@ -131,6 +131,47 @@ def _read_records(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(_records_dir(path))
 
 
+def _rail_committed_batch_dir(
+    spark: SparkSession,
+    path: str,
+    batch_no: int,
+    labels: DataFrame,
+    id_col: str,
+) -> None:
+    """Refuse to overwrite a COMMITTED ``records/batch=k`` dir.
+
+    Batch dirs are keyed by caller-supplied batch number; a stream
+    restarted on a FRESH checkpoint re-counts from 0, and two
+    sources sharing a base collide — either would overwrite a
+    committed dir with different content, silently evicting records
+    whose labels persist (future batches could never match them).
+    A dir is committed iff any of its ids appear in the label
+    snapshot (labels are the commit point); an orphan from a crashed
+    admission has no labeled ids and stays safely overwritable.
+    Checkpoint reset therefore requires a new ``batch_base``."""
+    d = os.path.join(_records_dir(path), f"batch={batch_no}")
+    if not os.path.exists(d):
+        return
+    committed = (
+        spark.read.parquet(d)
+        .select(F.col(id_col))
+        .join(
+            labels.select(F.col("rec_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        .limit(1)
+        .count()
+    )
+    if committed:
+        raise ValueError(
+            f"records/batch={batch_no} already committed (its ids "
+            "are labeled) — a colliding batch number would evict "
+            "committed records; restart streams on a fresh "
+            "checkpoint with a NEW batch_base"
+        )
+
+
 def admit_linkage_batch(
     spark: SparkSession,
     path: str,
@@ -156,6 +197,9 @@ def admit_linkage_batch(
     new = batch.select(*cols).localCheckpoint(eager=True)
     old = _read_records(spark, path)
     labels = read_snapshot(spark, _labels_dir(path))
+    _rail_committed_batch_dir(
+        spark, path, batch_no, labels, id_col
+    )
     next_labels = _resolve_against(
         new,
         old,

@@ -29,8 +29,10 @@ form their own singleton component and are kept.
 Scale notes: the only corpus-sized shuffles are the assignment
 aggregate and the within-cell pair join; centroids stay broadcast;
 the CC loop runs on the (small) duplicate-pair edge set, not the
-corpus. At 100 TB the cell count rises with the corpus (n_cells ≈
-√n keeps cells bounded) — n_cells is a parameter, not a constant.
+corpus. At 100 TB the cell count rises with the corpus — the DEFAULT
+derives n_cells ≈ √n from a corpus count (:func:`auto_n_cells`,
+r13), keeping expected cell population ≈ √n; an explicit int pins it
+(hash-stable across corpus sizes).
 
 The paper keeps the member FARTHEST from the cell centroid; that
 choice needs a tie-broken distance rank per group and adds a join
@@ -50,7 +52,6 @@ from pyspark.sql import functions as F
 from minisql_engine_spark.operators.clustering import connected_components
 from minisql_engine_spark.operators.similarity import (
     DUCK_COS,
-    N_CELLS,
     embedding_near_dups,
     ivf_assignments,
     ivf_refined_centroids,
@@ -80,10 +81,19 @@ def auto_n_cells(n: int) -> int:
     return max(4, min(4096, math.isqrt(max(1, int(n)))))
 
 
+#: DuckDB expression computing :func:`auto_n_cells` over the ``e``
+#: CTE — floor(sqrt(n)) equals math.isqrt(n) for every n below the
+#: 4096² clamp (double sqrt is exact there), asserted in tests.
+AUTO_N_CELLS_SQL = (
+    "GREATEST(4, LEAST(4096,"
+    " CAST(floor(sqrt((SELECT count(*) FROM e))) AS BIGINT)))"
+)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_cells: int | None = N_CELLS,
+    n_cells: int | None = None,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -94,11 +104,14 @@ def semantic_dedup(
     semantic-duplicate groups resolved within k-means cells; the
     min-id member of each group is kept.
 
-    ``n_cells=None`` sizes the cell count from the corpus
-    (:func:`auto_n_cells` — one count job): the scale-correct default
-    for unknown corpora. The driver row pins an explicit value so its
-    hash is corpus-size-stable; the SQL twin takes the RESOLVED count
-    (compute :func:`auto_n_cells` on the same n)."""
+    ``n_cells=None`` — the DEFAULT since r13 — sizes the cell count
+    from the corpus (:func:`auto_n_cells`, one count job): expected
+    cell population tracks √n, so the within-cell pair work grows
+    ~n·√n instead of leaning on the max_block_size → LSH fallback as
+    the corpus outgrows a constant cell count. Pass an explicit int
+    to pin (the IVF index's N_CELLS, a corpus-size-stable hash). The
+    SQL twin's default derives the SAME count in-query
+    (``AUTO_N_CELLS_SQL``); with an explicit int pass the same int."""
     if n_cells is None:
         n_cells = auto_n_cells(embeddings.count())
     cents = ivf_refined_centroids(
@@ -144,7 +157,7 @@ def semantic_dedup(
 
 def semantic_dedup_sql(
     threshold: float = 0.4,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     n_iter: int = 2,
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -158,7 +171,12 @@ def semantic_dedup_sql(
 
     Valid only when no cell exceeds the Spark side's
     ``max_block_size`` (the oracle is always all-pairs); the driver
-    corpus satisfies this by construction."""
+    corpus satisfies this by construction. ``n_cells=None`` (the
+    default, matching the DataFrame side) derives the count from the
+    corpus INSIDE the query via ``AUTO_N_CELLS_SQL``, so the twin
+    stays corpus-size-adaptive with no Python-side count."""
+    if n_cells is None:
+        n_cells = AUTO_N_CELLS_SQL
     cos_assign = DUCK_COS.format(a="e.v", b="c.cv")
     cos_pair = DUCK_COS.format(a="ea.v", b="eb.v")
     return (

@@ -136,7 +136,7 @@ def lsh_sig_ctes_sql(
 
 
 def ivf_refine_ctes_sql(
-    n_iter: int, n_cells: int = 16, dims: int = 64
+    n_iter: int, n_cells: int | str = 16, dims: int = 64
 ) -> str:
     """DuckDB CTE chain replaying :func:`ivf_refined_centroids` from
     the ``first_ids`` seed: requires an ``e(vec_id, v DOUBLE[])`` CTE
@@ -144,7 +144,10 @@ def ivf_refine_ctes_sql(
     assigns every vector to its nearest centroid by rounded cosine and
     recomputes decimal-exact per-dimension means — the same
     order-independent arithmetic the Spark side uses, so the refined
-    index replays bit-for-bit."""
+    index replays bit-for-bit. ``n_cells`` may be a SQL expression
+    (string) — DuckDB accepts a scalar subquery as LIMIT — so a
+    corpus-derived cell count (``semdedup.AUTO_N_CELLS_SQL``) replays
+    without a Python-side count."""
     ctes = [
         " cents0 AS (SELECT vec_id AS cell, v AS cv FROM e"
         f"   ORDER BY vec_id LIMIT {n_cells})"

@@ -504,7 +504,12 @@ def stream_admit_linkage(
     is skipped with NO writes, so a replay can neither double-label
     nor clobber a committed records dir. Records dirs are keyed
     ``batch_base + batch_id`` (init owns batch 0; give concurrent
-    logical sources distinct bases).
+    logical sources distinct bases). Restarting a stream on a FRESH
+    checkpoint resets ``batch_id`` to 0, so it MUST use a new
+    ``batch_base`` — the admission core rails this
+    (:func:`operators.linkage_index._rail_committed_batch_dir`
+    refuses to overwrite a records dir whose ids are already
+    labeled), turning the silent-eviction hazard into a hard error.
 
     The index must already exist (:func:`init_linkage_index`,
     possibly on an empty frame) so a first-batch race can't observe

@@ -55,6 +55,57 @@ def test_keep_best_crafted(spark, duck):
     )
 
 
+def test_keep_best_extreme_negative_score_beats_null(spark, duck):
+    """A legitimate score at the old NULL sentinel value (-(1<<62))
+    must still BEAT a NULL-scored smaller-id member — NULLS LAST is
+    structural (a has-score flag), not a numeric sentinel, so no
+    real long can collide with 'unscored'. Pins ADVICE r12
+    (dedup.py keep_best ordering)."""
+    labels = [(1, 10), (2, 10), (3, 20), (4, 20)]
+    scores = [(2, -(1 << 62)), (4, -(1 << 62) - 1)]
+    ldf = spark.createDataFrame(labels, "doc_id long, component long")
+    sdf = spark.createDataFrame(scores, "doc_id long, s long")
+    got = {
+        r["doc_id"]: r["is_kept"]
+        for r in keep_best_of_cluster(ldf, sdf).collect()
+    }
+    # both clusters: the scored member wins despite the larger id
+    assert got == {1: False, 2: True, 3: False, 4: True}
+    lsql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {c})" for i, c in labels)
+        + ") AS t(doc_id, component)"
+    )
+    ssql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, CAST({s} AS BIGINT))" for i, s in scores)
+        + ") AS t(doc_id, s)"
+    )
+    assert_matches_oracle(
+        keep_best_of_cluster(ldf, sdf),
+        duck.execute(keep_best_of_cluster_sql(lsql, ssql)).df(),
+        "keep_best_long_min",
+    )
+
+
+def test_keep_best_no_corpus_sized_broadcast(spark):
+    """The per-cluster chooser join must not FORCE a broadcast: the
+    build side has one row per cluster (corpus-cardinality for dedup
+    labels), so a hinted broadcast would blow the driver at scale.
+    Pins ADVICE r12 (dedup.py:750) at plan level — no
+    ResolvedHint/broadcast marker above the aggregate in the
+    ANALYZED plan (AQE may still pick a broadcast join physically
+    when the cluster count proves tiny; that is its call, not a
+    hint's)."""
+    ldf = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, component long"
+    )
+    sdf = spark.createDataFrame([(1, 5)], "doc_id long, s long")
+    analyzed = keep_best_of_cluster(ldf, sdf)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "broadcast" not in analyzed.lower()
+
+
 def test_keep_best_semantic_quality_composition(spark, duck, sf_dir):
     """The curation chain: semantic_dedup clusters × stopword
     quality scores → keep the best-quality member per semantic

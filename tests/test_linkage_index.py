@@ -208,6 +208,51 @@ def test_admission_rails(spark):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_committed_batch_dir_clobber_rail(spark):
+    """A colliding batch NUMBER with fresh ids (checkpoint reset /
+    shared batch_base) must be REFUSED, not silently overwrite the
+    committed records/batch=1 dir — its records would vanish from
+    the store while their labels persist. An ORPHAN dir (written,
+    labels never committed) stays overwritable: an identical replay
+    must succeed. Pins ADVICE r12 (ingest.py:539)."""
+    path = _tmp("clobber")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_linkage_index(
+            _mk(spark, [(1, "blk", "abcdef", 50)]), path, **_KW
+        )
+        admit_linkage_batch(
+            spark, path, _mk(spark, [(2, "blk", "qqqqqq", 7)]),
+            1, **_KW,
+        )
+        with pytest.raises(ValueError, match="already committed"):
+            admit_linkage_batch(
+                spark, path,
+                _mk(spark, [(3, "blk", "rrrrrr", 8)]), 1, **_KW,
+            )
+        # committed state intact: both admitted ids still resolve
+        got = sorted(
+            r["rec_id"]
+            for r in linkage_index_entities(spark, path).collect()
+        )
+        assert got == [1, 2]
+        # orphan simulation: a records dir whose ids never reached
+        # the label snapshot is invisible to the rail and may be
+        # overwritten by the crash replay
+        orphan = _mk(spark, [(4, "blk", "ssssss", 9)])
+        orphan.write.mode("overwrite").parquet(
+            os.path.join(path, "records", "batch=2")
+        )
+        admit_linkage_batch(spark, path, orphan, 2, **_KW)
+        got = sorted(
+            r["rec_id"]
+            for r in linkage_index_entities(spark, path).collect()
+        )
+        assert got == [1, 2, 4]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_rollup_composes_with_index(spark):
     """entity_rollup consumes linkage_index_entities unchanged —
     the incremental index slots into the MDM chain."""

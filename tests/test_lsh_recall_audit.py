@@ -58,6 +58,29 @@ def test_lsh_recall_exact_dup_anchor(spark):
     assert (with_truth.recall_fx6 == FX).all()
 
 
+def test_lsh_recall_audit_custom_id_col(spark, duck, sf_dir):
+    """Parity with a NON-default id column name — pins ADVICE r12
+    (the oracle's cooc CTE once hardcoded ``b.doc_id``, breaking any
+    ``id_col`` other than the default)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("rid"), "text")
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW docs_rid AS"
+        " SELECT doc_id AS rid, text FROM documents"
+    )
+    assert_matches_oracle(
+        lsh_recall_audit(docs, n_queries=10, id_col="rid"),
+        duck.execute(
+            lsh_recall_audit_sql(
+                n_queries=10, table="docs_rid", id_col="rid"
+            )
+        ).df(),
+        "lsh_recall_audit_rid",
+    )
+
+
 def test_lsh_recall_rails():
     with pytest.raises(ValueError, match="threshold_fx6"):
         lsh_recall_audit_sql(threshold_fx6=0)

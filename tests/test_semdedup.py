@@ -95,3 +95,40 @@ def test_semantic_dedup_auto_cells(spark, duck, sf_dir):
     assert auto_n_cells(0) == 4
     assert auto_n_cells(10**9) == 4096
     assert auto_n_cells(2_000) <= auto_n_cells(20_000)
+
+
+def test_auto_n_cells_sql_matches_isqrt(duck):
+    """AUTO_N_CELLS_SQL (the oracle's in-query derivation) equals
+    math.isqrt clamped, including at perfect-square boundaries —
+    floor(sqrt(n)) in double is exact below the 4096² clamp."""
+    from minisql_engine_spark.operators.semdedup import (
+        AUTO_N_CELLS_SQL,
+        auto_n_cells,
+    )
+
+    for n in [0, 1, 4, 15, 16, 17, 499, 500, 501, 2_000,
+              4095 * 4095, 4095 * 4095 + 1, 4096 * 4096 - 1,
+              4096 * 4096, 10**9]:
+        got = duck.execute(
+            "WITH e AS (SELECT * FROM range(" + str(n) + "))"
+            " SELECT " + AUTO_N_CELLS_SQL
+        ).fetchone()[0]
+        assert got == auto_n_cells(n), n
+
+
+def test_semantic_dedup_default_is_auto(spark, duck, sf_dir):
+    """The DEFAULTS pair: semantic_dedup() with no n_cells equals
+    the SQL twin with no n_cells — both derive √n from the corpus
+    (the r13 scale-correct default the driver row runs)."""
+    from minisql_engine_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+    from minisql_engine_spark.sources.parquet_catalog import load_table
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        semantic_dedup(load_table(spark, sf_dir, "embeddings")),
+        duck.execute(semantic_dedup_sql()).df(),
+        "semdedup_default_auto",
+    )
