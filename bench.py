@@ -171,6 +171,14 @@ HEADLINE = (
     # incremental linkage-index cycle (driver hash == one-shot twin)
     "entity_rollup_golden",
     "linkage_index_admission",
+    # r13 wave: first hash-certified video near-dups, the LSH banding
+    # recall audit (n_queries-budgeted), streaming MDM admission
+    # (incremental == one-shot across micro-batch boundaries), and
+    # the tokenizer->packer closed loop
+    "video_near_dups",
+    "lsh_recall_audit",
+    "stream_admit_linkage",
+    "bpe_pack_sequences",
 )
 
 

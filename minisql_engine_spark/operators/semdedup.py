@@ -34,14 +34,18 @@ derives n_cells ≈ √n from a corpus count (:func:`auto_n_cells`,
 r13), keeping expected cell population ≈ √n; an explicit int pins it
 (hash-stable across corpus sizes).
 
-The paper keeps the member FARTHEST from the cell centroid; that
-choice needs a tie-broken distance rank per group and adds a join
-against the centroid table without changing any plan shape. This
-implementation keeps the MIN-id member (the package-wide canonical
-rule, same as ``dedup_clusters``) so the decision is deterministic
-and oracle-replayable without float-distance tie hazards; swap the
-rule by re-ranking ``component`` members if paper-exact selection is
-needed.
+Two keep rules, same clustering/pair/closure machinery:
+
+* :func:`semantic_dedup` keeps the MIN-id member (the package-wide
+  canonical rule, same as ``dedup_clusters``) — deterministic with
+  no distance computation at all.
+* :func:`semantic_dedup_keep_farthest` (r13) is PAPER-EXACT: keep
+  the member farthest from its cell centroid (lowest centroid
+  cosine — the low-density representative, preserving diversity),
+  ties → min id. The distance is the rounded fx6 integer of the
+  SAME sim the argmax assignment computes, so it is oracle-exact
+  with no float tie hazard; the chooser is the skew-immune
+  struct-max (no window sort over big clusters).
 """
 
 from __future__ import annotations
@@ -52,10 +56,13 @@ from pyspark.sql import functions as F
 from minisql_engine_spark.operators.clustering import connected_components
 from minisql_engine_spark.operators.similarity import (
     DUCK_COS,
+    as_double_sql,
     embedding_near_dups,
     ivf_assignments,
     ivf_refined_centroids,
     ivf_refine_ctes_sql,
+    norm_sql,
+    score_sql,
 )
 
 _SEM_CACHE: list = []
@@ -177,6 +184,31 @@ def semantic_dedup_sql(
     stays corpus-size-adaptive with no Python-side count."""
     if n_cells is None:
         n_cells = AUTO_N_CELLS_SQL
+    return (
+        _semantic_ctes_sql(
+            threshold, n_cells, n_iter, table, id_col, vec_col, dims
+        )
+        + " SELECT a.vec_id, a.cell,"
+        "  CAST(COALESCE(c.component, a.vec_id) AS BIGINT) AS component,"
+        "  COALESCE(c.component, a.vec_id) = a.vec_id AS is_kept"
+        " FROM assign a LEFT JOIN comp c ON c.id = a.vec_id"
+    )
+
+
+def _semantic_ctes_sql(
+    threshold: float,
+    n_cells: int | str,
+    n_iter: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> str:
+    """The shared CTE chain (``e`` … ``comp``) behind BOTH keep
+    rules — Lloyd refinement, argmax assignment, within-cell pair
+    search, recursive-CTE closure. Extracted verbatim from
+    :func:`semantic_dedup_sql` (byte-identical prefix, so the
+    certified driver hash is untouched by the r13 refactor)."""
     cos_assign = DUCK_COS.format(a="e.v", b="c.cv")
     cos_pair = DUCK_COS.format(a="ea.v", b="eb.v")
     return (
@@ -202,8 +234,141 @@ def semantic_dedup_sql(
         " reach(id, r) AS (SELECT id, id FROM nodes"
         "   UNION SELECT e2.t, reach.r FROM reach JOIN e2 ON e2.s = reach.id),"
         " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
-        " SELECT a.vec_id, a.cell,"
-        "  CAST(COALESCE(c.component, a.vec_id) AS BIGINT) AS component,"
-        "  COALESCE(c.component, a.vec_id) = a.vec_id AS is_kept"
-        " FROM assign a LEFT JOIN comp c ON c.id = a.vec_id"
+    )
+
+
+def semantic_dedup_keep_farthest(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_block_size: int = 10_000,
+    dims: int = 64,
+) -> DataFrame:
+    """(vec_id, cell, component, sim_fx6, is_kept) — the PAPER-EXACT
+    SemDeDup keep rule: within each semantic-duplicate group, keep
+    the member FARTHEST from its cell centroid (lowest cosine to the
+    centroid — Abbas et al. 2023 keep the low-density representative
+    to preserve diversity), ties → min id. Same clustering, pair
+    search, and closure as :func:`semantic_dedup` (min-id rule);
+    only the survivorship differs, plus the audit column ``sim_fx6``
+    (rounded centroid cosine ·10⁶ as a long — integer-exact in both
+    engines, no float tie hazard: the rounded sim is the SAME
+    quantity the argmax assignment already computes).
+
+    The chooser is the package's skew-immune struct-max (one
+    partial-aggregatable aggregate per component, no window sort —
+    the ``keep_best_of_cluster`` shape with distance as the score);
+    the centroid-sim join is a broadcast against the (tiny) centroid
+    table. Scale shape identical to the min-id form."""
+    if n_cells is None:
+        n_cells = auto_n_cells(embeddings.count())
+    cents = ivf_refined_centroids(
+        embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
+        dims=dims,
+    )
+    assign = ivf_assignments(
+        embeddings, cents, id_col, vec_col, n_probe=1
+    ).select(id_col, "cell")
+    assign = assign.persist()
+    _SEM_CACHE.append(assign)
+
+    blocked = embeddings.select(id_col, vec_col).join(assign, id_col)
+    pairs = embedding_near_dups(
+        blocked,
+        block_col="cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        max_block_size=max_block_size,
+        dims=dims,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sims = (
+        embeddings.selectExpr(
+            id_col, as_double_sql(vec_col) + " as v"
+        )
+        .withColumn("nv", F.expr(norm_sql("v")))
+        .join(assign, id_col)
+        .join(
+            F.broadcast(cents.withColumn("nc", F.expr(norm_sql("cv")))),
+            "cell",
+        )
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round(
+                F.expr(score_sql("v", "cv", "nv", "nc")) * 1e6
+            )
+            .cast("long")
+            .alias("sim_fx6"),
+        )
+    )
+    roster = sims.join(
+        comp.select(F.col("id").alias(id_col), "component"),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        "cell",
+        F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+        .alias("component"),
+        "sim_fx6",
+    )
+    best = roster.groupBy("component").agg(
+        F.max(
+            F.struct(
+                (-F.col("sim_fx6")).alias("nd"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_b")
+    )
+    return (
+        roster.join(best, "component")
+        .select(
+            F.col(id_col),
+            "cell",
+            "component",
+            "sim_fx6",
+            (F.col(id_col) == -F.col("_b.nid")).alias("is_kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_keep_farthest_sql(
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    n_iter: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_keep_farthest` — the
+    shared CTE chain plus the assigned-cell sim (the r=1 row of the
+    SAME ``asg`` relation the assignment uses, so the fx6 quantity
+    is bit-identical), then the farthest-member pick as a
+    (sim ASC, id ASC) row_number."""
+    if n_cells is None:
+        n_cells = AUTO_N_CELLS_SQL
+    return (
+        _semantic_ctes_sql(
+            threshold, n_cells, n_iter, table, id_col, vec_col, dims
+        )
+        + ", asim AS (SELECT vec_id, cell,"
+        "  CAST(round(sim * 1000000) AS BIGINT) AS sim_fx6 FROM ("
+        "   SELECT vec_id, cell, sim, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY sim DESC, cell) AS r"
+        "   FROM asg) WHERE r = 1),"
+        " roster AS (SELECT a.vec_id, a.cell,"
+        "  CAST(COALESCE(c.component, a.vec_id) AS BIGINT)"
+        "   AS component, a.sim_fx6"
+        "  FROM asim a LEFT JOIN comp c ON c.id = a.vec_id),"
+        " rk AS (SELECT *, row_number() OVER (PARTITION BY component"
+        "  ORDER BY sim_fx6 ASC, vec_id ASC) AS rn FROM roster)"
+        " SELECT vec_id, cell, component, sim_fx6, rn = 1 AS is_kept"
+        " FROM rk"
     )

@@ -132,3 +132,103 @@ def test_semantic_dedup_default_is_auto(spark, duck, sf_dir):
         duck.execute(semantic_dedup_sql()).df(),
         "semdedup_default_auto",
     )
+
+
+def test_keep_farthest_oracle(spark, duck, sf_dir):
+    """Paper-exact SemDeDup keep rule on the corpus — full oracle
+    parity at the auto-cell defaults, and the structural contracts:
+    one kept member per component, every keeper minimizes
+    (sim_fx6, vec_id) within its component."""
+    from minisql_engine_spark.operators.semdedup import (
+        semantic_dedup_keep_farthest,
+        semantic_dedup_keep_farthest_sql,
+    )
+    from minisql_engine_spark.sources.parquet_catalog import load_table
+    from tests.conftest import assert_matches_oracle
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep_farthest(emb)
+    assert_matches_oracle(
+        out,
+        duck.execute(semantic_dedup_keep_farthest_sql()).df(),
+        "semdedup_keep_farthest",
+    )
+    pdf = out.toPandas()
+    assert len(pdf) == emb.count()
+    g = pdf.groupby("component")
+    assert (g["is_kept"].sum() == 1).all()
+    # the keeper IS the (sim ASC, id ASC) argmin of its component
+    idx = pdf.sort_values(["sim_fx6", "vec_id"]).groupby(
+        "component"
+    ).head(1)
+    want = set(idx.vec_id)
+    assert set(pdf[pdf.is_kept].vec_id) == want
+
+
+def test_keep_farthest_vs_min_id_semantics(spark, duck):
+    """Crafted group where the farthest-from-centroid member has the
+    LARGER id: min-id keeps 1, paper rule keeps 3 (its centroid
+    cosine is lowest). Components identical between rules; the
+    orthogonal singleton survives either way."""
+    import math
+
+    import pandas as pd
+
+    from minisql_engine_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_keep_farthest,
+        semantic_dedup_keep_farthest_sql,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # one cell (n_cells=1): after one Lloyd step the centroid is the
+    # mean of all four vectors, whose planar angle is ≈0.464 rad.
+    # 1(0.4) links 2(0.0) at cos(0.4)=.921 and 3(1.0) at cos(0.6)
+    # =.825 — one transitive group (2·3 = cos(1.0)=.540 < .8).
+    # Angular distance to the centroid: 1 → .064, 2 → .464,
+    # 3 → .536 — id 3 is strictly farthest (no rounding tie; the
+    # angles are deliberately asymmetric around the mean).
+    rows = [
+        (1, vec(0.40), 0),
+        (2, vec(0.00), 0),
+        (3, vec(1.00), 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    duck.register(
+        "_semf",
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+    )
+    far = semantic_dedup_keep_farthest(
+        sdf, threshold=0.8, n_cells=1, n_iter=1, dims=4
+    )
+    assert_matches_oracle(
+        far,
+        duck.execute(
+            semantic_dedup_keep_farthest_sql(
+                threshold=0.8, n_cells=1, n_iter=1, dims=4,
+                table="_semf",
+            )
+        ).df(),
+        "semdedup-farthest-crafted",
+    )
+    fgot = {r.vec_id: (r.component, r.is_kept) for r in far.collect()}
+    mgot = {
+        r.vec_id: (r.component, r.is_kept)
+        for r in semantic_dedup(
+            sdf, threshold=0.8, n_cells=1, n_iter=1, dims=4
+        ).collect()
+    }
+    # identical components, different keeper
+    assert {k: v[0] for k, v in fgot.items()} == {
+        k: v[0] for k, v in mgot.items()
+    }
+    assert mgot[1][1] and not mgot[3][1]           # min-id keeps 1
+    kept = [k for k, v in fgot.items() if v[1] and v[0] == 1]
+    assert kept == [3]                              # paper keeps 3
+    assert fgot[4][1]                               # singleton kept
