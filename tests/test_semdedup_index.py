@@ -1,0 +1,200 @@
+"""Incremental semantic-dedup index — per-batch oracle parity (the
+DuckDB twin re-derives the frozen cells and replays the fx6 verify),
+the chained cross-batch memory (a batch-2 near-dup of a batch-1
+ADMISSION is rejected), replay idempotence (self-collision at
+sim 10⁶), and the partition-pruned candidate scan."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from minisql_engine_spark.operators.semdedup_index import (
+    admit_semdedup_batch,
+    init_semdedup_index,
+    semdedup_admission_sql,
+    semdedup_against_index,
+)
+from minisql_engine_spark.sources.parquet_catalog import load_table
+from tests.conftest import assert_matches_oracle
+
+FX = 10**6
+T = 400_000
+
+
+def _tmp(tag: str) -> str:
+    h = hashlib.md5(tag.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"minisql_sdix_{h}")
+
+
+def _corpus_parts(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    return emb, init, b1, b2
+
+
+def test_admission_oracle_chained(spark, duck, sf_dir):
+    """Two chained batches on the corpus, each decision table
+    hash-equal to the DuckDB twin: batch 1 verifies against the init
+    index; batch 2 against init ∪ batch-1 ADMITTED — the oracle
+    chain materializes step 1's admissions exactly like the index
+    append does."""
+    emb, init, b1, b2 = _corpus_parts(spark, sf_dir)
+    path = _tmp("oracle")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(init, path)
+        duck.execute(
+            "CREATE OR REPLACE VIEW sdix_init AS"
+            " SELECT * FROM embeddings WHERE vec_id % 3 = 0"
+        )
+        duck.execute(
+            "CREATE OR REPLACE VIEW sdix_b1 AS"
+            " SELECT * FROM embeddings WHERE vec_id % 3 = 1"
+        )
+        d1 = admit_semdedup_batch(spark, path, b1, T)
+        o1 = semdedup_admission_sql("sdix_b1", "sdix_init", "sdix_init", T)
+        assert_matches_oracle(
+            d1, duck.execute(o1).df(), "sdix_batch1"
+        )
+        # chain: admitted(b1) joins the oracle's index side
+        duck.execute(
+            "CREATE OR REPLACE TABLE sdix_adm1 AS"
+            " SELECT e.* FROM embeddings e JOIN ("
+            + o1
+            + ") d ON d.vec_id = e.vec_id WHERE d.admitted"
+        )
+        duck.execute(
+            "CREATE OR REPLACE VIEW sdix_ix2 AS"
+            " SELECT * FROM sdix_init"
+            " UNION ALL SELECT * FROM sdix_adm1"
+        )
+        duck.execute(
+            "CREATE OR REPLACE VIEW sdix_b2 AS"
+            " SELECT * FROM embeddings WHERE vec_id % 3 = 2"
+        )
+        d2 = admit_semdedup_batch(spark, path, b2, T)
+        assert_matches_oracle(
+            d2,
+            duck.execute(
+                semdedup_admission_sql(
+                    "sdix_b2", "sdix_ix2", "sdix_init", T
+                )
+            ).df(),
+            "sdix_batch2",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_cross_batch_memory_and_replay(spark, sf_dir):
+    """Planted semantics: a scaled copy of an init vector (cosine
+    exactly 1.0) is rejected in batch 1; a scaled copy of a batch-1
+    ADMITTED vector is rejected in batch 2 (the index remembers
+    admissions, not just init); a fresh orthogonal vector admits;
+    replaying an admitted batch rejects everything (self-collision)
+    and appends nothing."""
+    dims = 64
+
+    def unit(axis, vid):
+        v = [0.0] * dims
+        v[axis] = 1.0
+        return (vid, v, 0)
+
+    def scaled(axis, vid, s=0.5):
+        v = [0.0] * dims
+        v[axis] = s
+        return (vid, v, 0)
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    init = spark.createDataFrame(
+        [unit(0, 1), unit(1, 2), unit(2, 3), unit(3, 4)], schema
+    )
+    path = _tmp("planted")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(init, path, n_cells=4, dims=dims)
+        # batch 1: copy of init axis-0 (reject), fresh axis-10 (admit)
+        b1 = spark.createDataFrame(
+            [scaled(0, 101), unit(10, 102)], schema
+        )
+        d1 = {
+            r["vec_id"]: r.asDict()
+            for r in admit_semdedup_batch(spark, path, b1, T).collect()
+        }
+        assert d1[101]["admitted"] is False
+        assert d1[101]["max_sim_fx6"] == FX  # exact direction match
+        assert d1[102]["admitted"] is True
+        # batch 2: copy of the batch-1 ADMISSION (axis-10) — must be
+        # rejected by the appended index state, plus a fresh admit
+        b2 = spark.createDataFrame(
+            [scaled(10, 201), unit(11, 202)], schema
+        )
+        d2 = {
+            r["vec_id"]: r.asDict()
+            for r in admit_semdedup_batch(spark, path, b2, T).collect()
+        }
+        assert d2[201]["admitted"] is False  # cross-batch memory
+        assert d2[201]["max_sim_fx6"] == FX
+        assert d2[202]["admitted"] is True
+        # replay batch 2: every vector self-collides, nothing appends
+        before = sorted(
+            str(p)
+            for p in _walk_files(os.path.join(path, "vecs"))
+        )
+        d2r = {
+            r["vec_id"]: r["admitted"]
+            for r in admit_semdedup_batch(spark, path, b2, T).collect()
+        }
+        assert d2r == {201: False, 202: False}
+        after = sorted(
+            str(p)
+            for p in _walk_files(os.path.join(path, "vecs"))
+        )
+        assert before == after  # idempotent: no new files
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _walk_files(root):
+    out = []
+    for d, _, fs in os.walk(root):
+        out += [os.path.join(d, f) for f in fs if f.endswith(".parquet")]
+    return out
+
+
+def test_candidate_scan_is_partition_pruned(spark, sf_dir):
+    """The index side of the admission join must carry partition
+    filters on ``cell`` — a batch touching few cells reads few cell
+    dirs, never the whole index (the 100 TB contract)."""
+    emb, init, b1, _ = _corpus_parts(spark, sf_dir)
+    path = _tmp("prune")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(init, path)
+        small = b1.limit(5)
+        plan = (
+            semdedup_against_index(spark, path, small, T)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        segs = plan.split("PartitionFilters: [")[1:]
+        assert any(
+            "cell" in s[: s.find("]")] and s[: s.find("]")].strip()
+            for s in segs
+        ), plan[:2000]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_threshold_rails():
+    with pytest.raises(ValueError, match="threshold_fx6"):
+        semdedup_admission_sql("b", "i", threshold_fx6=0)
