@@ -69,6 +69,22 @@ ALLOWED = {
         "packed rank key over an already-round(6)ed cosine — "
         "on-grid; Spark-side ordering construct only",
     ),
+    "operators/semdedup.py": (
+        1,
+        "keep-farthest sim_fx6: round(sim·1e6) where sim is the "
+        "already-round(6)ed centroid cosine — on-grid (the double "
+        "is within 1 ulp of integer k; every rounding convention "
+        "agrees); the DuckDB twin applies the identical "
+        "round(sim·1e6) to the identical sim, parity-tested in "
+        "test_semdedup.py",
+    ),
+    "operators/semdedup_index.py": (
+        1,
+        "admission sim_fx6: same on-grid round(round(cos,6)·1e6) "
+        "construction as the keep-farthest site, twin applies the "
+        "identical form; chained-batch parity in "
+        "test_semdedup_index.py",
+    ),
     "operators/sq.py": (
         2,
         "cosine scores: sqrt-irrational values cannot land on a "
@@ -129,11 +145,11 @@ def test_entry_module_round_sites_classified():
     """__spark_entry__.py carries inline oracles; its residual
     F.round sites must stay at the classified set: two rows-only
     ml_lsh quality ratios, one fixed-point events sum (3-decimal
-    data, on-grid), one rows-only audio BER, and two integer-cents
-    stagings (r12: `F.round(c_acctbal * 100)` in
-    entity_rollup_golden and linkage_index_admission — 2-decimal
-    data on-grid ×100, so round() snaps a float-epsilon
+    data, on-grid), one rows-only audio BER, and three integer-cents
+    stagings (`F.round(c_acctbal * 100)` in entity_rollup_golden and
+    linkage_index_admission, r12, and stream_admit_linkage, r13 —
+    2-decimal data on-grid ×100, so round() snaps a float-epsilon
     near-integer to the exact integer identically in both engines;
     the staged column is BIGINT from there on)."""
     src = (PKG.parent / "__spark_entry__.py").read_text()
-    assert len(re.findall(r"F\.round\(", src)) == 6
+    assert len(re.findall(r"F\.round\(", src)) == 7
