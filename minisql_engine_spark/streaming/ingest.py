@@ -148,6 +148,51 @@ def stream_admit_neardup(
     )
 
 
+def stream_admit_semdedup(
+    stream_vecs: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    threshold_fx6: int = 400_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Semantic streaming admission — the EMBEDDING twin of
+    :func:`stream_admit` / :func:`stream_admit_neardup`: each
+    micro-batch of vectors resolves against the persisted
+    cell-partitioned semantic index
+    (:mod:`operators.semdedup_index`) — frozen-cell argmax
+    assignment, partition-pruned candidate scan, exact fx6-cosine
+    verify — and its ADMITTED subset appends under the touched cell
+    partitions. First-stream-wins across batches; a replayed batch
+    self-collides at sim 10⁶ and appends nothing, so admission is
+    idempotent under at-least-once delivery with no extra commit
+    machinery (the index rows ARE the decision state). The index
+    must already exist (``init_semdedup_index`` — the init corpus is
+    the cell freeze point); decisions are micro-batch-order-
+    dependent across near-dup pairs split over batches, exactly like
+    the batch operator's contract."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        admit_semdedup_batch,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        admit_semdedup_batch(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            threshold_fx6,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_agg_view(
     stream_df: DataFrame,
     view_path: str,

@@ -198,3 +198,65 @@ def test_candidate_scan_is_partition_pruned(spark, sf_dir):
 def test_threshold_rails():
     with pytest.raises(ValueError, match="threshold_fx6"):
         semdedup_admission_sql("b", "i", threshold_fx6=0)
+
+
+def test_stream_admit_semdedup(spark, sf_dir, tmp_path):
+    """Streaming semantic admission: file-per-trigger micro-batches
+    through the REAL streaming engine produce EXACTLY the index state
+    of the sequential batch calls (same drop order), and a
+    fresh-checkpoint replay admits nothing (self-collision
+    idempotence) and appends no files."""
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_semdedup,
+    )
+
+    emb, init, b1, b2 = _corpus_parts(spark, sf_dir)
+    drop = str(tmp_path / "drop")
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    b2.coalesce(1).write.mode("append").parquet(drop)
+
+    # reference: sequential batch admission (same micro-batch split —
+    # file order is mod-time order, b1 then b2)
+    ref = _tmp("stream_ref")
+    shutil.rmtree(ref, ignore_errors=True)
+    live = str(tmp_path / "lidx")
+    try:
+        init_semdedup_index(init, ref)
+        admit_semdedup_batch(spark, ref, b1, T)
+        admit_semdedup_batch(spark, ref, b2, T)
+        init_semdedup_index(init, live)
+        schema = spark.read.parquet(drop).schema
+        q = stream_admit_semdedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop),
+            live,
+            str(tmp_path / "ckpt"),
+            T,
+        )
+        q.awaitTermination(120)
+
+        def _state(p):
+            return (
+                spark.read.parquet(os.path.join(p, "vecs"))
+                .select("vec_id", "cell")
+                .toPandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+
+        assert _state(live).equals(_state(ref))
+        # fresh-checkpoint replay: nothing admits, no new files
+        before = sorted(_walk_files(os.path.join(live, "vecs")))
+        q2 = stream_admit_semdedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop),
+            live,
+            str(tmp_path / "ckpt2"),
+            T,
+        )
+        q2.awaitTermination(120)
+        assert sorted(_walk_files(os.path.join(live, "vecs"))) == before
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)
