@@ -266,6 +266,46 @@ def admit_semdedup_batch(
     return decisions
 
 
+def compact_semdedup_index(
+    spark: SparkSession, path: str, files_per_cell: int = 1
+) -> tuple[int, int]:
+    """Rewrite the vector index with ``files_per_cell`` files per
+    cell partition; returns (files_before, files_after). Every
+    admission appends at least one file under each touched cell, so
+    a long-running stream accumulates slivers that every later
+    candidate scan re-opens; compaction is the periodic rewrite —
+    IDENTICAL layout and content (same partitioning, same rows, so
+    admission decisions cannot change — test-pinned), staged through
+    a sibling dir then atomically swapped (rename) so a concurrent
+    reader sees old or new, never a partial."""
+    import shutil as _shutil
+
+    vecs = _vecs_dir(path)
+
+    def _count(root: str) -> int:
+        n = 0
+        for d, _, fs in os.walk(root):
+            n += sum(1 for f in fs if f.endswith(".parquet"))
+        return n
+
+    before = _count(vecs)
+    staged = vecs + ".compact"
+    _shutil.rmtree(staged, ignore_errors=True)
+    (
+        spark.read.parquet(vecs)
+        .repartition(files_per_cell, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staged)
+    )
+    old = vecs + ".old"
+    _shutil.rmtree(old, ignore_errors=True)
+    os.rename(vecs, old)
+    os.rename(staged, vecs)
+    _shutil.rmtree(old, ignore_errors=True)
+    return before, _count(vecs)
+
+
 def semdedup_admission_sql(
     batch_table: str,
     index_table: str,

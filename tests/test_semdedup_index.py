@@ -260,3 +260,45 @@ def test_stream_admit_semdedup(spark, sf_dir, tmp_path):
         assert sorted(_walk_files(os.path.join(live, "vecs"))) == before
     finally:
         shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_compaction_preserves_decisions(spark, sf_dir):
+    """Compaction rewrites the vecs layout to one file per cell and
+    changes NO admission decision: a probe batch's decision table is
+    identical before and after, and the file count drops to the
+    touched-cell count."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        compact_semdedup_index,
+    )
+
+    emb, init, b1, b2 = _corpus_parts(spark, sf_dir)
+    path = _tmp("compact")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(init, path)
+        admit_semdedup_batch(spark, path, b1, T)
+        probe = b2.limit(50).localCheckpoint(eager=True)
+        before_pdf = (
+            semdedup_against_index(spark, path, probe, T)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        n_before, n_after = compact_semdedup_index(spark, path)
+        assert n_after < n_before  # init + admission slivers merged
+        cells = (
+            spark.read.parquet(os.path.join(path, "vecs"))
+            .select("cell")
+            .distinct()
+            .count()
+        )
+        assert n_after == cells  # one file per populated cell
+        after_pdf = (
+            semdedup_against_index(spark, path, probe, T)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert before_pdf.equals(after_pdf)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
