@@ -148,10 +148,24 @@ def _rail_committed_batch_dir(
     A dir is committed iff any of its ids appear in the label
     snapshot (labels are the commit point); an orphan from a crashed
     admission has no labeled ids and stays safely overwritable.
-    Checkpoint reset therefore requires a new ``batch_base``."""
+    Checkpoint reset therefore requires a new ``batch_base``.
+
+    A crash mid-write can leave the dir with no committed part file
+    at all (only ``_temporary``/``_SUCCESS``) — ``read.parquet``
+    would raise 'Unable to infer schema' and block the exact
+    crashed-admission replay this carve-out exists for, so an empty
+    or unreadable dir is treated as uncommitted."""
     d = os.path.join(_records_dir(path), f"batch={batch_no}")
     if not os.path.exists(d):
         return
+    has_parts = any(
+        f.endswith(".parquet")
+        for root, _, fs in os.walk(d)
+        if "_temporary" not in root
+        for f in fs
+    )
+    if not has_parts:
+        return  # crashed admission wrote nothing durable — overwritable
     committed = (
         spark.read.parquet(d)
         .select(F.col(id_col))

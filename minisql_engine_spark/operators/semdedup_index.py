@@ -98,6 +98,33 @@ def _vecs_dir(path: str) -> str:
     return os.path.join(path, _VECS)
 
 
+def _rail_nonzero_norms(
+    df: DataFrame, id_col: str, vec_col: str, where: str
+) -> None:
+    """Reject zero-norm vectors at the door. A zero vector's cosine
+    is 0/0 = NaN, so its sim_fx6 against its own stored copy is not
+    10⁶ — replay idempotence ('self-collision at 10⁶, appends
+    nothing') would silently break, and NaN parity with the DuckDB
+    twin is undefined. One batch-bounded aggregate; raises with the
+    offending count so the caller fixes its embedding pipeline."""
+    bad = (
+        df.selectExpr(
+            f"{id_col} as _rid", as_double_sql(vec_col) + " as _v"
+        )
+        .withColumn("_n", F.expr(norm_sql("_v")))
+        .filter(F.col("_n") == 0.0)
+        .limit(1_000_001)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"{bad} zero-norm embedding(s) in {where}: cosine is "
+            "undefined (NaN) for the zero vector, which breaks "
+            "replay idempotence and oracle parity — drop or re-embed "
+            "them before admission"
+        )
+
+
 def init_semdedup_index(
     embeddings: DataFrame,
     path: str,
@@ -112,6 +139,7 @@ def init_semdedup_index(
     Returns the resolved cell count (``n_cells=None`` → the
     :func:`semdedup.auto_n_cells` √n rule on the init corpus — the
     freeze point, so later batches never change it)."""
+    _rail_nonzero_norms(embeddings, id_col, vec_col, "the init corpus")
     if n_cells is None:
         n_cells = auto_n_cells(embeddings.count())
     cents = ivf_refined_centroids(
@@ -156,6 +184,7 @@ def semdedup_against_index(
         raise ValueError(
             f"threshold_fx6 must be in (0, 1e6], got {threshold_fx6}"
         )
+    _rail_nonzero_norms(batch, id_col, vec_col, "the admission batch")
     cents = spark.read.parquet(_cents_dir(path))
     assign = ivf_assignments(
         batch, cents, id_col, vec_col, n_probe=1
@@ -267,17 +296,33 @@ def admit_semdedup_batch(
 
 
 def compact_semdedup_index(
-    spark: SparkSession, path: str, files_per_cell: int = 1
+    spark: SparkSession, path: str, n_partitions: int = 1
 ) -> tuple[int, int]:
-    """Rewrite the vector index with ``files_per_cell`` files per
-    cell partition; returns (files_before, files_after). Every
-    admission appends at least one file under each touched cell, so
-    a long-running stream accumulates slivers that every later
-    candidate scan re-opens; compaction is the periodic rewrite —
-    IDENTICAL layout and content (same partitioning, same rows, so
-    admission decisions cannot change — test-pinned), staged through
-    a sibling dir then atomically swapped (rename) so a concurrent
-    reader sees old or new, never a partial."""
+    """Rewrite the vector index compacted; returns (files_before,
+    files_after). Every admission appends at least one file under
+    each touched cell, so a long-running stream accumulates slivers
+    that every later candidate scan re-opens; compaction is the
+    periodic rewrite — IDENTICAL layout and content (same
+    partitioning, same rows, so admission decisions cannot change —
+    test-pinned). ``n_partitions`` is the shuffle-partition count of
+    the rewrite: ``repartition(n, "cell")`` hash-partitions whole
+    cells across n tasks, so each cell still lands in exactly ONE
+    task and ``partitionBy("cell")`` writes one file per cell
+    regardless — the knob bounds rewrite parallelism/memory, not
+    files per cell.
+
+    SINGLE-WRITER, NO CONCURRENT ADMISSION. Compaction takes an
+    exclusive lock file (``vecs.compact.lock``) so two compactions
+    cannot interleave, and verifies the index file listing is
+    UNCHANGED between the staging read and the swap — an admission
+    landing mid-compaction aborts the swap (RuntimeError; the staged
+    copy is discarded, the live index untouched) instead of having
+    its freshly-appended vectors silently dropped. The swap itself
+    is two renames (``vecs``→``vecs.old``, ``staged``→``vecs``): a
+    reader in that instant sees a briefly-missing dir, NOT a partial
+    one — schedule compaction when no admission or candidate scan is
+    in flight (the same quiesce window the listing check enforces
+    for writers)."""
     import shutil as _shutil
 
     vecs = _vecs_dir(path)
@@ -288,21 +333,51 @@ def compact_semdedup_index(
             n += sum(1 for f in fs if f.endswith(".parquet"))
         return n
 
-    before = _count(vecs)
-    staged = vecs + ".compact"
-    _shutil.rmtree(staged, ignore_errors=True)
-    (
-        spark.read.parquet(vecs)
-        .repartition(files_per_cell, "cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(staged)
-    )
-    old = vecs + ".old"
-    _shutil.rmtree(old, ignore_errors=True)
-    os.rename(vecs, old)
-    os.rename(staged, vecs)
-    _shutil.rmtree(old, ignore_errors=True)
+    def _listing(root: str) -> list[tuple[str, int]]:
+        out = []
+        for d, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    out.append((os.path.relpath(p, root), os.path.getsize(p)))
+        return sorted(out)
+
+    lock = vecs + ".compact.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction holds {lock} — semdedup-index "
+            "compaction is single-writer; remove the stale lock only "
+            "if its owner is dead"
+        )
+    os.close(fd)
+    try:
+        snapshot = _listing(vecs)
+        before = len(snapshot)
+        staged = vecs + ".compact"
+        _shutil.rmtree(staged, ignore_errors=True)
+        (
+            spark.read.parquet(vecs)
+            .repartition(n_partitions, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staged)
+        )
+        if _listing(vecs) != snapshot:
+            _shutil.rmtree(staged, ignore_errors=True)
+            raise RuntimeError(
+                "index changed during compaction (concurrent "
+                "admission?) — swap aborted, live index untouched; "
+                "quiesce admissions and retry"
+            )
+        old = vecs + ".old"
+        _shutil.rmtree(old, ignore_errors=True)
+        os.rename(vecs, old)
+        os.rename(staged, vecs)
+        _shutil.rmtree(old, ignore_errors=True)
+    finally:
+        os.unlink(lock)
     return before, _count(vecs)
 
 

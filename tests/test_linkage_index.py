@@ -249,6 +249,23 @@ def test_committed_batch_dir_clobber_rail(spark):
             for r in linkage_index_entities(spark, path).collect()
         )
         assert got == [1, 2, 4]
+        # crash-mid-write simulation: a batch dir holding NO durable
+        # part file (only _SUCCESS / _temporary debris) must read as
+        # UNCOMMITTED — the rail may not raise 'Unable to infer
+        # schema' on the exact crashed-admission replay the orphan
+        # carve-out exists for (ADVICE r13, linkage_index.py:156)
+        crashed = os.path.join(path, "records", "batch=3")
+        os.makedirs(os.path.join(crashed, "_temporary"), exist_ok=True)
+        open(os.path.join(crashed, "_SUCCESS"), "w").close()
+        admit_linkage_batch(
+            spark, path, _mk(spark, [(5, "blk", "tttttt", 11)]),
+            3, **_KW,
+        )
+        got = sorted(
+            r["rec_id"]
+            for r in linkage_index_entities(spark, path).collect()
+        )
+        assert got == [1, 2, 4, 5]
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

@@ -200,6 +200,114 @@ def test_threshold_rails():
         semdedup_admission_sql("b", "i", threshold_fx6=0)
 
 
+def test_zero_norm_rail(spark):
+    """A zero-norm embedding is rejected at the door (init AND
+    admission): its cosine is NaN, so a replayed batch containing it
+    would NOT self-collide at 10⁶ and would re-append every replay —
+    the rail keeps the idempotence contract honest (and matches the
+    property suite's 'norm rail' vector filter)."""
+    dims = 8
+    schema = "vec_id bigint, embedding array<float>, label int"
+    ok = [(1, [1.0] + [0.0] * (dims - 1), 0)]
+    zero = [(2, [0.0] * dims, 0)]
+    path = _tmp("zeronorm")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        with pytest.raises(ValueError, match="zero-norm"):
+            init_semdedup_index(
+                spark.createDataFrame(ok + zero, schema),
+                path, n_cells=1, dims=dims,
+            )
+        shutil.rmtree(path, ignore_errors=True)
+        init_semdedup_index(
+            spark.createDataFrame(ok, schema), path, n_cells=1,
+            dims=dims,
+        )
+        with pytest.raises(ValueError, match="zero-norm"):
+            semdedup_against_index(
+                spark, path, spark.createDataFrame(zero, schema), T
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_compaction_single_writer_rails(spark):
+    """Compaction is single-writer: a held lock file makes a second
+    compaction fail fast, and an index mutation between the staging
+    read and the swap (a concurrent admission's append) aborts the
+    swap with the live index untouched — appended vectors are never
+    silently dropped."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        compact_semdedup_index,
+    )
+
+    dims = 8
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def unit(axis, vid):
+        v = [0.0] * dims
+        v[axis] = 1.0
+        return (vid, v, 0)
+
+    path = _tmp("lockrail")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(
+            spark.createDataFrame([unit(0, 1), unit(1, 2)], schema),
+            path, n_cells=2, dims=dims,
+        )
+        vecs = os.path.join(path, "vecs")
+        lock = vecs + ".compact.lock"
+        # rail 1: held lock → fail fast, lock left in place
+        open(lock, "w").close()
+        with pytest.raises(RuntimeError, match="single-writer"):
+            compact_semdedup_index(spark, path)
+        assert os.path.exists(lock)
+        os.unlink(lock)
+        # rail 2: mutate the listing mid-compaction via a read hook —
+        # simulate by appending a file after the snapshot. Emulate the
+        # race deterministically: take the operator's own snapshot
+        # semantics (any .parquet add/remove/size change) and verify
+        # the abort path by appending between two real calls is not
+        # observable from outside, so instead call compaction with a
+        # monkeypatched spark.read that appends a sliver first.
+        import pyspark.sql.readwriter as rw
+
+        real_load = rw.DataFrameReader.parquet
+        state = {"fired": False}
+
+        def evil_parquet(reader, *paths, **kw):
+            if not state["fired"] and paths and paths[0] == vecs:
+                state["fired"] = True
+                df = real_load(reader, *paths, **kw)
+                # concurrent admission lands AFTER the staging read
+                spark.createDataFrame(
+                    [(99, [1.0] * dims, 7)],
+                    "vec_id bigint, embedding array<float>, cell int",
+                ).write.mode("append").partitionBy("cell").parquet(vecs)
+                return df
+            return real_load(reader, *paths, **kw)
+
+        rw.DataFrameReader.parquet = evil_parquet
+        try:
+            before = sorted(_walk_files(vecs))
+            with pytest.raises(RuntimeError, match="changed during"):
+                compact_semdedup_index(spark, path)
+        finally:
+            rw.DataFrameReader.parquet = real_load
+        after = sorted(_walk_files(vecs))
+        # live index holds everything incl. the concurrent append;
+        # no staged dir or lock left behind
+        assert set(before) < set(after)
+        assert not os.path.exists(vecs + ".compact")
+        assert not os.path.exists(lock)
+        assert (
+            spark.read.parquet(vecs).filter("vec_id = 99").count() == 1
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_stream_admit_semdedup(spark, sf_dir, tmp_path):
     """Streaming semantic admission: file-per-trigger micro-batches
     through the REAL streaming engine produce EXACTLY the index state
