@@ -6870,6 +6870,248 @@ def q_pagerank_weighted_trade(spark, sf_dir):
     )
 
 
+# last semdedup-index tempdir per dataset tag, reclaimed on the next
+# same-process invocation (same pattern as _LIDX_DIRS)
+_SDIX_DIRS: dict[str, str] = {}
+
+_SDIX_T = 400_000  # cosine admission threshold, fx6
+
+
+def _sdix_tmp(prefix: str, sf_dir: str) -> str:
+    """Per-invocation index root (dataset tag + pid + uuid — two
+    concurrent driver/bench processes must not race on one dir),
+    previous same-tag dir reclaimed, last one at exit."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    tag = hashlib.md5((prefix + sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"minisql_{prefix}_{tag}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
+    )
+    key = prefix + tag
+    prev = _SDIX_DIRS.get(key)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SDIX_DIRS[key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@_register(
+    "semdedup_index_admission",
+    None,  # filled below — the fully-SQL-replayed chained admission
+)
+def q_semdedup_index_admission(spark, sf_dir):
+    """Incremental SEMANTIC-dedup admission life cycle
+    (operators/semdedup_index.py — the embedding member of the
+    admission matrix beside dedup_index exact, neardup_index MinHash,
+    and linkage_index record): init a REAL on-disk cell-partitioned
+    vector index from a third of the embedding corpus (frozen
+    auto-√n Lloyd cells — the freeze point every later batch assigns
+    against), then admit two batches in sequence. Batch 2 verifies
+    against init ∪ batch-1 ADMISSIONS — the index remembers
+    admissions, not just init — and the candidate scan is
+    partition-pruned to the batch's touched cells (plan-gated in
+    test_semdedup_index.py; at 100 TB a batch reads a bounded cell
+    slice, never the corpus). Returns BOTH decision tables tagged by
+    batch; the oracle replays the whole chain in SQL — re-derived
+    frozen centroids (shared ivf_refine_ctes_sql), same argmax
+    assignment both sides, same fx6-cosine verify, step-1 admissions
+    materialized into step 2's index side — so the driver hash
+    certifies incrementality itself (chained ≡ one-shot SQL replay),
+    the same contract linkage_index_admission certifies for records.
+    Scale: admit-200-vs-10×-index measured 1.60× (BASELINE r13,
+    inside the √10 cell-population bound)."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        admit_semdedup_batch,
+        init_semdedup_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    path = _sdix_tmp("sdix", sf_dir)
+    init_semdedup_index(init, path)
+    d1 = admit_semdedup_batch(spark, path, b1, _SDIX_T)
+    d2 = admit_semdedup_batch(spark, path, b2, _SDIX_T)
+    return (
+        d1.withColumn("batch", F.lit(1).cast("int"))
+        .unionByName(d2.withColumn("batch", F.lit(2).cast("int")))
+        .select(
+            "batch", "vec_id", "cell", "n_neighbors", "max_sim_fx6",
+            "admitted",
+        )
+        .orderBy("batch", "vec_id")
+    )
+
+
+def _sdix_oracle() -> str:
+    from minisql_engine_spark.operators.semdedup_index import (
+        semdedup_admission_sql,
+    )
+
+    init = "(SELECT * FROM embeddings WHERE vec_id % 3 = 0)"
+    b1 = "(SELECT * FROM embeddings WHERE vec_id % 3 = 1)"
+    b2 = "(SELECT * FROM embeddings WHERE vec_id % 3 = 2)"
+    o1 = semdedup_admission_sql(b1, init, init, _SDIX_T)
+    # step-1 admissions feed step 2's index side — the chain rule
+    ix2 = (
+        "(SELECT * FROM embeddings WHERE vec_id % 3 = 0"
+        " UNION ALL SELECT e2.* FROM embeddings e2 JOIN (" + o1 + ") d"
+        " ON d.vec_id = e2.vec_id WHERE d.admitted)"
+    )
+    o2 = semdedup_admission_sql(b2, ix2, init, _SDIX_T)
+    return (
+        "SELECT 1 AS batch, vec_id, cell, n_neighbors, max_sim_fx6,"
+        " admitted FROM (" + o1 + ")"
+        " UNION ALL SELECT 2, vec_id, cell, n_neighbors, max_sim_fx6,"
+        " admitted FROM (" + o2 + ")"
+        " ORDER BY batch, vec_id"
+    )
+
+
+_ORACLES["semdedup_index_admission"] = _sdix_oracle()
+
+
+@_register(
+    "stream_admit_semdedup",
+    None,  # filled below — final index state, fully SQL-replayed
+)
+def q_stream_admit_semdedup(spark, sf_dir):
+    """STREAMING semantic admission (streaming/ingest.py
+    stream_admit_semdedup — the embedding twin of
+    stream_admit_linkage, completing the admission matrix's
+    {exact, MinHash, record, embedding} × {batch, stream} symmetry):
+    init the on-disk semantic index from a quarter of the corpus,
+    then drive two vector batches through the REAL Structured
+    Streaming engine (file source, maxFilesPerTrigger=1 → two
+    micro-batches, availableNow trigger, checkpointed foreachBatch);
+    each micro-batch assigns against the frozen cells, verifies fx6
+    cosines against the partition-pruned index slice, and appends
+    its admitted subset. Returns the FINAL INDEX STATE
+    (vec_id, cell); the oracle replays init assignment (admission
+    against an empty index — same argmax relation) plus both chained
+    admissions in SQL, so the driver hash certifies that streaming
+    admission across micro-batch boundaries equals the batch chain —
+    the equivalence contract THROUGH the streaming engine. Differs
+    from semdedup_index_admission (batch twin) in delivery path,
+    corpus split (mod 4 vs mod 3), AND output shape (index state vs
+    decision tables), so the two hashes are independent.
+    Idempotence: a replayed batch self-collides at sim 10⁶ and
+    appends nothing (pytest-pinned fresh-checkpoint replay)."""
+    from minisql_engine_spark.operators.semdedup_index import (
+        init_semdedup_index,
+    )
+    from minisql_engine_spark.streaming.ingest import (
+        stream_admit_semdedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") % 4 == 0)
+    s1 = emb.filter(F.col("vec_id") % 4 == 1)
+    s2 = emb.filter(F.col("vec_id") % 4 >= 2)
+    root = _sdix_tmp("ssdx", sf_dir)
+    drop = os.path.join(root, "drop")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    s1.coalesce(1).write.mode("append").parquet(drop)
+    s2.coalesce(1).write.mode("append").parquet(drop)
+    index_path = os.path.join(root, "idx")
+    init_semdedup_index(init, index_path)
+    schema = spark.read.parquet(drop).schema
+    q = stream_admit_semdedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop),
+        index_path,
+        os.path.join(root, "ckpt"),
+        _SDIX_T,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(os.path.join(index_path, "vecs"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _ssdx_oracle() -> str:
+    from minisql_engine_spark.operators.semdedup_index import (
+        semdedup_admission_sql,
+    )
+
+    init = "(SELECT * FROM embeddings WHERE vec_id % 4 = 0)"
+    s1 = "(SELECT * FROM embeddings WHERE vec_id % 4 = 1)"
+    s2 = "(SELECT * FROM embeddings WHERE vec_id % 4 >= 2)"
+    empty = "(SELECT vec_id, embedding FROM embeddings WHERE FALSE)"
+    # init assignment = admission against an empty index: the ba
+    # relation IS the frozen-cell argmax every later batch uses
+    o0 = semdedup_admission_sql(init, empty, init, _SDIX_T)
+    o1 = semdedup_admission_sql(s1, init, init, _SDIX_T)
+    ix2 = (
+        "(SELECT * FROM embeddings WHERE vec_id % 4 = 0"
+        " UNION ALL SELECT e2.* FROM embeddings e2 JOIN (" + o1 + ") d"
+        " ON d.vec_id = e2.vec_id WHERE d.admitted)"
+    )
+    o2 = semdedup_admission_sql(s2, ix2, init, _SDIX_T)
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(cell AS INTEGER) AS cell FROM ("
+        "SELECT vec_id, cell FROM (" + o0 + ")"
+        " UNION ALL SELECT vec_id, cell FROM (" + o1 + ") WHERE admitted"
+        " UNION ALL SELECT vec_id, cell FROM (" + o2 + ") WHERE admitted"
+        ") ORDER BY vec_id"
+    )
+
+
+_ORACLES["stream_admit_semdedup"] = _ssdx_oracle()
+
+
+@_register(
+    "semantic_dedup_keep_farthest",
+    None,  # filled below — the operator's SQL twin
+)
+def q_semantic_dedup_keep_farthest(spark, sf_dir):
+    """SemDeDup with the PAPER-EXACT keep rule (Abbas et al. 2023,
+    operators/semdedup.py:semantic_dedup_keep_farthest): same
+    auto-√n Lloyd clustering, cell-blocked exact-cosine pair search,
+    and connected-components closure as the semantic_dedup row —
+    but each duplicate group keeps the member FARTHEST from its cell
+    centroid (lowest fx6 centroid cosine, ties → min id), the
+    paper's low-density representative that preserves diversity.
+    The chooser is the skew-immune struct-max (one partial-
+    aggregatable aggregate per component — no window sort at scale);
+    the centroid-sim join broadcasts the tiny centroid table. The
+    oracle replays clustering, pair search, closure, AND the
+    (sim ASC, id ASC) pick; the sim_fx6 audit column is the rounded
+    integer both engines compute identically (no float tie hazard).
+    Published-algorithm twin of semantic_dedup — the two rows pin
+    both survivorship rules over one shared pipeline."""
+    from minisql_engine_spark.operators.semdedup import (
+        semantic_dedup_keep_farthest,
+    )
+
+    return semantic_dedup_keep_farthest(_t(spark, sf_dir, "embeddings"))
+
+
+def _keep_farthest_oracle() -> str:
+    from minisql_engine_spark.operators.semdedup import (
+        semantic_dedup_keep_farthest_sql,
+    )
+
+    return semantic_dedup_keep_farthest_sql() + " ORDER BY vec_id"
+
+
+_ORACLES["semantic_dedup_keep_farthest"] = _keep_farthest_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering — the driver records CORRECTNESS rows for at most the
 # FIRST 50 registrations (round-1 lesson: 22 queries past the window got no
@@ -7309,12 +7551,44 @@ _ARCHIVED: frozenset[str] = frozenset(
         # budgets in REAL subword counts — the §2.4 mandate's last
         # member without driver visibility at any point).
         "lm_perplexity_buckets",
+        # r14 wave — room for semdedup_index_admission (the embedding
+        # member of the admission matrix, VERDICT r13 task 1):
+        # llm_curation_funnel is hash-green r5–r13 (8 consecutive
+        # driver rounds, the longest-certified entry in the window)
+        # and the funnel family keeps streaming_curate_funnel live
+        # (the SAME five-stage rule chain through the streaming
+        # engine) plus cohort_retention; the batch funnel's full rule
+        # report stays archive-parity-tested every run.
+        "llm_curation_funnel",
+        # + stream_admit_semdedup (same wave): delete_range_pruned is
+        # hash-green r6–r13 (7 consecutive driver rounds) and the
+        # lakehouse family keeps snapshot_compaction,
+        # zorder_pruned_scan, snapshot_diff_cdc, and both SCD2 rows
+        # live; the partition-pruned delete arithmetic stays
+        # archive-parity-tested every run while the streaming family
+        # gains the embedding admission member that completes the
+        # {exact, MinHash, record, embedding} × {batch, stream}
+        # matrix with driver visibility on every cell.
+        "delete_range_pruned",
+        # + semantic_dedup_keep_farthest (same wave): bpe_apply_trie
+        # is hash-green r8–r13 (6 consecutive driver rounds) and the
+        # BPE family keeps bpe_pack_sequences (which REUSES the trie
+        # apply for its token budgets) and tokenizer_fertility_by_lang
+        # live; the trie ≡ chained ≡ oracle apply identity stays
+        # archive-parity-tested every run while the dedup family pins
+        # the paper-exact SemDeDup survivorship rule beside the min-id
+        # row over the same shared pipeline.
+        "bpe_apply_trie",
     }
 )
 
 #: Names listed here are emitted first (operators new or unverified as of
 #: round 5); everything else follows in file (registration) order.
 _VERIFY_FIRST: tuple[str, ...] = (
+    # r14 wave — brand new driver rows, never driver-checked
+    "semdedup_index_admission",
+    "stream_admit_semdedup",
+    "semantic_dedup_keep_farthest",
     # r13 wave — brand new driver rows, never driver-checked, plus
     # the two re-certifications whose hashes changed by design
     # (matryoshka: linear n_queries budget; semantic_dedup: auto √n
