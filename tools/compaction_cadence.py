@@ -67,13 +67,21 @@ def main() -> None:
     shutil.rmtree(path, ignore_errors=True)
 
     def jitter(df, salt: int):
-        """±1% deterministic per-(salt, id, dim) jitter + id offset —
-        near but never equal to the corpus (same rule as the slope
-        harness replicas), so admissions do real verify work."""
+        """Deterministic per-(salt, id, dim) SIGN pattern + ±1%
+        jitter + id offset. A merely-jittered copy of a corpus vector
+        is a near-dup (cosine ≈ 0.9999) and gets REJECTED — no
+        appends, no slivers; sign-flipping ~half the components per
+        (id, salt) yields vectors far from the corpus and from other
+        batches, so most of each batch ADMITS and the index actually
+        accretes files, while collisions across batches keep the
+        verify path honest."""
         return df.select(
             (F.col("vec_id") + salt * 1_000_000).alias("vec_id"),
             F.expr(
-                "transform(embedding, (x, i) -> CAST(x * (1.0 + "
+                "transform(embedding, (x, i) -> CAST("
+                f" x * (CASE WHEN pmod(hash(vec_id, i, {salt}), 2) = 0"
+                "   THEN 1.0 ELSE -1.0 END)"
+                " * (1.0 + "
                 f"(((vec_id * 31 + i) * 2654435761 + {salt}) % 21 - 10)"
                 " / 1000.0) AS FLOAT))"
             ).alias("embedding"),

@@ -53,7 +53,12 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql.streaming import StreamingQueryListener
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--rows=")]
+    rows = ROWS
+    for a in sys.argv[1:]:
+        if a.startswith("--rows="):
+            rows = a.split("=", 1)[1].split(",")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -84,7 +89,7 @@ def main() -> None:
 
     qs = em.queries()
     out: dict[str, dict] = {}
-    for name in ROWS:
+    for name in rows:
         if name not in qs:
             qs_all = dict(qs)
             qs_all.update(em.archived_queries())
