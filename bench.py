@@ -179,6 +179,12 @@ HEADLINE = (
     "lsh_recall_audit",
     "stream_admit_linkage",
     "bpe_pack_sequences",
+    # r14 wave: the semantic admission family — incremental embedding
+    # dedup against the persisted cell-partitioned index (batch and
+    # streaming twins) and the paper-exact SemDeDup survivorship rule
+    "semdedup_index_admission",
+    "stream_admit_semdedup",
+    "semantic_dedup_keep_farthest",
 )
 
 

@@ -3,20 +3,24 @@
 The `video_near_dups` driver row certifies CORRECTNESS on a
 constant-size staged corpus (60 base videos, doc_id < 60), so the
 sf0.1→sf1 replica harness reads a vacuous ~1× slope for it — the
-corpus never grows with sf. This harness grows the corpus itself:
-the staging re-derives every payload from the id alone
-(`perceptual_video_corpus`), so a synthetic id range IS the real
-pipeline input, and the per-frame band join — the actual 100 TB
-surface (candidates = band collisions within a frame index, never
-all pairs) — gets a measured slope on real 10× growth.
+corpus never grows with sf. This harness grows the corpus itself and
+times ONLY the operator (`video_near_dups`), so the per-frame band
+join — the actual 100 TB surface (candidates are band collisions
+within a frame index, never all pairs) — gets a measured slope on
+real 10× growth.
 
-Sizes: n=60 (the certified row's corpus, 72 videos × 4 frames = 288
-frames) vs n=600 (10×: 720 videos, 2880 frames), dups/partials
-scaled proportionally (6→60 each). n stays < 1000 because the
-staging's planted-duplicate ids live at 1000+src / 2000+src.
+The staging here re-derives the registered row's payload rule
+(frame i of video ``src`` = md5 digest of ``src ':f' i``; the first
+n//10 contents re-presented as exact copies, the next n//10 with the
+last frame re-rendered) but with duplicate-id offsets at 10·n
+instead of the corpus builder's fixed 1000/2000 — identical
+perceptual structure, no size cap, so n can reach band-join-visible
+scale. A global warmup run precedes the timed sizes (the first
+mapInPandas pass pays Arrow/python-worker startup).
 
-Usage: ``python tools/video_slope.py`` — prints per-size timings
-(min of ``--rounds`` warm rounds) and the slope, one JSON line last.
+Usage: ``python tools/video_slope.py [--sizes 600 6000]`` — prints
+per-size timings (min of ``--rounds`` warm rounds) and the slope,
+one JSON line last.
 """
 
 from __future__ import annotations
@@ -32,10 +36,48 @@ sys.path.insert(
 )
 
 
+def staged_corpus(spark, n: int, n_frames: int = 4):
+    """(doc_id, modality, payload) with the registered row's payload
+    rule, duplicate ids offset by 10·n (structure-identical to
+    perceptual_video_corpus, cap-free)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(n).selectExpr("id as doc_id")
+    did = F.col("doc_id").cast("bigint")
+
+    def frames(last_alt: bool):
+        parts = []
+        for i in range(n_frames):
+            suffix = (
+                f":f{i}x" if last_alt and i == n_frames - 1 else f":f{i}"
+            )
+            parts.append(
+                F.unhex(
+                    F.md5(F.concat(did.cast("string"), F.lit(suffix)))
+                )
+            )
+        return F.concat(*parts)
+
+    n_dups = n // 10
+    base = ids.select(
+        did.alias("doc_id"), F.lit("video").alias("modality"),
+        frames(False).alias("payload"),
+    )
+    dups = ids.filter(did < n_dups).select(
+        (did + 10 * n).alias("doc_id"), F.lit("video").alias("modality"),
+        frames(False).alias("payload"),
+    )
+    partial = ids.filter(did < n_dups).select(
+        (did + 20 * n).alias("doc_id"), F.lit("video").alias("modality"),
+        frames(True).alias("payload"),
+    )
+    return base.unionByName(dups).unionByName(partial)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--sizes", type=int, nargs="+", default=[60, 600])
+    ap.add_argument("--sizes", type=int, nargs="+", default=[600, 6000])
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,21 +89,16 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    from minisql_engine_spark.operators.multimodal import (
-        perceptual_video_corpus,
-        video_near_dups,
-    )
+    from minisql_engine_spark.operators.multimodal import video_near_dups
+
+    # global warmup: python workers, Arrow, codegen
+    video_near_dups(
+        staged_corpus(spark, 60).localCheckpoint(eager=True)
+    ).count()
 
     out = {}
     for n in args.sizes:
-        if n >= 1000:
-            raise SystemExit(
-                "n must stay < 1000 (duplicate ids live at 1000+src)"
-            )
-        ids = spark.range(n).selectExpr("id as doc_id")
-        corpus = perceptual_video_corpus(
-            ids, n=n, n_dups=n // 10, n_partial=n // 10
-        ).localCheckpoint(eager=True)  # stage once; time the operator
+        corpus = staged_corpus(spark, n).localCheckpoint(eager=True)
         best = None
         n_pairs = None
         for _ in range(args.rounds):
