@@ -6265,16 +6265,21 @@ def q_linkage_index_admission(spark, sf_dir):
     # invocation's dir is reclaimed here (its DataFrame has been
     # consumed by then, same-process) and the last one at exit.
     tag = hashlib.md5(("lidx" + sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
+    root = os.path.join(
         tempfile.gettempdir(),
         f"minisql_lidx_{tag}_{os.getpid()}_{_uuid.uuid4().hex[:8]}",
     )
     prev = _LIDX_DIRS.get(tag)
     if prev:
         shutil.rmtree(prev, ignore_errors=True)
-    _LIDX_DIRS[tag] = path
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    init_linkage_index(base, path, **kw)
+    _LIDX_DIRS[tag] = root
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # frozen post-init index (base self-resolution is a pure function
+    # of the customer table) — built once, copied per invocation
+    path = _seeded_index(
+        "lidx", sf_dir, "customer",
+        lambda p: init_linkage_index(base, p, **kw), root,
+    )
     admit_linkage_batch(spark, path, batch1, 1, **kw)
     admit_linkage_batch(spark, path, batch2, 2, **kw)
     return linkage_index_entities(spark, path)
@@ -6425,8 +6430,12 @@ def q_stream_admit_linkage(spark, sf_dir):
     # two files → two micro-batches under maxFilesPerTrigger=1
     batch_a.coalesce(1).write.mode("append").parquet(drop)
     batch_b.coalesce(1).write.mode("append").parquet(drop)
-    index_path = os.path.join(root, "lidx")
-    init_linkage_index(base, index_path, **kw)
+    # frozen post-init index (pure function of the customer table) —
+    # built once, copied per invocation
+    index_path = _seeded_index(
+        "slnk", sf_dir, "customer",
+        lambda p: init_linkage_index(base, p, **kw), root,
+    )
     schema = spark.read.parquet(drop).schema
     q = stream_admit_linkage(
         spark.readStream.schema(schema)
@@ -6901,29 +6910,26 @@ def _sdix_tmp(prefix: str, sf_dir: str) -> str:
     return path
 
 
-def _sdix_seed_index(prefix: str, sf_dir: str, init_df, run_root: str) -> str:
+def _seeded_index(
+    prefix: str, sf_dir: str, src_table: str, build, run_root: str
+) -> str:
     """Frozen post-INIT index, built once per source table and COPIED
     into each invocation's run dir (the streaming_curate_funnel
     frozen-artifact pattern, r9: init is a call-invariant pure
-    function of the source — Lloyd cells + init-vector layout — while
-    admissions are run state that MUST be fresh per call or a carried
-    index would reject everything on the second run). Keyed on the
+    function of the source — while admissions are run state that MUST
+    be fresh per call, or a carried index would reject everything on
+    the second run). ``build(seed_path)`` runs once, keyed on the
     source file's mtime; returns the run dir's index path."""
     import hashlib
     import shutil
-
-    from minisql_engine_spark.operators.semdedup_index import (
-        init_semdedup_index,
-    )
+    import tempfile
 
     src_mtime = os.path.getmtime(
-        os.path.join(sf_dir, "embeddings.parquet")
+        os.path.join(sf_dir, f"{src_table}.parquet")
     )
     tag = hashlib.md5(
         f"{prefix}{sf_dir}:{src_mtime}".encode()
     ).hexdigest()[:12]
-    import tempfile
-
     seed_root = os.path.join(
         tempfile.gettempdir(), f"minisql_{prefix}seed_{tag}"
     )
@@ -6931,12 +6937,23 @@ def _sdix_seed_index(prefix: str, sf_dir: str, init_df, run_root: str) -> str:
     staged = os.path.join(seed_root, "_STAGED")
     if not os.path.exists(staged):
         shutil.rmtree(seed_root, ignore_errors=True)
-        init_semdedup_index(init_df, seed_idx)
+        build(seed_idx)
         with open(staged, "w") as fh:
             fh.write("ok")
     run_idx = os.path.join(run_root, "idx")
     shutil.copytree(seed_idx, run_idx)
     return run_idx
+
+
+def _sdix_seed_index(prefix: str, sf_dir: str, init_df, run_root: str) -> str:
+    from minisql_engine_spark.operators.semdedup_index import (
+        init_semdedup_index,
+    )
+
+    return _seeded_index(
+        prefix, sf_dir, "embeddings",
+        lambda p: init_semdedup_index(init_df, p), run_root,
+    )
 
 
 @_register(

@@ -40,11 +40,16 @@ Admission of a batch (:func:`semdedup_against_index`):
    hazard). A batch vector with ANY verified neighbor ≥ ``threshold``
    is rejected; survivors append.
 
-Same-cell restriction caveat (inherited from SemDeDup itself): a
-cross-cell neighbor is not a candidate — the operator implements the
-paper's cluster-then-compare admission, not exact ANN admission; the
-recall story is the cell count's and is audited by the IVF/LSH
-recall rows.
+Same-cell restriction caveat (inherited from SemDeDup itself): at
+the default ``n_probe=1`` a cross-cell neighbor is not a candidate —
+the operator implements the paper's cluster-then-compare admission,
+not exact ANN admission; the recall story is the cell count's and is
+audited by the IVF/LSH recall rows. ``n_probe > 1`` (r14) closes
+cell-border misses IVF-style: the batch side probes its p nearest
+frozen cells (candidate work ×~p, still cell-bounded), decisions
+become monotonically more conservative, and admitted vectors still
+append under their home (rank-1) cell, so the stored layout is
+n_probe-invariant.
 
 Determinism and idempotence: first-batch-wins across batches (the
 definition of incremental admission); decisions depend only on the
@@ -172,30 +177,52 @@ def semdedup_against_index(
     threshold_fx6: int = 400_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """(vec_id, cell, n_neighbors, max_sim_fx6, admitted) per batch
     vector — the admission decision against the persisted index.
-    ``n_neighbors`` counts verified index neighbors ≥ the threshold;
-    ``max_sim_fx6`` is the closest one (NULL when the touched cells
-    hold no candidate at all). The index scan is partition-pruned to
-    the batch's assigned cells (a ≤ n_cells-row collect — rails-
-    bounded by construction, the same class as the centroid read)."""
+    ``n_neighbors`` counts verified index neighbors ≥ the threshold
+    across the vector's ``n_probe`` nearest frozen cells;
+    ``max_sim_fx6`` is the closest one (NULL when the probed cells
+    hold no candidate at all); ``cell`` is always the HOME (rank-1)
+    cell — the one an admitted vector appends under, regardless of
+    ``n_probe``. The index scan is partition-pruned to the batch's
+    probed cells (a ≤ n_cells-row collect — rails-bounded by
+    construction, the same class as the centroid read).
+
+    ``n_probe`` addresses the module-doc caveat (SemDeDup's
+    cluster-then-compare misses cross-cell neighbors on cell
+    borders): probing p cells multiplies candidate work by ~p while
+    keeping it cell-bounded — decisions are monotonically MORE
+    conservative (strictly more candidates can only reject more),
+    and ``n_probe=1`` is exactly the paper's admission (the default;
+    every certified hash is the p=1 decision set)."""
     if not 0 < threshold_fx6 <= FX:
         raise ValueError(
             f"threshold_fx6 must be in (0, 1e6], got {threshold_fx6}"
         )
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     _rail_nonzero_norms(batch, id_col, vec_col, "the admission batch")
     cents = spark.read.parquet(_cents_dir(path))
     assign = ivf_assignments(
-        batch, cents, id_col, vec_col, n_probe=1
-    ).select(F.col(id_col), "cell")
+        batch, cents, id_col, vec_col, n_probe=n_probe
+    )
+    if n_probe == 1:
+        probed = assign.select(F.col(id_col), "cell")
+        home = probed
+    else:
+        probed = assign.select(F.col(id_col), "cell")
+        home = assign.filter(F.col("cell_rank") == 1).select(
+            F.col(id_col), "cell"
+        )
     b = (
         batch.selectExpr(id_col, as_double_sql(vec_col) + " as v")
-        .join(assign, id_col)
+        .join(probed, id_col)
         .withColumn("nv", F.expr(norm_sql("v")))
         .select(F.col(id_col).alias("bid"), "cell", "v", "nv")
     )
-    cells = [r["cell"] for r in assign.select("cell").distinct().collect()]
+    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
     ix = (
         spark.read.parquet(_vecs_dir(path))
         .filter(F.col("cell").isin(cells))
@@ -210,7 +237,6 @@ def semdedup_against_index(
         b.join(ix, "cell")
         .select(
             "bid",
-            "cell",
             F.round(
                 F.expr(score_sql("v", "iv", "nv", "niv")) * FX
             )
@@ -218,15 +244,15 @@ def semdedup_against_index(
             .alias("sim_fx6"),
         )
     )
-    agg = sims.groupBy("bid", "cell").agg(
+    agg = sims.groupBy("bid").agg(
         F.sum(
             (F.col("sim_fx6") >= threshold_fx6).cast("long")
         ).alias("n_neighbors"),
         F.max("sim_fx6").alias("max_sim_fx6"),
     )
     return (
-        b.select("bid", "cell")
-        .join(agg, ["bid", "cell"], "left")
+        home.select(F.col(id_col).alias("bid"), "cell")
+        .join(agg, "bid", "left")
         .select(
             F.col("bid").alias(id_col),
             "cell",
@@ -281,13 +307,15 @@ def admit_semdedup_batch(
     threshold_fx6: int = 400_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
     """Decide + append in one call; returns the decision table (the
-    appended rows are exactly its ``admitted`` subset). The decision
-    table is computed BEFORE the append (localCheckpoint) so the
-    returned frame can never see its own batch in the index."""
+    appended rows are exactly its ``admitted`` subset — under their
+    HOME cells, whatever ``n_probe`` probed). The decision table is
+    computed BEFORE the append (localCheckpoint) so the returned
+    frame can never see its own batch in the index."""
     decisions = semdedup_against_index(
-        spark, path, batch, threshold_fx6, id_col, vec_col
+        spark, path, batch, threshold_fx6, id_col, vec_col, n_probe
     ).localCheckpoint(eager=True)
     append_to_semdedup_index(
         spark, path, batch, decisions, id_col, vec_col
@@ -391,25 +419,29 @@ def semdedup_admission_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    n_probe: int = 1,
 ) -> str:
     """DuckDB twin of :func:`semdedup_against_index` — re-derives the
     FROZEN centroids from ``cents_src_table`` (the init corpus; the
     shared ``ivf_refine_ctes_sql`` chain), assigns batch AND index
-    sides by the same rounded-cosine argmax, and replays the fx6
-    verify. Chain multi-batch sequences by materializing each step's
-    admitted rows into the next call's ``index_table``.
+    sides by the same rounded-cosine argmax (the batch side probes
+    its ``n_probe`` nearest cells; home = rank 1), and replays the
+    fx6 verify. Chain multi-batch sequences by materializing each
+    step's admitted rows into the next call's ``index_table``.
     ``n_cells=None`` derives the √n count from the init corpus
     in-query (``AUTO_N_CELLS_SQL`` — same freeze rule as init)."""
     if not 0 < threshold_fx6 <= FX:
         raise ValueError(
             f"threshold_fx6 must be in (0, 1e6], got {threshold_fx6}"
         )
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if n_cells is None:
         n_cells = AUTO_N_CELLS_SQL
     cos_assign = DUCK_COS.format(a="e.v", b="c.cv")
     cos_b = DUCK_COS.format(a="bx.v", b="c.cv")
     cos_i = DUCK_COS.format(a="ix.v", b="c.cv")
-    cos_pair = DUCK_COS.format(a="ba.v", b="ia.v")
+    cos_pair = DUCK_COS.format(a="bp.v", b="ia.v")
     return (
         f"WITH e AS (SELECT {id_col} AS vec_id,"
         f" CAST({vec_col} AS DOUBLE[]) AS v FROM {cents_src_table}),"
@@ -419,24 +451,24 @@ def semdedup_admission_sql(
         f"  CAST({vec_col} AS DOUBLE[]) AS v FROM {batch_table}),"
         f" ix AS (SELECT {id_col} AS iid,"
         f"  CAST({vec_col} AS DOUBLE[]) AS v FROM {index_table}),"
-        " ba AS (SELECT bid, cell, v FROM ("
-        "   SELECT bx.bid, c.cell, bx.v,"
-        f"   row_number() OVER (PARTITION BY bx.bid ORDER BY {cos_b}"
-        "    DESC, c.cell) AS r FROM bx CROSS JOIN cents c)"
-        "  WHERE r = 1),"
+        " br AS (SELECT bx.bid, c.cell, bx.v,"
+        f"  row_number() OVER (PARTITION BY bx.bid ORDER BY {cos_b}"
+        "   DESC, c.cell) AS r FROM bx CROSS JOIN cents c),"
+        f" bp AS (SELECT bid, cell, v FROM br WHERE r <= {int(n_probe)}),"
+        " ba AS (SELECT bid, cell, v FROM br WHERE r = 1),"
         " ia AS (SELECT iid, cell, v FROM ("
         "   SELECT ix.iid, c.cell, ix.v,"
         f"   row_number() OVER (PARTITION BY ix.iid ORDER BY {cos_i}"
         "    DESC, c.cell) AS r FROM ix CROSS JOIN cents c)"
         "  WHERE r = 1),"
-        " sims AS (SELECT ba.bid, ba.cell,"
+        " sims AS (SELECT bp.bid,"
         f"  CAST(round({cos_pair} * {FX}) AS BIGINT) AS sim_fx6"
-        "  FROM ba JOIN ia ON ia.cell = ba.cell),"
-        " agg AS (SELECT bid, cell,"
+        "  FROM bp JOIN ia ON ia.cell = bp.cell),"
+        " agg AS (SELECT bid,"
         f"  CAST(sum(CASE WHEN sim_fx6 >= {int(threshold_fx6)}"
         "   THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors,"
         "  max(sim_fx6) AS max_sim_fx6"
-        "  FROM sims GROUP BY bid, cell)"
+        "  FROM sims GROUP BY bid)"
         f" SELECT ba.bid AS {id_col}, ba.cell,"
         "  COALESCE(agg.n_neighbors, 0) AS n_neighbors,"
         "  CAST(agg.max_sim_fx6 AS BIGINT) AS max_sim_fx6,"

@@ -200,6 +200,90 @@ def test_threshold_rails():
         semdedup_admission_sql("b", "i", threshold_fx6=0)
 
 
+def test_nprobe_oracle_and_monotone(spark, duck, sf_dir):
+    """n_probe=2 admission replays exactly in the SQL twin (batch
+    side probes its 2 nearest frozen cells, home stays rank-1), and
+    probing is monotonically conservative on the corpus: every p=2
+    admission is also a p=1 admission."""
+    emb, init, b1, _ = _corpus_parts(spark, sf_dir)
+    path = _tmp("nprobe")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(init, path)
+        duck.execute(
+            "CREATE OR REPLACE VIEW npx_init AS"
+            " SELECT * FROM embeddings WHERE vec_id % 3 = 0"
+        )
+        duck.execute(
+            "CREATE OR REPLACE VIEW npx_b1 AS"
+            " SELECT * FROM embeddings WHERE vec_id % 3 = 1"
+        )
+        d2 = semdedup_against_index(spark, path, b1, T, n_probe=2)
+        assert_matches_oracle(
+            d2,
+            duck.execute(
+                semdedup_admission_sql(
+                    "npx_b1", "npx_init", "npx_init", T, n_probe=2
+                )
+            ).df(),
+            "sdix_nprobe2",
+        )
+        adm1 = {
+            r["vec_id"]
+            for r in semdedup_against_index(spark, path, b1, T)
+            .filter("admitted")
+            .collect()
+        }
+        adm2 = {
+            r["vec_id"] for r in d2.filter("admitted").collect()
+        }
+        assert adm2 <= adm1  # more candidates can only reject more
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_nprobe_catches_cell_border_neighbor(spark):
+    """Planted cross-cell miss: with frozen axis cells a/b, the
+    stored near-dup w=[.6,.8] lives in b's cell while the probe
+    q=[.8,.6] homes to a's cell — cos(q,w)=0.96 ≥ 0.9 but p=1 never
+    sees it (cell a holds only a, cos 0.8 < 0.9) and falsely admits;
+    p=2 probes b's cell and rejects. Home cell is p-invariant."""
+    dims = 8
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def vec(x, y, vid):
+        v = [0.0] * dims
+        v[0], v[1] = x, y
+        return (vid, v, 0)
+
+    TT = 900_000
+    path = _tmp("border")
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        init_semdedup_index(
+            spark.createDataFrame(
+                [vec(1.0, 0.0, 1), vec(0.0, 1.0, 2)], schema
+            ),
+            path, n_cells=2, dims=dims,
+        )
+        # w homes to b's cell (cos .8 vs .6) and admits (only b there,
+        # cos .8 < .9)
+        w = spark.createDataFrame([vec(0.6, 0.8, 10)], schema)
+        dw = admit_semdedup_batch(spark, path, w, TT).collect()[0]
+        assert dw["admitted"] is True
+        q = spark.createDataFrame([vec(0.8, 0.6, 20)], schema)
+        d1 = semdedup_against_index(spark, path, q, TT).collect()[0]
+        d2 = semdedup_against_index(
+            spark, path, q, TT, n_probe=2
+        ).collect()[0]
+        assert d1["admitted"] is True  # the p=1 cell-border MISS
+        assert d2["admitted"] is False  # p=2 sees w: cos .96 >= .9
+        assert d2["max_sim_fx6"] == 960_000
+        assert d1["cell"] == d2["cell"]  # home cell is p-invariant
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_zero_norm_rail(spark):
     """A zero-norm embedding is rejected at the door (init AND
     admission): its cosine is NaN, so a replayed batch containing it
