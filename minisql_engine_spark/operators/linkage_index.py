@@ -8,7 +8,11 @@ persisted index and resolves each batch AGAINST it:
 1. **Record store** (``<path>/records/batch=<k>/``) — append-only
    parquet, one directory per admitted batch; holds the matching
    fields (id, block, name, exact-agreement columns). Appends never
-   rewrite a byte (the ``dedup_index`` layout rule).
+   rewrite a byte (the ``dedup_index`` layout rule);
+   :func:`compact_linkage_index` is the explicit maintenance step
+   that consolidates the accumulated batch dirs (decision-identity
+   preserved, single-writer locked, swap aborted if a concurrent
+   admission lands — the semdedup-index compaction contract).
 2. **Label table** (``<path>/labels/``) — (rec_id, entity), versioned
    via :mod:`sources.snapshots` manifest commits. Labels rewrite
    copy-on-write per admission: the skinny two-long table is ~0.1%
@@ -203,6 +207,12 @@ def admit_linkage_batch(
     the new label version. Batch ids must be disjoint from the
     index's (checked — a re-presented id is an upsert, which is
     :mod:`sources.scd2`'s job, not the identity graph's)."""
+    if batch_no < 0:
+        raise ValueError(
+            f"batch_no must be >= 0, got {batch_no} — negative "
+            "numbers are reserved for the compacted store "
+            "(compact_linkage_index writes batch=-1)"
+        )
     exact_weights = dict(exact_weights or {})
     cols = _match_cols(id_col, block_col, name_col, exact_weights)
     # the batch projection is consumed by the rail, both edge sides,
@@ -472,6 +482,94 @@ def admit_linkage_batch_bucketed(
         .saveAsTable(table)
     )
     return write_snapshot(next_labels, _labels_dir(labels_path))
+
+
+def compact_linkage_index(
+    spark: SparkSession, path: str, n_partitions: int = 1
+) -> tuple[int, int, int]:
+    """Compact BOTH index surfaces; returns (records_files_before,
+    records_files_after, label_version).
+
+    * **Records**: every admission appends a ``records/batch=k`` dir
+      (at least one file), so a long admission cadence accumulates
+      dirs/files every candidate scan re-opens; compaction rewrites
+      the store into ONE consolidated ``batch=-1`` dir (same rows,
+      same schema — admission decisions depend on row content and
+      labels only, so they cannot change). Caller batch numbers are
+      ≥ 0 (railed in :func:`admit_linkage_batch`), so the reserved
+      dir never collides, and post-compaction the committed-dir
+      clobber rail is moot for consolidated records: a colliding
+      batch number writes a FRESH dir and can no longer evict them.
+    * **Labels**: delegated to :func:`sources.snapshots.
+      compact_snapshot` — a new content-identical version with
+      bin-packed files (older versions still time-travel until
+      vacuumed).
+
+    SINGLE-WRITER, NO CONCURRENT ADMISSION (the semdedup-index
+    compaction contract): an exclusive lock file
+    (``records.compact.lock``) serializes compactions, and the
+    records file listing is verified UNCHANGED between the staging
+    read and the swap — an admission landing mid-compaction aborts
+    the swap (RuntimeError; live store untouched) instead of having
+    its appended batch silently dropped. The swap is two renames; a
+    reader in that instant sees a briefly-missing dir, not a partial
+    one — schedule compaction in an admission quiesce window."""
+    import shutil as _shutil
+
+    records = _records_dir(path)
+
+    def _listing(root: str) -> list[tuple[str, int]]:
+        out = []
+        for d, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    out.append(
+                        (os.path.relpath(p, root), os.path.getsize(p))
+                    )
+        return sorted(out)
+
+    lock = records + ".compact.lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction holds {lock} — linkage-index "
+            "compaction is single-writer; remove the stale lock only "
+            "if its owner is dead"
+        )
+    os.close(fd)
+    try:
+        snapshot = _listing(records)
+        before = len(snapshot)
+        staged = records + ".compact"
+        _shutil.rmtree(staged, ignore_errors=True)
+        (
+            spark.read.parquet(records)
+            .drop("batch")
+            .repartition(n_partitions)
+            .write.mode("overwrite")
+            .parquet(os.path.join(staged, "batch=-1"))
+        )
+        if _listing(records) != snapshot:
+            _shutil.rmtree(staged, ignore_errors=True)
+            raise RuntimeError(
+                "record store changed during compaction (concurrent "
+                "admission?) — swap aborted, live store untouched; "
+                "quiesce admissions and retry"
+            )
+        old = records + ".old"
+        _shutil.rmtree(old, ignore_errors=True)
+        os.rename(records, old)
+        os.rename(staged, records)
+        _shutil.rmtree(old, ignore_errors=True)
+        after = len(_listing(records))
+    finally:
+        os.unlink(lock)
+    from ..sources.snapshots import compact_snapshot
+
+    version = compact_snapshot(spark, _labels_dir(path))
+    return before, after, version
 
 
 def linkage_index_entities(

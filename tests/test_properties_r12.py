@@ -216,3 +216,69 @@ def test_semdedup_admission_equals_bruteforce(_spark, case, tmp_path_factory):
         for bid, bv in batch_rows
     }
     assert got == want
+
+
+SDIX_FULLPROBE_CASE = st.tuples(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), VEC),
+        min_size=2, max_size=6, unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(min_value=100, max_value=109), VEC),
+        min_size=1, max_size=5, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=2, max_value=3),           # n_cells
+)
+
+
+@given(case=SDIX_FULLPROBE_CASE)
+@SLOW
+def test_semdedup_fullprobe_equals_bruteforce(
+    _spark, case, tmp_path_factory
+):
+    """With n_probe = n_cells every cell is probed, so the cell
+    structure is irrelevant and admission must equal the brute-force
+    rule REGARDLESS of how the clustering fell out — the r14 recall
+    knob's correctness contract (the admitted flag is partition-
+    independent; only the home cell depends on the clustering)."""
+    import math
+    import shutil
+
+    from minisql_engine_spark.operators.semdedup_index import (
+        init_semdedup_index,
+        semdedup_against_index,
+    )
+
+    init_rows, batch_rows, t, n_cells = case
+    n_cells = min(n_cells, len(init_rows))  # k <= n for the clustering
+    schema = "vec_id bigint, embedding array<float>, label int"
+    init = _spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in init_rows], schema
+    )
+    batch = _spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in batch_rows], schema
+    )
+    path = str(tmp_path_factory.mktemp("sdix_fp") / "ix")
+    try:
+        init_semdedup_index(init, path, n_cells=n_cells, dims=4)
+        got = {
+            r["vec_id"]: bool(r["admitted"])
+            for r in semdedup_against_index(
+                _spark, path, batch, t, n_probe=n_cells
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def cos_fx6(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(round(dot / (na * nb), 6) * 10**6)
+
+    want = {
+        bid: all(cos_fx6(bv, iv) < t for _, iv in init_rows)
+        for bid, bv in batch_rows
+    }
+    assert got == want
