@@ -30,6 +30,8 @@ batch sequence admits exactly one representative per distinct content.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -166,24 +168,26 @@ def compact_index(spark: SparkSession, path: str) -> None:
     same key in — harmless for correctness since the anti-join only
     asks existence, but compaction keeps lookups one-file-per-bucket).
 
-    Writes to a sibling temp dir then swaps, so a crash mid-compact
-    never leaves a half index."""
-    tmp = path.rstrip("/") + ".compact-tmp"
-    (
-        _index_keys(spark, path)
-        .select("content_hash", _PART)
-        .distinct()
-        .repartition(_PART)
-        .write.mode("overwrite")
-        .partitionBy(_PART)
-        .parquet(tmp)
-    )
-    import shutil
+    SINGLE-WRITER, NO CONCURRENT ADMISSION — the shared
+    :mod:`._compaction` contract (exclusive lock file, listing-verify
+    swap abort: an ``append_to_index`` landing mid-compaction aborts
+    the swap instead of having its freshly-appended keys silently
+    dropped, which would break the anti-join's first-batch-wins
+    idempotence)."""
+    from ._compaction import compact_swap
 
-    bak = path.rstrip("/") + ".compact-old"
-    shutil.move(path, bak)
-    shutil.move(tmp, path)
-    shutil.rmtree(bak)
+    def stage(staged: str) -> None:
+        (
+            _index_keys(spark, path)
+            .select("content_hash", _PART)
+            .distinct()
+            .repartition(_PART)
+            .write.mode("overwrite")
+            .partitionBy(_PART)
+            .parquet(staged)
+        )
+
+    compact_swap(path, stage, "dedup index")
 
 
 # ---------------------------------------------------------------------------

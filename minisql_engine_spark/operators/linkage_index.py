@@ -505,45 +505,17 @@ def compact_linkage_index(
       bin-packed files (older versions still time-travel until
       vacuumed).
 
-    SINGLE-WRITER, NO CONCURRENT ADMISSION (the semdedup-index
-    compaction contract): an exclusive lock file
-    (``records.compact.lock``) serializes compactions, and the
-    records file listing is verified UNCHANGED between the staging
-    read and the swap — an admission landing mid-compaction aborts
-    the swap (RuntimeError; live store untouched) instead of having
-    its appended batch silently dropped. The swap is two renames; a
-    reader in that instant sees a briefly-missing dir, not a partial
-    one — schedule compaction in an admission quiesce window."""
-    import shutil as _shutil
+    SINGLE-WRITER, NO CONCURRENT ADMISSION — the shared
+    :mod:`._compaction` contract (exclusive lock file, listing-verify
+    swap abort on a concurrent append, two-rename swap with a
+    briefly-missing-dir instant); schedule compaction in an admission
+    quiesce window."""
+    from ..sources.snapshots import compact_snapshot
+    from ._compaction import compact_swap
 
     records = _records_dir(path)
 
-    def _listing(root: str) -> list[tuple[str, int]]:
-        out = []
-        for d, _, fs in os.walk(root):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(d, f)
-                    out.append(
-                        (os.path.relpath(p, root), os.path.getsize(p))
-                    )
-        return sorted(out)
-
-    lock = records + ".compact.lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"another compaction holds {lock} — linkage-index "
-            "compaction is single-writer; remove the stale lock only "
-            "if its owner is dead"
-        )
-    os.close(fd)
-    try:
-        snapshot = _listing(records)
-        before = len(snapshot)
-        staged = records + ".compact"
-        _shutil.rmtree(staged, ignore_errors=True)
+    def stage(staged: str) -> None:
         (
             spark.read.parquet(records)
             .drop("batch")
@@ -551,23 +523,8 @@ def compact_linkage_index(
             .write.mode("overwrite")
             .parquet(os.path.join(staged, "batch=-1"))
         )
-        if _listing(records) != snapshot:
-            _shutil.rmtree(staged, ignore_errors=True)
-            raise RuntimeError(
-                "record store changed during compaction (concurrent "
-                "admission?) — swap aborted, live store untouched; "
-                "quiesce admissions and retry"
-            )
-        old = records + ".old"
-        _shutil.rmtree(old, ignore_errors=True)
-        os.rename(records, old)
-        os.rename(staged, records)
-        _shutil.rmtree(old, ignore_errors=True)
-        after = len(_listing(records))
-    finally:
-        os.unlink(lock)
-    from ..sources.snapshots import compact_snapshot
 
+    before, after = compact_swap(records, stage, "linkage record store")
     version = compact_snapshot(spark, _labels_dir(path))
     return before, after, version
 

@@ -252,6 +252,32 @@ def append_to_neardup_index(
     )
 
 
+def compact_neardup_index(
+    spark: SparkSession, path: str, n_partitions: int = 1
+) -> tuple[int, int]:
+    """Rewrite the signature store compacted (duplicate signature
+    rows from replayed appends collapsed — harmless for decisions,
+    which ask band-key existence, but each sliver is a listing/footer
+    cost every admission pays); returns (files_before, files_after).
+    Decisions cannot change: the candidate join depends on the
+    distinct signature content only. SINGLE-WRITER, NO CONCURRENT
+    ADMISSION — the shared :mod:`._compaction` contract (exclusive
+    lock file, listing-verify swap abort, two-rename swap). The
+    Bloom sidecar is generation-dir'd separately and unaffected."""
+    from ._compaction import compact_swap
+
+    def stage(staged: str) -> None:
+        (
+            spark.read.parquet(path)
+            .distinct()
+            .repartition(n_partitions)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+
+    return compact_swap(path, stage, "neardup index")
+
+
 def neardup_index_stats(spark: SparkSession, path: str) -> DataFrame:
     """(n_docs,): indexed corpus size."""
     return (

@@ -339,52 +339,16 @@ def compact_semdedup_index(
     regardless — the knob bounds rewrite parallelism/memory, not
     files per cell.
 
-    SINGLE-WRITER, NO CONCURRENT ADMISSION. Compaction takes an
-    exclusive lock file (``vecs.compact.lock``) so two compactions
-    cannot interleave, and verifies the index file listing is
-    UNCHANGED between the staging read and the swap — an admission
-    landing mid-compaction aborts the swap (RuntimeError; the staged
-    copy is discarded, the live index untouched) instead of having
-    its freshly-appended vectors silently dropped. The swap itself
-    is two renames (``vecs``→``vecs.old``, ``staged``→``vecs``): a
-    reader in that instant sees a briefly-missing dir, NOT a partial
-    one — schedule compaction when no admission or candidate scan is
-    in flight (the same quiesce window the listing check enforces
-    for writers)."""
-    import shutil as _shutil
+    SINGLE-WRITER, NO CONCURRENT ADMISSION — the shared
+    :mod:`._compaction` contract (exclusive lock file, listing-verify
+    swap abort on a concurrent append, two-rename swap with a
+    briefly-missing-dir instant); schedule compaction when no
+    admission or candidate scan is in flight."""
+    from ._compaction import compact_swap
 
     vecs = _vecs_dir(path)
 
-    def _count(root: str) -> int:
-        n = 0
-        for d, _, fs in os.walk(root):
-            n += sum(1 for f in fs if f.endswith(".parquet"))
-        return n
-
-    def _listing(root: str) -> list[tuple[str, int]]:
-        out = []
-        for d, _, fs in os.walk(root):
-            for f in fs:
-                if f.endswith(".parquet"):
-                    p = os.path.join(d, f)
-                    out.append((os.path.relpath(p, root), os.path.getsize(p)))
-        return sorted(out)
-
-    lock = vecs + ".compact.lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"another compaction holds {lock} — semdedup-index "
-            "compaction is single-writer; remove the stale lock only "
-            "if its owner is dead"
-        )
-    os.close(fd)
-    try:
-        snapshot = _listing(vecs)
-        before = len(snapshot)
-        staged = vecs + ".compact"
-        _shutil.rmtree(staged, ignore_errors=True)
+    def stage(staged: str) -> None:
         (
             spark.read.parquet(vecs)
             .repartition(n_partitions, "cell")
@@ -392,21 +356,8 @@ def compact_semdedup_index(
             .partitionBy("cell")
             .parquet(staged)
         )
-        if _listing(vecs) != snapshot:
-            _shutil.rmtree(staged, ignore_errors=True)
-            raise RuntimeError(
-                "index changed during compaction (concurrent "
-                "admission?) — swap aborted, live index untouched; "
-                "quiesce admissions and retry"
-            )
-        old = vecs + ".old"
-        _shutil.rmtree(old, ignore_errors=True)
-        os.rename(vecs, old)
-        os.rename(staged, vecs)
-        _shutil.rmtree(old, ignore_errors=True)
-    finally:
-        os.unlink(lock)
-    return before, _count(vecs)
+
+    return compact_swap(vecs, stage, "semdedup index")
 
 
 def semdedup_admission_sql(

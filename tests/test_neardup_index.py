@@ -272,3 +272,47 @@ def test_neardup_sidecar_fresh_batch_skips_index(
         "left_semi",
     ).count()
     assert true_present <= maybe <= true_present + max(3, int(0.05 * n))
+
+
+def test_compaction_preserves_decisions(spark, corpus_and_batch, tmp_path):
+    """compact_neardup_index collapses replay-raced duplicate rows
+    and slivers into one file, changing NO admission decision, and
+    runs under the shared single-writer/abort rails."""
+    import os
+
+    from minisql_engine_spark.operators.neardup_index import (
+        compact_neardup_index,
+    )
+
+    corpus, fresh, batch = corpus_and_batch
+    path = str(tmp_path / "nidx")
+    init_neardup_index(corpus, path)
+    admitted = neardup_against_index(batch, path, threshold=T)
+    append_to_neardup_index(admitted, path)
+    # a replayed append (at-least-once delivery) races duplicate rows
+    append_to_neardup_index(admitted, path)
+    probe = fresh.limit(20)
+    before = {
+        r["doc_id"]
+        for r in neardup_against_index(probe, path, threshold=T)
+        .select("doc_id")
+        .collect()
+    }
+    nb, na = compact_neardup_index(spark, path)
+    assert na < nb
+    after = {
+        r["doc_id"]
+        for r in neardup_against_index(probe, path, threshold=T)
+        .select("doc_id")
+        .collect()
+    }
+    assert before == after
+    # the duplicate signature rows collapsed; distinct docs unchanged
+    rows = spark.read.parquet(path)
+    assert rows.count() == rows.distinct().count()
+    # shared rails: a held lock fails fast
+    lock = path + ".compact.lock"
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="single-writer"):
+        compact_neardup_index(spark, path)
+    os.unlink(lock)
