@@ -721,3 +721,17 @@ def test_semdedup_admission_joins_are_bounded(spark, sf_dir, tmp_path):
         _re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     )
     assert sites <= 3, plan[:1500]
+    # the n_probe > 1 path keeps BOTH contracts: partition filters on
+    # the index scan (pruned to the probed cells) and no unbounded
+    # product — the recall knob must not widen the scan to the corpus
+    df2 = semdedup_against_index(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 1).limit(20),
+        400_000, n_probe=2,
+    )
+    plan2 = plan_of(df2)
+    assert "CartesianProduct" not in plan2
+    segs = plan2.split("PartitionFilters: [")[1:]
+    assert any(
+        "cell" in s[: s.find("]")] and s[: s.find("]")].strip()
+        for s in segs
+    ), plan2[:2000]
