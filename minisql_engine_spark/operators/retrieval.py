@@ -248,6 +248,97 @@ RRF_UNIT = 10**15
 RRF_K = 60
 
 
+def hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame | list[tuple[str, str]],
+    positives: DataFrame,
+    k: int = 5,
+    depth: int = 20,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, neg_rank) — top-``k`` HARD NEGATIVES
+    per query for contrastive-training data: the highest-BM25
+    candidates within retrieval ``depth`` that are NOT labeled
+    positives for that query (the standard BM25-negatives recipe of
+    DPR, Karpukhin et al. 2020 — lexically close to the query, known
+    not to be answers, which is exactly what makes them hard).
+
+    ``positives`` is (query_id, id_col) — the labeled relevant set;
+    the anti-join drops them AND their rank slots, then survivors
+    re-rank densely (``neg_rank`` 1..k) by (score DESC, id). A query
+    whose whole depth window is positive yields no rows (mine deeper
+    or fall back to random negatives — the caller's policy).
+
+    Scale shape: :func:`bm25_topk` bounds the candidate set to
+    depth·|queries| rows BEFORE the anti-join, so the positives join
+    and the re-rank window touch nothing corpus-sized; the corpus
+    work is exactly the BM25 pass (see module doc)."""
+    if k < 1 or depth < k:
+        raise ValueError(f"need 1 <= k <= depth, got k={k} depth={depth}")
+    cand = bm25_topk(
+        docs, queries, k=depth, k1=k1, b=b, id_col=id_col,
+        text_col=text_col,
+    )
+    pos = positives.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    neg = cand.join(pos, ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "score",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+def hard_negatives_sql(
+    q_cte: str = "q",
+    pos_cte: str = "pos",
+    k: int = 5,
+    depth: int = 20,
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` — the shared
+    :func:`bm25_ranked_cte_sql` chain, the depth cut, a NOT EXISTS
+    against ``pos_cte(query_id, {id_col})`` (anti-join parity), and
+    the dense re-rank. Embed after a WITH list defining ``q_cte`` and
+    ``pos_cte`` (composable CTE text, like the RRF oracle)."""
+    if k < 1 or depth < k:
+        raise ValueError(f"need 1 <= k <= depth, got k={k} depth={depth}")
+    return (
+        bm25_ranked_cte_sql(
+            q_cte, k1=k1, b=b, table=table, id_col=id_col,
+            text_col=text_col,
+        )
+        + f", hn_neg AS (SELECT r.query_id, r.{id_col}, r.score"
+        "   FROM bm25_ranked r"
+        f"  WHERE r.rank <= {int(depth)} AND NOT EXISTS ("
+        f"   SELECT 1 FROM {pos_cte} p WHERE p.query_id = r.query_id"
+        f"    AND p.{id_col} = r.{id_col}))"
+        f" SELECT query_id, {id_col}, score,"
+        "  CAST(neg_rank AS INT) AS neg_rank FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY query_id"
+        f"   ORDER BY score DESC, {id_col}) AS neg_rank FROM hn_neg)"
+        f" WHERE neg_rank <= {int(k)} ORDER BY query_id, neg_rank"
+    )
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     k: int = 10,

@@ -175,3 +175,92 @@ def test_rrf_requires_a_list(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([], k=5)
+
+
+def _hn_spark_inputs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id") % 97 == 0)
+    qid = F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+        "query_id"
+    )
+    queries = qdocs.select(
+        qid,
+        F.array_join(
+            F.slice(_ws_tokens(_norm_text(F.col("text"))), 1, 8), " "
+        ).alias("query_text"),
+    )
+    h = F.md5(_norm_text(F.col("text"))).alias("h")
+    positives = (
+        qdocs.select(qid, h)
+        .join(docs.select(h, "doc_id"), "h")
+        .select("query_id", "doc_id")
+    )
+    return docs, queries, positives
+
+
+_HN_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_HN_CTES = (
+    "WITH q AS (SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,"
+    f" array_to_string((string_split({_HN_NORM}, ' '))[1:8], ' ')"
+    " AS query_text FROM documents WHERE doc_id % 97 = 0),"
+    " pos AS (SELECT 'q' || CAST(a.doc_id AS VARCHAR) AS query_id,"
+    "  b.doc_id FROM documents a JOIN documents b"
+    f"  ON md5(regexp_replace(lower(trim(a.text)), '\\s+', ' ', 'g'))"
+    f"   = md5(regexp_replace(lower(trim(b.text)), '\\s+', ' ', 'g'))"
+    "  WHERE a.doc_id % 97 = 0),"
+)
+
+
+def test_hard_negatives_oracle_corpus(spark, duck, sf_dir):
+    """DPR-style BM25 hard-negative mining on the corpus: queries are
+    each 97th doc's first 8 tokens, positives are the source doc plus
+    its exact-content duplicates — both derived identically in both
+    engines; full hash parity, and the structural contracts: no
+    positive ever surfaces, neg_rank is dense 1..k per query, and
+    every negative's score is within the depth window's range."""
+    from minisql_engine_spark.operators.retrieval import (
+        hard_negatives,
+        hard_negatives_sql,
+    )
+
+    docs, queries, positives = _hn_spark_inputs(spark, sf_dir)
+    out = hard_negatives(docs, queries, positives, k=5, depth=20)
+    oracle = _HN_CTES + hard_negatives_sql("q", "pos", k=5, depth=20)
+    assert_matches_oracle(
+        out, duck.execute(oracle).df(), "hard_negatives"
+    )
+    pdf = out.toPandas()
+    pos_pdf = positives.toPandas()
+    pos_set = set(zip(pos_pdf.query_id, pos_pdf.doc_id))
+    assert not any(
+        (q, d) in pos_set for q, d in zip(pdf.query_id, pdf.doc_id)
+    )
+    for _, g in pdf.groupby("query_id"):
+        assert list(g.neg_rank) == list(range(1, len(g) + 1))
+        assert (g.score.diff().dropna() <= 0).all()
+
+
+def test_hard_negatives_rails_and_saturation(spark):
+    """k/depth rails raise; a query whose whole depth window is
+    positive yields no rows (the caller's mine-deeper signal)."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    queries = [("qa", "alpha beta")]
+    all_pos = spark.createDataFrame(
+        [("qa", 1), ("qa", 2)], "query_id string, doc_id long"
+    )
+    with pytest.raises(ValueError, match="k <= depth"):
+        hard_negatives(docs, queries, all_pos, k=5, depth=2)
+    out = hard_negatives(docs, queries, all_pos, k=2, depth=3)
+    # docs 1,2 are positive; doc 3 shares no query term -> no negs
+    assert out.count() == 0
