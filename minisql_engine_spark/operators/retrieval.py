@@ -339,6 +339,144 @@ def hard_negatives_sql(
     )
 
 
+def contrastive_triplets(
+    docs: DataFrame,
+    queries: DataFrame | list[tuple[str, str]],
+    positives: DataFrame,
+    k: int = 5,
+    depth: int = 20,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, pos_id, neg_id, neg_rank, pos_rank, is_hard) —
+    assembled (anchor, positive, negative) training triplets: every
+    labeled positive of a query paired with each of its top-``k``
+    mined hard negatives (:func:`hard_negatives`), the standard
+    contrastive-set assembly downstream of DPR-style mining.
+
+    The hardness signal is RANK-based, not score-based, on purpose:
+    ``pos_rank`` is the positive's retrieval rank within ``depth``
+    (0 = below depth — by definition out-scored by every mined
+    negative), and ``is_hard`` marks the hardest class — a negative
+    that the retriever ranks ABOVE the positive. Ranks come from the
+    same hash-certified bm25 ranking the rest of the family ships; a
+    raw fx6 score DIFFERENCE would expose the one remaining ln-ulp
+    edge (two near-tied large sums each exact to ±1 unit subtract to
+    a ±1-unit margin — measured cross-engine on full-overlap
+    positives), so curricula sort by rank gap instead.
+
+    Scale: |positives per query| × k rows per query — both factors
+    label/parameter-sized; the corpus work remains the one shared
+    BM25 pass at ``depth``."""
+    ranked = bm25_topk(
+        docs, queries, k=depth, k1=k1, b=b, id_col=id_col,
+        text_col=text_col,
+    ).localCheckpoint(eager=True)
+    pos = positives.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col(id_col).cast("long").alias("pos_id"),
+    )
+    neg = (
+        ranked.join(
+            pos.select(
+                "query_id", F.col("pos_id").alias(id_col)
+            ),
+            ["query_id", id_col],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    neg = (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neg_id"),
+            F.col("rank").alias("neg_ret_rank"),
+            "neg_rank",
+        )
+    )
+    pos_ranked = pos.join(
+        ranked.select(
+            "query_id",
+            F.col(id_col).alias("pos_id"),
+            F.col("rank").alias("pos_rank"),
+        ),
+        ["query_id", "pos_id"],
+        "left",
+    ).select(
+        "query_id",
+        "pos_id",
+        F.coalesce(F.col("pos_rank"), F.lit(0)).cast("int").alias(
+            "pos_rank"
+        ),
+    )
+    return (
+        pos_ranked.join(neg, "query_id")
+        .select(
+            "query_id",
+            "pos_id",
+            "neg_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "pos_rank",
+            (
+                (F.col("pos_rank") == 0)
+                | (F.col("neg_ret_rank") < F.col("pos_rank"))
+            ).alias("is_hard"),
+        )
+        .orderBy("query_id", "pos_id", "neg_rank")
+    )
+
+
+def contrastive_triplets_sql(
+    q_cte: str = "q",
+    pos_cte: str = "pos",
+    k: int = 5,
+    depth: int = 20,
+    k1: float = K1,
+    b: float = B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`contrastive_triplets` — the shared
+    :func:`bm25_ranked_cte_sql` chain, negatives via NOT EXISTS +
+    dense re-rank within ``depth``, the positive's retrieval rank
+    from the same ranked list (COALESCE 0 past depth), cross product
+    per query, rank-gap hardness flag. Embed after a WITH list
+    defining ``q_cte`` and ``pos_cte(query_id, {id_col})``."""
+    return (
+        bm25_ranked_cte_sql(
+            q_cte, k1=k1, b=b, table=table, id_col=id_col,
+            text_col=text_col,
+        )
+        + f", ct_neg AS (SELECT query_id, {id_col} AS neg_id,"
+        "   ret_rank AS neg_ret_rank,"
+        "   CAST(neg_rank AS INT) AS neg_rank FROM ("
+        f"  SELECT r.query_id, r.{id_col}, r.rank AS ret_rank,"
+        "   row_number() OVER (PARTITION BY r.query_id"
+        f"    ORDER BY r.score DESC, r.{id_col}) AS neg_rank"
+        "   FROM bm25_ranked r"
+        f"   WHERE r.rank <= {int(depth)} AND NOT EXISTS ("
+        f"    SELECT 1 FROM {pos_cte} p WHERE p.query_id = r.query_id"
+        f"     AND p.{id_col} = r.{id_col}))"
+        f"  WHERE neg_rank <= {int(k)}),"
+        " ct_pos AS (SELECT p.query_id,"
+        f"  p.{id_col} AS pos_id, CAST(COALESCE(("
+        f"   SELECT r.rank FROM bm25_ranked r WHERE r.rank <= {int(depth)}"
+        f"    AND r.query_id = p.query_id AND r.{id_col} = p.{id_col}"
+        f"  ), 0) AS INT) AS pos_rank FROM {pos_cte} p)"
+        " SELECT ct_pos.query_id, pos_id, neg_id, neg_rank, pos_rank,"
+        "  (pos_rank = 0 OR neg_ret_rank < pos_rank) AS is_hard"
+        " FROM ct_pos JOIN ct_neg ON ct_neg.query_id = ct_pos.query_id"
+        " ORDER BY ct_pos.query_id, pos_id, neg_rank"
+    )
+
+
 def rrf_fuse(
     ranked_lists: list[DataFrame],
     k: int = 10,

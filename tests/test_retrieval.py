@@ -264,3 +264,48 @@ def test_hard_negatives_rails_and_saturation(spark):
     out = hard_negatives(docs, queries, all_pos, k=2, depth=3)
     # docs 1,2 are positive; doc 3 shares no query term -> no negs
     assert out.count() == 0
+
+
+def test_contrastive_triplets_oracle_corpus(spark, duck, sf_dir):
+    """Triplet assembly downstream of the mining: full hash parity on
+    the corpus, plus the structural contracts — every (query,
+    positive) pairs with exactly its k mined negatives, neg_id never
+    appears in the positive set, and the rank-based hardness flag is
+    internally consistent (a positive below depth makes every
+    negative hard; pos_rank=1 positives only yield hard negatives if
+    a negative out-ranked them, which rank 1 forbids)."""
+    from minisql_engine_spark.operators.retrieval import (
+        contrastive_triplets,
+        contrastive_triplets_sql,
+        hard_negatives,
+    )
+
+    docs, queries, positives = _hn_spark_inputs(spark, sf_dir)
+    out = contrastive_triplets(docs, queries, positives, k=3, depth=15)
+    oracle = _HN_CTES + contrastive_triplets_sql(
+        "q", "pos", k=3, depth=15
+    )
+    assert_matches_oracle(
+        out, duck.execute(oracle).df(), "contrastive_triplets"
+    )
+    pdf = out.toPandas()
+    pos_pdf = positives.toPandas()
+    pos_set = set(zip(pos_pdf.query_id, pos_pdf.doc_id))
+    assert not any(
+        (q, n) in pos_set for q, n in zip(pdf.query_id, pdf.neg_id)
+    )
+    # per (query, positive): exactly the query's mined-negative count
+    negs = hard_negatives(
+        docs, queries, positives, k=3, depth=15
+    ).toPandas()
+    n_by_q = negs.groupby("query_id").size().to_dict()
+    for (q, p), g in pdf.groupby(["query_id", "pos_id"]):
+        assert len(g) == n_by_q.get(q, 0)
+        assert set(g.neg_id) == set(
+            negs[negs.query_id == q].doc_id
+        )
+    # hardness-flag consistency
+    below = pdf[pdf.pos_rank == 0]
+    assert below.is_hard.all()
+    rank1 = pdf[pdf.pos_rank == 1]
+    assert (~rank1.is_hard).all()
