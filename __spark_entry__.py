@@ -7000,7 +7000,9 @@ def q_semdedup_index_admission(spark, sf_dir):
             "batch", "vec_id", "cell", "n_neighbors", "max_sim_fx6",
             "admitted",
         )
-        .orderBy("batch", "vec_id")
+        # no orderBy: the decision union is a set to the driver's
+        # order-insensitive hash; the sort was one more range
+        # Exchange over the noop-timed plan (guide §2.4)
     )
 
 

@@ -764,7 +764,10 @@ def keep_best_of_cluster(
             F.col("_s").alias(score_col),
             (F.col(id_col) == -F.col("_b.nid")).alias("is_kept"),
         )
-        .orderBy(id_col)
+        # no final orderBy: the roster is corpus-sized and every
+        # consumer (driver hash, tests, downstream joins) is
+        # order-insensitive — a determinism-only global sort is a
+        # full range Exchange at scale (guide §2.4)
     )
 
 
@@ -831,7 +834,16 @@ def lsh_recall_audit(
         )
     if n_queries < 1:
         raise ValueError(f"n_queries must be >= 1, got {n_queries}")
-    sh = shingle_table(docs, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # the shingle table feeds FOUR consumers here (sizes, the query
+    # shingles, the co-occurrence side, and the MinHash signatures) —
+    # persist it exactly like minhash_lsh_dedup does, or the
+    # tokenize+explode subtree executes once per consumer
+    sh = shingle_table(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _FPS_CACHE.append(sh)
     sizes = sh.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_sh")
     )
@@ -873,24 +885,35 @@ def lsh_recall_audit(
             )
         )
         .select("qid", "other")
+        # truth feeds BOTH the hit count and the per-query true count;
+        # it is audit-sized (pairs over n_queries docs) while its
+        # subtree is the shingle co-occurrence join — materialize once
+        .localCheckpoint(eager=True)
     )
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingles=sh
     )
-    cand = lsh_candidate_pairs(
-        lsh_band_keys(sigs, id_col, num_hashes, band_size), id_col
-    )
+    # detection only needs pairs INVOLVING a query doc: restrict one
+    # side of the band self-join to the n_queries sampled docs BEFORE
+    # the join (guide §3.2 — pre-filter the big side), so candidate
+    # generation is O(n_queries · band co-occupancy) like the truth
+    # side, not corpus-wide. Same (qid, other) set as filtering the
+    # full pair table: a pair is detected iff the two docs share ≥ 1
+    # (band, band_key), which this join tests directly.
+    bk = lsh_band_keys(sigs, id_col, num_hashes, band_size)
+    qbk = bk.join(
+        queries, bk[id_col] == queries["qid"], "left_semi"
+    ).select(F.col(id_col).alias("qid"), "band", "band_key")
     detected = (
-        cand.select(
-            F.col("id_a").alias("qid"), F.col("id_b").alias("other")
+        qbk.join(
+            bk.select(
+                F.col(id_col).alias("other"), "band", "band_key"
+            ),
+            ["band", "band_key"],
         )
-        .unionByName(
-            cand.select(
-                F.col("id_b").alias("qid"),
-                F.col("id_a").alias("other"),
-            )
-        )
-        .join(queries, "qid", "left_semi")
+        .filter(F.col("qid") != F.col("other"))
+        .select("qid", "other")
+        .distinct()
     )
     hits = truth.join(
         detected, ["qid", "other"], "left_semi"

@@ -54,18 +54,31 @@ FX = 10**6
 MRL_SEED = "mrl-audit"
 
 
-def _sliced_cos(d: int) -> str:
-    a, b = f"slice(qv, 1, {d})", f"slice(cv, 1, {d})"
-
-    def dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with({x}, {y}, (x, y) -> x * y),"
-            " 0.0d, (acc, x) -> acc + x)"
-        )
-
+def _dot(x: str, y: str) -> str:
     return (
-        f"round({dot(a, b)} / (sqrt({dot(a, a)})"
-        f" * sqrt({dot(b, b)})), 6)"
+        f"aggregate(zip_with({x}, {y}, (x, y) -> x * y),"
+        " 0.0d, (acc, x) -> acc + x)"
+    )
+
+
+def _prefix_norm(col: str, d: int) -> str:
+    """sqrt(Σ v_i² over the d-prefix) — the per-VECTOR factor of
+    :func:`_sliced_cos`, lifted out so it is computed once per row
+    below the pair join instead of once per scored pair (the
+    ``similarity.cosine_pre`` rule: same expressions, same operation
+    order, so every rounded sim is bit-identical — this removes 2 of
+    the 3 d-element folds from the n_queries × corpus hot multiply,
+    guide §1.2 step 2)."""
+    s = f"slice({col}, 1, {d})"
+    return f"sqrt({_dot(s, s)})"
+
+
+def _sliced_cos(d: int, nq: str, nc: str) -> str:
+    """round(cos, 6) over the d-prefix from pre-materialized norms
+    ``nq``/``nc`` (columns built with :func:`_prefix_norm`)."""
+    return (
+        f"round({_dot(f'slice(qv, 1, {d})', f'slice(cv, 1, {d})')}"
+        f" / ({nq} * {nc}), 6)"
     )
 
 
@@ -104,9 +117,26 @@ def matryoshka_recall(
         q = q.orderBy(
             sample_hash(F.col("qid"), MRL_SEED), F.col("qid")
         ).limit(n_queries)
-    c = vecs.select(F.col(id_col).alias("nbr"), F.col("v").alias("cv"))
-    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nbr"))
     all_d = [*dims, full_dims]
+    # prefix norms once per vector on BOTH sides of the pair join
+    # (2 of the 3 folds leave the hot n_queries × corpus multiply)
+    q = q.select(
+        "qid",
+        "qv",
+        *[
+            F.expr(_prefix_norm("qv", d)).alias(f"nq{d}")
+            for d in all_d
+        ],
+    )
+    c = vecs.select(
+        F.col(id_col).alias("nbr"),
+        F.col("v").alias("cv"),
+        *[
+            F.expr(_prefix_norm("v", d)).alias(f"nc{d}")
+            for d in all_d
+        ],
+    )
+    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nbr"))
     stacked = pairs.select(
         "qid",
         "nbr",
@@ -115,7 +145,9 @@ def matryoshka_recall(
                 *[
                     F.struct(
                         F.lit(d).alias("dims"),
-                        F.expr(_sliced_cos(d)).alias("sim"),
+                        F.expr(
+                            _sliced_cos(d, f"nq{d}", f"nc{d}")
+                        ).alias("sim"),
                     )
                     for d in all_d
                 ]
@@ -125,10 +157,18 @@ def matryoshka_recall(
     w = Window.partitionBy("dims", "qid").orderBy(
         F.col("sim").desc(), F.col("nbr")
     )
+    # topk feeds THREE consumers (truth, hits, the distinct roster).
+    # ReusedExchange already shares the window's input shuffle across
+    # the branches, but the post-shuffle sort+window+filter re-runs
+    # once per consumer — materializing the ≤ n_queries·|dims|·k-row
+    # result caps that at one execution (guide §5 lineage rule, same
+    # as clustering.py / doremi.py; measured ≈ equal at sf0.1, the
+    # win is the avoided n·n_queries-row window re-sorts at scale)
     topk = (
         stacked.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
         .select("qid", "nbr", "dims")
+        .localCheckpoint(eager=True)
     )
     truth = topk.filter(F.col("dims") == full_dims).select(
         "qid", "nbr"

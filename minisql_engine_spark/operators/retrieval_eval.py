@@ -161,6 +161,13 @@ def ir_metrics(
             ).alias("recall_at_k"),
         )
     )
+    # NOTE (optimization r14, measured and rejected): an eager
+    # localCheckpoint on `per` before the macro union LOOKS like it
+    # should halve the run ⋈ qrels subtree, but the union's two
+    # branches already share every Exchange via ReusedExchange inside
+    # the single plan, so the "double execution" costs only the tiny
+    # post-shuffle stages — the checkpoint's serial barrier measured
+    # 4.4 → 5.7 s on the driver row and was reverted.
     macro = per.agg(
         F.lit(MACRO).alias(query_col),
         F.sum("n_rel").cast("bigint").alias("n_rel"),

@@ -338,7 +338,10 @@ def semantic_dedup_keep_farthest(
             "sim_fx6",
             (F.col(id_col) == -F.col("_b.nid")).alias("is_kept"),
         )
-        .orderBy(id_col)
+        # no final orderBy: the roster is corpus-sized and the driver
+        # hash is order-insensitive — a global sort here is a full
+        # range Exchange bought only for display order (guide §2.4);
+        # the min-id twin never had one
     )
 
 

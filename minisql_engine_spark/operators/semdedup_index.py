@@ -264,7 +264,11 @@ def semdedup_against_index(
                 "admitted"
             ),
         )
-        .orderBy(id_col)
+        # no final orderBy: the decision table is a set (the driver
+        # hash and every consumer are order-insensitive), and the sort
+        # was a batch-sized range Exchange executed EAGERLY on every
+        # admission via admit_semdedup_batch's localCheckpoint — a
+        # determinism-only sort, removed per guide §2.4
     )
 
 

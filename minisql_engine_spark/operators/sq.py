@@ -135,30 +135,43 @@ def sq8_topk(
     builds a k·rerank_factor shortlist and EXACT vectors re-rank it
     (shortlist-sized work, the PQ row's shape). Scores are round-6,
     ties by neighbor id; the query doc itself is excluded."""
-    from minisql_engine_spark.operators.similarity import cosine
+    from minisql_engine_spark.operators.similarity import (
+        cosine_pre,
+        norm,
+    )
 
     cb = sq8_codebook(emb, vec_col)
     codes = sq8_encode(emb, cb, id_col, vec_col).persist()
     _SQ_CACHE.append(codes)
+    # norms once per row below the pair join (cosine_pre rule): the
+    # q × corpus scoring pass pays 1 fold per pair instead of 3
     deq = codes.crossJoin(F.broadcast(cb)).select(
         id_col,
         _deq_expr(F.col("codes"), F.col("mn"), F.col("mx")).alias(
             "dv"
         ),
     )
+    deq = deq.withColumn("ndv", norm(F.col("dv")))
     queries = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
+    queries = queries.withColumn("nqv", norm(F.col("qv")))
     scored = (
         deq.crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("dv")), 6).alias(
-                "score"
-            ),
+            F.round(
+                cosine_pre(
+                    F.col("qv"),
+                    F.col("dv"),
+                    F.col("nqv"),
+                    F.col("ndv"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -175,16 +188,22 @@ def sq8_topk(
     exact = emb.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("nv"),
-    )
+    ).withColumn("nnv", norm(F.col("nv")))
     rescored = (
         shortlist.join(exact, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias(
-                "score"
-            ),
+            F.round(
+                cosine_pre(
+                    F.col("qv"),
+                    F.col("nv"),
+                    F.col("nqv"),
+                    F.col("nnv"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     return (
