@@ -56,13 +56,10 @@ from pyspark.sql import functions as F
 from minisql_engine_spark.operators.clustering import connected_components
 from minisql_engine_spark.operators.similarity import (
     DUCK_COS,
-    as_double_sql,
     embedding_near_dups,
     ivf_assignments,
     ivf_refined_centroids,
     ivf_refine_ctes_sql,
-    norm_sql,
-    score_sql,
 )
 
 _SEM_CACHE: list = []
@@ -261,25 +258,32 @@ def semantic_dedup_keep_farthest(
     The chooser is the package's skew-immune struct-max (one
     partial-aggregatable aggregate per component, no window sort —
     the ``keep_best_of_cluster`` shape with distance as the score);
-    the centroid-sim join is a broadcast against the (tiny) centroid
-    table. Scale shape identical to the min-id form."""
+    sim_fx6 is DECODED from the assignment aggregate's packed long
+    (``ivf_assignments(with_sim=True)``) rather than re-scoring the
+    corpus against the broadcast centroid table — one corpus scoring
+    pass total. Scale shape identical to the min-id form."""
     if n_cells is None:
         n_cells = auto_n_cells(embeddings.count())
-    # materialize the (tiny) centroid table: it feeds BOTH the
-    # assignment and the per-vector centroid-sim broadcast below —
-    # without this the Lloyd refinement would re-execute for the
-    # second reference (measured 2.3× the min-id row's cost)
+    # the centroid table feeds ONLY the assignment now (the former
+    # second consumer — the per-vector centroid-sim broadcast — is
+    # gone: ``with_sim=True`` decodes the assigned-cell sim_fx6 from
+    # the packed long the argmax aggregate already computes, so the
+    # corpus is never re-scored against the centroids and the r14
+    # double-Lloyd checkpoint is unnecessary — same laziness as the
+    # min-id row)
     cents = ivf_refined_centroids(
         embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
         dims=dims,
-    ).localCheckpoint(eager=True)
+    )
     assign = ivf_assignments(
-        embeddings, cents, id_col, vec_col, n_probe=1
-    ).select(id_col, "cell")
+        embeddings, cents, id_col, vec_col, n_probe=1, with_sim=True
+    ).select(id_col, "cell", "sim_fx6")
     assign = assign.persist()
     _SEM_CACHE.append(assign)
 
-    blocked = embeddings.select(id_col, vec_col).join(assign, id_col)
+    blocked = embeddings.select(id_col, vec_col).join(
+        assign.select(id_col, "cell"), id_col
+    )
     pairs = embedding_near_dups(
         blocked,
         block_col="cell",
@@ -290,27 +294,7 @@ def semantic_dedup_keep_farthest(
         dims=dims,
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    sims = (
-        embeddings.selectExpr(
-            id_col, as_double_sql(vec_col) + " as v"
-        )
-        .withColumn("nv", F.expr(norm_sql("v")))
-        .join(assign, id_col)
-        .join(
-            F.broadcast(cents.withColumn("nc", F.expr(norm_sql("cv")))),
-            "cell",
-        )
-        .select(
-            F.col(id_col),
-            "cell",
-            F.round(
-                F.expr(score_sql("v", "cv", "nv", "nc")) * 1e6
-            )
-            .cast("long")
-            .alias("sim_fx6"),
-        )
-    )
-    roster = sims.join(
+    roster = assign.join(
         comp.select(F.col("id").alias(id_col), "component"),
         id_col,
         "left",

@@ -874,6 +874,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    with_sim: bool = False,
 ) -> DataFrame:
     """(id, cell, cell_rank) — each vector assigned to its ``n_probe``
     nearest centroids by cosine. Broadcast join against the (tiny)
@@ -892,7 +893,16 @@ def ivf_assignments(
     decimals so sim·1e6 is an integer in [−1e6, 1e6], and cell ids
     (< 2³¹) break ties downward exactly like the window's
     ``sim DESC, cell ASC``. The ``row_number`` window survives only
-    for n_probe > 1 — the tiny query side."""
+    for n_probe > 1 — the tiny query side.
+
+    ``with_sim=True`` adds a ``sim_fx6`` column — round(sim·10⁶) of
+    the ASSIGNED cell. On the hot n_probe=1 path it is decoded from
+    the packed-long max the aggregate already computes (packed =
+    s·2³² − cell, so s = (packed + cell) DIV 2³² — exact integer
+    arithmetic, no second scoring pass): a caller that needs the
+    per-vector centroid distance (SemDeDup keep-farthest) gets it
+    for free instead of re-scoring the corpus against the broadcast
+    centroid table."""
     scored = (
         vectors.selectExpr(id_col, as_double_sql(vec_col) + " as v")
         .withColumn("nv", F.expr(norm_sql("v")))
@@ -912,19 +922,33 @@ def ivf_assignments(
             F.round(F.col("sim") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
             - F.col("cell").cast("long")
         )
-        return (
-            scored.groupBy(id_col)
-            .agg(F.max_by("cell", packed).alias("cell"))
-            .select(id_col, "cell", F.lit(1).alias("cell_rank"))
-        )
+        aggs = [F.max_by("cell", packed).alias("cell")]
+        if with_sim:
+            # max(packed) pairs with max_by's cell: packed is unique
+            # per (sim, cell), so both aggregates pick the same row
+            aggs.append(F.max(packed).alias("_pk"))
+        out = scored.groupBy(id_col).agg(*aggs)
+        cols = [F.col(id_col), F.col("cell"), F.lit(1).alias("cell_rank")]
+        if with_sim:
+            cols.append(
+                F.expr(
+                    "CAST((_pk + CAST(cell AS BIGINT))"
+                    f" DIV {1 << 32} AS BIGINT)"
+                ).alias("sim_fx6")
+            )
+        return out.select(*cols)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select(id_col, "cell", "cell_rank")
+    ranked = scored.withColumn("cell_rank", F.row_number().over(w)).filter(
+        F.col("cell_rank") <= n_probe
     )
+    cols = [F.col(id_col), F.col("cell"), F.col("cell_rank")]
+    if with_sim:
+        cols.append(
+            F.round(F.col("sim") * 1e6).cast("long").alias("sim_fx6")
+        )
+    return ranked.select(*cols)
 
 
 def ivf_topk(

@@ -473,3 +473,69 @@ def test_near_dup_block_guard_bounds_skewed_blocks(spark, sf_dir):
     assert approx, "fallback path must still find high-sim pairs"
     for r in approx:
         assert exact[(r["id_a"], r["id_b"])] == r["cos_sim"]
+
+
+def test_ivf_assignment_with_sim_decodes_packed_long(spark, sf_dir):
+    """with_sim=True must return the EXACT round(cos·10⁶) of the
+    assigned cell on both the packed-long n_probe=1 path (decoded
+    from the aggregate, no second scoring pass) and the window
+    n_probe>1 path — pinned against a direct recomputation through
+    the same score_sql expressions (the quantity
+    semantic_dedup_keep_farthest's sim_fx6 audit column ships)."""
+    from pyspark.sql import functions as F
+
+    from minisql_engine_spark.operators.similarity import (
+        as_double_sql,
+        ivf_assignments,
+        ivf_refined_centroids,
+        norm_sql,
+        score_sql,
+    )
+    from minisql_engine_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    cents = ivf_refined_centroids(emb, n_cells=8).localCheckpoint()
+
+    def direct(assign_df):
+        return {
+            (r["vec_id"], r["cell"]): r["fx"]
+            for r in emb.selectExpr(
+                "vec_id", as_double_sql("embedding") + " as v"
+            )
+            .withColumn("nv", F.expr(norm_sql("v")))
+            .join(assign_df.select("vec_id", "cell"), "vec_id")
+            .join(
+                F.broadcast(
+                    cents.withColumn("nc", F.expr(norm_sql("cv")))
+                ),
+                "cell",
+            )
+            .select(
+                "vec_id",
+                "cell",
+                F.round(F.expr(score_sql("v", "cv", "nv", "nc")) * 1e6)
+                .cast("long")
+                .alias("fx"),
+            )
+            .collect()
+        }
+
+    for n_probe in (1, 2):
+        got = ivf_assignments(
+            emb, cents, n_probe=n_probe, with_sim=True
+        ).collect()
+        want = direct(
+            spark.createDataFrame(
+                [(r["vec_id"], r["cell"]) for r in got],
+                "vec_id long, cell long",
+            )
+        )
+        assert got, "assignment must be non-empty"
+        for r in got:
+            assert r["sim_fx6"] == want[(r["vec_id"], r["cell"])], (
+                n_probe,
+                r,
+            )
+        # the plain call's schema is untouched
+        plain = ivf_assignments(emb, cents, n_probe=n_probe).columns
+        assert plain == ["vec_id", "cell", "cell_rank"]
