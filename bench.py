@@ -244,6 +244,7 @@ def main() -> None:
     )
     from minisql_engine_spark.pipeline import clear_llm_pipeline_cache
     from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
+    from minisql_engine_spark.operators.span_dedup import clear_span_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
     from minisql_engine_spark.operators.sq import clear_sq_cache
     from minisql_engine_spark.operators.lm_score import (
@@ -263,6 +264,7 @@ def main() -> None:
         clear_centroid_cache()
         clear_clustering_cache()
         clear_semdedup_cache()
+        clear_span_cache()
         clear_retrieval_cache()
         clear_llm_pipeline_cache()
         clear_graph_cache()
@@ -340,19 +342,31 @@ def main() -> None:
     noise = round(spreads[len(spreads) // 2], 4) if spreads else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline-queries-total-sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "rounds": N_ROUNDS,
-                "median_spread": noise,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline-queries-total-sec",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "rounds": N_ROUNDS,
+            "median_spread": noise,
+        }
     )
+    print(line)
+    # tee the contract line to a file the driver (or a human) can read
+    # whole: BENCH_r13.json was voided by a truncated captured tail
+    # (PERF_r14 n_common=0) — the stdout contract is unchanged, this
+    # only adds a durable copy beside it
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the contract
     spark.stop()
 
 

@@ -86,18 +86,22 @@ def connected_components(
     )
     # both directions, materialized ONCE — every iteration re-reads
     # this table, and its upstream (e.g. a MinHash verify join) must
-    # not re-execute per round
+    # not re-execute per round. Checkpoints are LAZY (eager=False):
+    # the logical plan truncates at the .localCheckpoint() call
+    # either way, and the convergence-sum action below materializes
+    # the blocks — one scheduled job per round instead of two
+    # (eager materialization + sum), guide §2.4 "fewer actions".
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     comp = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = comp.agg(F.sum("component")).first()[0]
     if prev_sum is None:  # empty graph
@@ -125,7 +129,10 @@ def connected_components(
                     F.coalesce(F.col("_min_nbr"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()  # truncate lineage — see module docstring
+            # truncate lineage — see module docstring; lazy: the sum
+            # action right below materializes the checkpoint blocks,
+            # so each round schedules ONE job, not two
+            .localCheckpoint(eager=False)
         )
         new_sum = new_comp.agg(F.sum("component")).first()[0]
         # only the FINAL table is retained in _CC_CACHE: rebinding

@@ -95,9 +95,17 @@ def edit_distance_pairs(
     definition)."""
     if max_dist not in (1, 2):
         raise ValueError(f"max_dist must be 1 or 2, got {max_dist}")
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(col).alias("_s")
-    ).filter(F.col("_s").isNotNull())
+    from minisql_engine_spark.fanout import fan_out
+
+    # the O(L²)-per-string variant explode + xxhash is the operator's
+    # dominant map cost and was single-threaded on the local
+    # single-row-group scan — fan the narrow (id, s) projection out
+    # first (guide §2.5; no-op at scale, see fanout.py)
+    base = fan_out(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(col).alias("_s")
+        ).filter(F.col("_s").isNotNull())
+    )
     # The join key is xxhash64(variant), not the variant string: the
     # shuffle carries 8 bytes per key instead of ~|s| chars, and a
     # hash collision can only ADD a candidate pair — the exact

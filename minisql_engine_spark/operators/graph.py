@@ -126,37 +126,35 @@ def pagerank(
     # the rank table, not two
     ed = e.join(deg, "src").persist()
     _PR_CACHE.append(ed)
-    # nodes and the 1-row stats are consumed TWICE PER ITERATION
-    # (left join + teleport crossJoin) — localCheckpoint both so the
-    # per-iteration plan reads materialized tables instead of
-    # re-running the distinct/aggregate subtrees every round
+    # nodes are consumed once per iteration (the left join) —
+    # localCheckpoint so the per-iteration plan reads a materialized
+    # table instead of re-running the distinct subtree every round
     # (measured: 9.1 s → see PLANS_r8; same lineage rule as
-    # clustering.py).
+    # clustering.py). Lazy: the node-count action right below
+    # materializes the blocks, so setup schedules ONE job.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    # N and the teleport term, in-plan (single-row broadcast — the
-    # same shape as BM25's corpus stats; nothing collected)
-    stats = (
-        nodes.agg(F.count("*").alias("n_nodes"))
-        .select(
-            "n_nodes",
-            F.expr(
-                f"({SCALE}L * {DAMP_DEN - DAMP_NUM}) DIV (100 * n_nodes)"
-            ).alias("teleport"),
-            F.expr(f"{SCALE}L DIV n_nodes").alias("r0"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # N is ONE long fetched to the driver; teleport and r0 become
+    # in-plan literals. The former in-plan stats table cost a
+    # broadcast + BroadcastNestedLoopJoin crossJoin PER ITERATION
+    # (guide §2.4) for three integers that are pure functions of N —
+    # a 1-row driver fetch is scale-safe (same class as the query-id
+    # collects) and the integer arithmetic is identical: Python //
+    # equals Spark DIV for these non-negative operands, so every rank
+    # is bit-equal (oracle-pinned).
+    n_nodes = int(nodes.agg(F.count("*")).first()[0])
+    teleport = (SCALE * (DAMP_DEN - DAMP_NUM)) // (100 * n_nodes)
+    r0 = SCALE // n_nodes
 
-    ranks = (
-        nodes.crossJoin(F.broadcast(stats))
-        .select("node", F.col("r0").alias("rank"))
-        .localCheckpoint(eager=True)
+    # r0 projection over the checkpointed nodes — no checkpoint of its
+    # own (it is consumed once, by iteration 1's contribution join)
+    ranks = nodes.select(
+        "node", F.lit(r0).cast("long").alias("rank")
     )
     share = (
         f"(rank * {DAMP_NUM}L * w) DIV ({DAMP_DEN}L * deg)"
@@ -179,11 +177,10 @@ def pagerank(
         # the directed contract must hold)
         ranks = (
             nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(stats))
             .select(
                 "node",
                 (
-                    F.col("teleport")
+                    F.lit(teleport)
                     + F.coalesce(F.col("in_mass"), F.lit(0))
                 ).cast("long").alias("rank"),
             )
@@ -191,12 +188,12 @@ def pagerank(
         # ranks_t is referenced ONCE per round (the contribution
         # join), so the lineage grows LINEARLY — unlike the label
         # tables in clustering.py, which double. Checkpoint every few
-        # rounds to bound planning cost without paying a
-        # materialization job per iteration (each eager checkpoint is
-        # a full scheduled job; 6 of them dominated the driver entry's
-        # warm time before this batching).
+        # rounds to bound planning cost; LAZY (eager=False) — the
+        # logical plan truncates at the call and the blocks
+        # materialize inside the consumer's one action instead of a
+        # scheduled job per checkpoint (guide §2.4: fewer actions).
         if (it + 1) % 3 == 0 and it + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     _PR_CACHE.append(ranks)
     return ranks.select("node", F.col("rank").alias("pr_units"))
 

@@ -217,8 +217,11 @@ def admit_linkage_batch(
     cols = _match_cols(id_col, block_col, name_col, exact_weights)
     # the batch projection is consumed by the rail, both edge sides,
     # the label union, and the append — checkpoint once (batch-sized
-    # by definition) so none of them re-derives the input lineage
-    new = batch.select(*cols).localCheckpoint(eager=True)
+    # by definition) so none of them re-derives the input lineage.
+    # LAZY: the rail aggregate (the first action, inside
+    # _resolve_against) materializes the blocks, saving a scheduled
+    # job per admission (guide §2.4)
+    new = batch.select(*cols).localCheckpoint(eager=False)
     old = _read_records(spark, path)
     labels = read_snapshot(spark, _labels_dir(path))
     _rail_committed_batch_dir(

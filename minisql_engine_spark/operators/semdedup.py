@@ -122,16 +122,21 @@ def semantic_dedup(
         embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
         dims=dims,
     )
+    # keep_vec: the assignment carries the cast vector, so the pair
+    # search reads (id, cell, v) straight off this table — the former
+    # `embeddings.join(assign, id)` re-shuffled the corpus by id for
+    # vectors the assignment aggregate already held (guide §2.4; the
+    # cast double values are exactly what near-dups re-casts to)
     assign = ivf_assignments(
-        embeddings, cents, id_col, vec_col, n_probe=1
-    ).select(id_col, "cell")
+        embeddings, cents, id_col, vec_col, n_probe=1, keep_vec=True
+    ).select(id_col, "cell", "v")
     # assignment feeds the pair search AND the final roster — persist
     # so the Lloyd subtree executes once (released via
     # clear_semdedup_cache, same lifecycle as the centroid cache)
     assign = assign.persist()
     _SEM_CACHE.append(assign)
 
-    blocked = embeddings.select(id_col, vec_col).join(assign, id_col)
+    blocked = assign.select(id_col, F.col("v").alias(vec_col), "cell")
     pairs = embedding_near_dups(
         blocked,
         block_col="cell",
@@ -142,7 +147,7 @@ def semantic_dedup(
         dims=dims,
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    return assign.join(
+    return assign.select(id_col, "cell").join(
         comp.select(F.col("id").alias(id_col), "component"),
         id_col,
         "left",
@@ -275,15 +280,16 @@ def semantic_dedup_keep_farthest(
         embeddings, id_col, vec_col, n_cells=n_cells, n_iter=n_iter,
         dims=dims,
     )
+    # keep_vec: same corpus-join deletion as the min-id twin — the
+    # pair search reads (id, cell, v) off the persisted assignment
     assign = ivf_assignments(
-        embeddings, cents, id_col, vec_col, n_probe=1, with_sim=True
-    ).select(id_col, "cell", "sim_fx6")
+        embeddings, cents, id_col, vec_col, n_probe=1, with_sim=True,
+        keep_vec=True,
+    ).select(id_col, "cell", "sim_fx6", "v")
     assign = assign.persist()
     _SEM_CACHE.append(assign)
 
-    blocked = embeddings.select(id_col, vec_col).join(
-        assign.select(id_col, "cell"), id_col
-    )
+    blocked = assign.select(id_col, F.col("v").alias(vec_col), "cell")
     pairs = embedding_near_dups(
         blocked,
         block_col="cell",
@@ -294,7 +300,7 @@ def semantic_dedup_keep_farthest(
         dims=dims,
     )
     comp = connected_components(pairs, "id_a", "id_b")
-    roster = assign.join(
+    roster = assign.select(id_col, "cell", "sim_fx6").join(
         comp.select(F.col("id").alias(id_col), "component"),
         id_col,
         "left",

@@ -205,24 +205,27 @@ def semdedup_against_index(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     _rail_nonzero_norms(batch, id_col, vec_col, "the admission batch")
     cents = spark.read.parquet(_cents_dir(path))
+    # checkpoint the (batch-sized) assignment: it feeds the probed-
+    # cell collect, the candidate join's batch side, AND the final
+    # home join — without the cut the broadcast-argmax scoring of the
+    # batch re-executes once per consumer (guide §5). LAZY: the cell
+    # collect right below materializes the blocks, so the checkpoint
+    # costs no extra scheduled job. keep_vec carries (v, nv) through
+    # the assignment, so the candidate join's batch side reads them
+    # HERE — the former `batch ⋈ probed` re-scanned and re-shuffled
+    # the batch for vectors the assignment already held (guide §2.4;
+    # nv is the identical norm expression, values bit-equal).
     assign = ivf_assignments(
-        batch, cents, id_col, vec_col, n_probe=n_probe
-    )
+        batch, cents, id_col, vec_col, n_probe=n_probe, keep_vec=True
+    ).localCheckpoint(eager=False)
     if n_probe == 1:
-        probed = assign.select(F.col(id_col), "cell")
-        home = probed
+        home = assign.select(F.col(id_col), "cell")
     else:
-        probed = assign.select(F.col(id_col), "cell")
         home = assign.filter(F.col("cell_rank") == 1).select(
             F.col(id_col), "cell"
         )
-    b = (
-        batch.selectExpr(id_col, as_double_sql(vec_col) + " as v")
-        .join(probed, id_col)
-        .withColumn("nv", F.expr(norm_sql("v")))
-        .select(F.col(id_col).alias("bid"), "cell", "v", "nv")
-    )
-    cells = [r["cell"] for r in probed.select("cell").distinct().collect()]
+    b = assign.select(F.col(id_col).alias("bid"), "cell", "v", "nv")
+    cells = [r["cell"] for r in assign.select("cell").distinct().collect()]
     ix = (
         spark.read.parquet(_vecs_dir(path))
         .filter(F.col("cell").isin(cells))
@@ -296,7 +299,11 @@ def append_to_semdedup_index(
             "cell",
         )
     )
-    n = rows.count()
+    # count the DECISION table (one row per distinct batch id, and
+    # localCheckpoint-materialized by admit_semdedup_batch), not the
+    # batch⋈admitted join — the former guard executed the batch scan
+    # + join once for the count and AGAIN for the write (guide §2.4)
+    n = admitted.count()
     if n:
         rows.write.mode("append").partitionBy("cell").parquet(
             _vecs_dir(path)
@@ -316,11 +323,12 @@ def admit_semdedup_batch(
     """Decide + append in one call; returns the decision table (the
     appended rows are exactly its ``admitted`` subset — under their
     HOME cells, whatever ``n_probe`` probed). The decision table is
-    computed BEFORE the append (localCheckpoint) so the returned
-    frame can never see its own batch in the index."""
+    computed BEFORE the append (localCheckpoint; lazy — the append's
+    admitted-count action materializes it ahead of any index write)
+    so the returned frame can never see its own batch in the index."""
     decisions = semdedup_against_index(
         spark, path, batch, threshold_fx6, id_col, vec_col, n_probe
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     append_to_semdedup_index(
         spark, path, batch, decisions, id_col, vec_col
     )

@@ -830,7 +830,6 @@ def ivf_refined_centroids(
     Plan note: the per-dim means are ``dims`` independent decimal SUM
     columns (same 64-agg-columns shape as SimHash fingerprints — pure
     codegen, map-side partials, one shuffle)."""
-    vecs = embeddings.selectExpr(id_col, as_double_sql(vec_col) + " as v")
     if seed == "kmeans_parallel":
         cents = kmeans_parallel_seeds(
             embeddings, id_col, vec_col, n_cells
@@ -859,11 +858,17 @@ def ivf_refined_centroids(
         "array(" + ", ".join(f"c{d}" for d in range(1, dims + 1)) + ")"
     ).alias("cv")
     for _ in range(n_iter):
+        # keep_vec: the assignment aggregate carries v, so the means
+        # read vectors straight off the argmax output — the former
+        # `vecs.join(best, id_col)` cost one corpus-sized exchange of
+        # vecs PLUS the join itself per Lloyd iteration for rows the
+        # aggregate already held (guide §2.4; same multiset of
+        # (cell, v) rows, so the decimal means are bit-identical)
         best = ivf_assignments(
-            embeddings, cents, id_col, vec_col, n_probe=1
-        ).select(id_col, "cell")
-        members = vecs.join(best, id_col)
-        means = members.groupBy("cell").agg(*mean_cols)
+            embeddings, cents, id_col, vec_col, n_probe=1,
+            keep_vec=True,
+        )
+        means = best.groupBy("cell").agg(*mean_cols)
         cents = means.select("cell", cv_col)
     return cents
 
@@ -875,6 +880,7 @@ def ivf_assignments(
     vec_col: str = "embedding",
     n_probe: int = 1,
     with_sim: bool = False,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell, cell_rank) — each vector assigned to its ``n_probe``
     nearest centroids by cosine. Broadcast join against the (tiny)
@@ -902,7 +908,23 @@ def ivf_assignments(
     arithmetic, no second scoring pass): a caller that needs the
     per-vector centroid distance (SemDeDup keep-farthest) gets it
     for free instead of re-scoring the corpus against the broadcast
-    centroid table."""
+    centroid table.
+
+    ``keep_vec=True`` carries the cast vector (``v``) and its norm
+    (``nv``) through to the output, so a consumer that needs the
+    vectors alongside the assignment (Lloyd's per-cell means, the
+    admission verify's batch side) reads them HERE instead of
+    re-joining the corpus on id — deleting one corpus-sized
+    exchange + join per consumer (guide §2.4). On the n_probe=1
+    path (v, nv) ride as extra GROUP KEYS of the same hash
+    aggregate: they are functionally dependent on the id (one
+    vector per id), so groups and the argmax row are unchanged and
+    the aggregate stays whole-stage-codegen hash (the docstring
+    rule above); the partial combine still reduces to one row per
+    id per map partition before the exchange, so the shuffle
+    carries exactly the (id, v) payload the deleted join used to
+    shuffle."""
+    base_cols = [F.col(id_col), "cell"]
     scored = (
         vectors.selectExpr(id_col, as_double_sql(vec_col) + " as v")
         .withColumn("nv", F.expr(norm_sql("v")))
@@ -912,11 +934,12 @@ def ivf_assignments(
             )
         )
         .select(
-            F.col(id_col),
-            "cell",
+            *base_cols,
             F.expr(score_sql("v", "cv", "nv", "nc")).alias("sim"),
+            *(["v", "nv"] if keep_vec else []),
         )
     )
+    vec_cols = [F.col("v"), F.col("nv")] if keep_vec else []
     if n_probe == 1:
         packed = (
             F.round(F.col("sim") * 1e6).cast("long") * F.lit(1 << 32).cast("long")
@@ -927,7 +950,7 @@ def ivf_assignments(
             # max(packed) pairs with max_by's cell: packed is unique
             # per (sim, cell), so both aggregates pick the same row
             aggs.append(F.max(packed).alias("_pk"))
-        out = scored.groupBy(id_col).agg(*aggs)
+        out = scored.groupBy(F.col(id_col), *vec_cols).agg(*aggs)
         cols = [F.col(id_col), F.col("cell"), F.lit(1).alias("cell_rank")]
         if with_sim:
             cols.append(
@@ -936,7 +959,7 @@ def ivf_assignments(
                     f" DIV {1 << 32} AS BIGINT)"
                 ).alias("sim_fx6")
             )
-        return out.select(*cols)
+        return out.select(*cols, *vec_cols)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell"))
@@ -948,7 +971,7 @@ def ivf_assignments(
         cols.append(
             F.round(F.col("sim") * 1e6).cast("long").alias("sim_fx6")
         )
-    return ranked.select(*cols)
+    return ranked.select(*cols, *vec_cols)
 
 
 def ivf_topk(

@@ -45,6 +45,24 @@ from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 K_TOKENS = 10     # span granularity (minimum detectable span length)
 MIN_COUNT = 2     # corpus occurrences for a window to count as duplicated
 
+# persisted positional-gram tables: the gram relation feeds BOTH the
+# corpus-wide count aggregate and the mark-back join, and building it
+# (tokenize + one md5 per token position) is the operator's dominant
+# map cost — without a persist the whole projection executes twice
+# (measured: the lsh_recall_audit shingle pattern, r14 §2). Lifecycle
+# matches operators/dedup._FPS_CACHE: tracked, released via
+# clear_span_cache().
+_GRAM_CACHE: list = []
+
+
+def clear_span_cache() -> None:
+    """Release persisted positional-gram tables."""
+    while _GRAM_CACHE:
+        try:
+            _GRAM_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def duplicate_spans(
     docs: DataFrame,
@@ -78,10 +96,27 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pos_grams = docs.select(
-        F.col(id_col),
-        _ws_tokens(_norm_text(F.col(text_col))).alias("_toks"),
-    ).select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+    from pyspark.storagelevel import StorageLevel
+
+    from minisql_engine_spark.fanout import fan_out
+
+    pos_grams = (
+        # tokenize + one md5 per token position is the dominant map
+        # cost — fan the (id, text) projection out so it runs on
+        # every core instead of the single-row-group scan's one task
+        # (guide §2.5; no-op at scale, see fanout.py)
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            _ws_tokens(_norm_text(F.col(text_col))).alias("_toks"),
+        )
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "g"))
+        # two consumers (count aggregate + mark-back join) — persist
+        # so the tokenize+md5 projection runs once (guide §5;
+        # MEMORY_AND_DISK spills rather than recomputing at scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _GRAM_CACHE.append(pos_grams)
     counts = pos_grams.groupBy("g").agg(F.count("*").alias("_n"))
     dup_grams = counts.filter(F.col("_n") >= min_count).select("g")
     marked = pos_grams.join(dup_grams, "g").select(

@@ -173,6 +173,8 @@ def exact_corr(
     pairs; with no NULLs present the two modes agree exactly."""
     from itertools import combinations
 
+    from minisql_engine_spark.fanout import fan_out
+
     if mode not in ("complete", "pairwise"):
         raise ValueError(f"mode must be complete|pairwise, got {mode}")
     pairs = list(combinations(cols, 2))
@@ -183,7 +185,13 @@ def exact_corr(
         for c in cols:
             nn = F.col(c).isNotNull()
             ok = nn if ok is None else (ok & nn)
-        base = df.filter(ok)
+        # the decimal casts + sums are the operator's dominant map
+        # cost and commutative by construction — fan the (projected)
+        # input out so the partial aggregate runs on every core
+        # instead of inheriting a single-row-group scan's one task
+        # (guide §2.5; no-op at scale, see fanout.py; sums exact and
+        # order-independent, so the result is bit-identical)
+        base = fan_out(df.filter(ok).select(*cols))
         aggs = [F.count(F.lit(1)).cast("bigint").alias("n_all")]
         for c in cols:
             x = F.col(c).cast("double")
@@ -221,7 +229,7 @@ def exact_corr(
                 F.sum((xs * xs).cast(d)).alias(f"sxx_{tag}"),
                 F.sum((ys * ys).cast(d)).alias(f"syy_{tag}"),
             ]
-        wide = df.agg(*aggs)
+        wide = fan_out(df.select(*cols)).agg(*aggs)
 
         def parts(a, b):
             tag = f"{a}__{b}"

@@ -242,7 +242,11 @@ def _llm_stages(
         .filter("passes_all")
         .select(id_col),
         id_col,
-    )
+    ).persist()
+    # kept feeds duplicate_spans' gram build, cut_spans' corpus side,
+    # and the audit count — persisted so the quality gate runs once
+    # (same multi-consumer rule as cleaned/survivors below)
+    _LLM_CACHE.append(kept)
     cleaned = (
         cut_spans(kept, duplicate_spans(kept, k=span_k), id_col, text_col)
         .join(docs.select(id_col, lang_col), id_col)

@@ -244,42 +244,41 @@ def curate_micro_batch(
         # lineage contains the anti-join against the index and
         # would re-execute to EMPTY once the index has advanced
         # (the same ordering hazard the Bloom sidecar documents).
-        # n_input and n_quality come from ONE aggregation over the
-        # per-doc rule report (one row per input doc) — two separate
-        # count jobs doubled the report's computation per batch
-        qrow = report.agg(
-            F.count("*").alias("_n_in"),
-            F.sum(F.col("passes_all").cast("int")).alias("_n_q"),
-        ).collect()[0]
-        n_input = int(qrow["_n_in"])
-        n_quality = int(qrow["_n_q"] or 0)
-        stats = survivors.agg(
-            F.count("*").cast("bigint").alias("n_admitted"),
-            F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
-            .cast("bigint")
-            .alias("admitted_tokens"),
-        ).collect()[0]
-        append_to_index(survivors, index_path)
-        # batch_id travels as the partition directory (discovered
-        # on read), not a data column — the overwrite keys on it.
-        # The one-row frame is built JVM-side (range + literals):
-        # createDataFrame([tuple]) pickles through a Python-RDD scan
-        # whose write job spins a fresh Python worker — profiled at
-        # ~5 s PER MICRO-BATCH vs ~0.2 s for the literal plan (r7)
-        audit = batch_df.sparkSession.range(1).select(
-            F.lit(int(n_input)).cast("bigint").alias("n_input"),
-            F.lit(int(n_quality)).cast("bigint").alias("n_quality_pass"),
-            F.lit(int(kept.count())).cast("bigint").alias("n_ppl_kept"),
-            F.lit(int(stats["n_admitted"]))
-            .cast("bigint")
-            .alias("n_admitted"),
-            F.lit(int(stats["admitted_tokens"]))
-            .cast("bigint")
-            .alias("admitted_tokens"),
+        # All five audit numbers come from ONE action: the three
+        # single-row aggregates (rule report, ppl-kept, survivors —
+        # each persisted above, so no stage recomputes) cross-join
+        # into the one audit row and write directly, replacing three
+        # driver collects + a literal-rebuild write with a single
+        # job per micro-batch (guide §2.4: fewer actions). batch_id
+        # still travels as the partition directory (discovered on
+        # read), not a data column — the overwrite keys on it.
+        audit = (
+            report.agg(
+                F.count("*").cast("bigint").alias("n_input"),
+                F.coalesce(
+                    F.sum(F.col("passes_all").cast("int")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_quality_pass"),
+            )
+            .crossJoin(
+                kept.agg(
+                    F.count("*").cast("bigint").alias("n_ppl_kept")
+                )
+            )
+            .crossJoin(
+                survivors.agg(
+                    F.count("*").cast("bigint").alias("n_admitted"),
+                    F.coalesce(F.sum("n_tokens_lm"), F.lit(0))
+                    .cast("bigint")
+                    .alias("admitted_tokens"),
+                )
+            )
         )
         audit.coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(audit_path, f"batch_id={int(batch_id)}")
         )
+        append_to_index(survivors, index_path)
     finally:
         survivors.unpersist()
         kept.unpersist()

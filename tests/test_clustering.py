@@ -5,6 +5,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+pytestmark = pytest.mark.driver_gate
+
 from minisql_engine_spark.operators.clustering import (
     clear_clustering_cache,
     connected_components,

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.driver_gate
+
 from minisql_engine_spark.pipeline import (
     clear_llm_pipeline_cache,
     curate_llm_corpus,

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.driver_gate
+
 import pandas as pd
 
 from minisql_engine_spark.operators.span_dedup import (

@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+pytestmark = pytest.mark.driver_gate
 from pyspark.sql import functions as F
 
 from minisql_engine_spark.operators.dedup import _norm
