@@ -1617,7 +1617,7 @@ def q_emb_ivf(spark, sf_dir):
     # execute twice (same fix as pq_topk_gated)
     ann = ivf_topk(
         emb, query_ids=qids, k=10, n_probe=_IVF_N_PROBE, refine_iters=2
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     brute = brute_force_topk(emb, query_ids=qids, k=10).localCheckpoint(
         eager=True
     )
@@ -1819,7 +1819,7 @@ def q_ml_lsh_suite(spark, sf_dir):
             F.col("id_b").cast("bigint").alias("id_b"),
             F.col("jaccard_distance").alias("dist"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     strong = (
         minhash_lsh_dedup(docs, threshold=0.5)
@@ -1828,7 +1828,7 @@ def q_ml_lsh_suite(spark, sf_dir):
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     agree = (
         strong.join(ml_pairs, ["id_a", "id_b"], "left_semi")
@@ -1851,7 +1851,7 @@ def q_ml_lsh_suite(spark, sf_dir):
 
     ann_raw = ml_brp_nearest_neighbors(
         emb, query_id=0, k=10
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     qv = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     true10 = (
@@ -1968,7 +1968,7 @@ def q_emb_ann(spark, sf_dir):
     # same fix as pq_topk_gated/emb_ivf_topk
     ann = lsh_ann_topk(
         emb, query_ids=qids, k=10, multi_probe=True
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     brute = brute_force_topk(emb, query_ids=qids, k=10).localCheckpoint(
         eager=True
     )

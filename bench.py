@@ -245,6 +245,7 @@ def main() -> None:
     from minisql_engine_spark.pipeline import clear_llm_pipeline_cache
     from minisql_engine_spark.operators.semdedup import clear_semdedup_cache
     from minisql_engine_spark.operators.span_dedup import clear_span_cache
+    from minisql_engine_spark.operators.dsir import clear_dsir_cache
     from minisql_engine_spark.operators.similarity import clear_centroid_cache
     from minisql_engine_spark.operators.sq import clear_sq_cache
     from minisql_engine_spark.operators.lm_score import (
@@ -265,6 +266,7 @@ def main() -> None:
         clear_clustering_cache()
         clear_semdedup_cache()
         clear_span_cache()
+        clear_dsir_cache()
         clear_retrieval_cache()
         clear_llm_pipeline_cache()
         clear_graph_cache()

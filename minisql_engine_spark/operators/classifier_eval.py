@@ -399,7 +399,7 @@ def agreement_kappa(
     base = ratings.select(
         F.col(a_col).cast("string").alias("a"),
         F.col(b_col).cast("string").alias("b"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum((F.col("a") == F.col("b")).cast("int"))

@@ -852,7 +852,7 @@ def lsh_recall_audit(
         .orderBy(sample_hash(F.col(id_col), seed), F.col(id_col))
         .limit(n_queries)
         .select(F.col(id_col).alias("qid"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     qsh = sh.join(
         queries, sh[id_col] == queries["qid"], "left_semi"
@@ -888,7 +888,7 @@ def lsh_recall_audit(
         # truth feeds BOTH the hit count and the per-query true count;
         # it is audit-sized (pairs over n_queries docs) while its
         # subtree is the shingle co-occurrence join — materialize once
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes, shingles=sh

@@ -516,7 +516,11 @@ def dedup_index_admission_cycle(
     for n, batch in ((1, b1), (2, b2)):
         admitted = dedup_against_index(
             batch, path, id_col=id_col, text_col=text_col
-        ).localCheckpoint(eager=True)  # freeze BEFORE the index moves
+        # freeze BEFORE the index moves — LAZY is sufficient: the
+        # append's own write job is the first action and it computes
+        # (and stores) the blocks against the index's file listing
+        # captured at plan time, before any new file lands
+        ).localCheckpoint(eager=False)
         append_to_index(admitted, path)
         out.append(
             admitted.select(

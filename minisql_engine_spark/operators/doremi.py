@@ -182,7 +182,7 @@ def doremi_weights(
     # the iteration input is DOMAIN-sized (dimension table):
     # localCheckpoint so the corpus-sized loss subtree runs exactly
     # once, not once per round (the PageRank lineage rule)
-    losses = losses.localCheckpoint(eager=True)
+    losses = losses.localCheckpoint(eager=False)
 
     n_dom = losses.select(
         F.count("*").cast("long").alias("n_domains")
@@ -249,7 +249,7 @@ def doremi_weights(
                 .cast("bigint")
                 .alias("weight_units"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds.append(
             w.select(

@@ -59,6 +59,21 @@ from minisql_engine_spark.operators.text import _norm_text, _ws_tokens
 #: md5 hex prefix length for the feature bucket: B = 16^DIGITS = 256
 DIGITS = 2
 
+# persisted (doc, bucket) feature-count tables: four consumers
+# (per-bucket target/raw counts, the totals row, the scoring join)
+# derive from it, so it materializes once per call. Lifecycle matches
+# the package convention: tracked, released via clear_dsir_cache().
+_DSIR_CACHE: list = []
+
+
+def clear_dsir_cache() -> None:
+    """Release persisted feature-count tables."""
+    while _DSIR_CACHE:
+        try:
+            _DSIR_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _features(toks: Column) -> Column:
     """Unigrams + bigrams over an ALREADY-MATERIALIZED token array.
@@ -101,12 +116,28 @@ def dsir_weights(
         # the caller; the paper's 10⁴ buckets sit inside this range
         raise ValueError(f"digits must be in [1, 4], got {digits}")
     n_buckets = 16 ** digits
-    feats = docs.select(
+    from minisql_engine_spark.fanout import fan_out
+
+    feats = fan_out(
+        # evaluate the (cheap) target predicate before the fan-out so
+        # the shuffle carries (id, flag, text) only — the expensive
+        # tokenize + feature explode + md5 then runs on every core
+        # instead of the single-row-group scan's one task (guide
+        # §2.5; no-op at scale, see fanout.py)
+        docs.select(
+            F.col(id_col),
+            target_filter.alias("is_target"),
+            F.col(text_col),
+        )
+    ).select(
+        # tokens into a NAMED column first — _features requires a
+        # materialized array (see its docstring: inlining the
+        # tokenize re-tokenizes per bigram)
         F.col(id_col),
-        target_filter.alias("is_target"),
+        F.col("is_target"),
         _ws_tokens(_norm_text(F.col(text_col))).alias("_toks"),
     ).select(
-        id_col,
+        F.col(id_col),
         "is_target",
         F.explode(_features(F.col("_toks"))).alias("g"),
     ).withColumn(
@@ -114,11 +145,23 @@ def dsir_weights(
         F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("g"))), 1, digits),
     )
 
-    tgt = feats.filter("is_target").groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("ct")
+    # (doc, bucket) pre-aggregation FIRST: every other relation (per-
+    # bucket counts, totals, the scoring join) is a sum over it, so
+    # the expensive feature explode runs ONCE and the persisted table
+    # is doc×distinct-bucket-sized, not gram-instance-sized. The
+    # former shape computed tgt/raw/totals straight off `feats`,
+    # re-executing the explode per consumer (4 passes measured —
+    # guide §5). Counts are identical: count(instances) ≡ sum(tf).
+    dtf = feats.groupBy(id_col, "is_target", "bucket").agg(
+        F.count("*").cast("bigint").alias("tf")
+    ).persist()
+    _DSIR_CACHE.append(dtf)
+
+    tgt = dtf.filter("is_target").groupBy("bucket").agg(
+        F.sum("tf").cast("bigint").alias("ct")
     )
-    raw = feats.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("cr")
+    raw = dtf.groupBy("bucket").agg(
+        F.sum("tf").cast("bigint").alias("cr")
     )
     # λ per bucket over the union of observed buckets; totals ride a
     # single-row cross join (unseen buckets never contribute to any
@@ -132,11 +175,11 @@ def dsir_weights(
         )
         .crossJoin(
             F.broadcast(
-                feats.agg(
-                    F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                dtf.agg(
+                    F.sum(F.when(F.col("is_target"), F.col("tf")).otherwise(0))
                     .cast("bigint")
                     .alias("tt"),
-                    F.count("*").cast("bigint").alias("tr"),
+                    F.sum("tf").cast("bigint").alias("tr"),
                 )
             )
         )
@@ -155,13 +198,9 @@ def dsir_weights(
         )
     )
 
-    # (doc, bucket) pre-aggregation: λ is constant per bucket, so the
-    # tf-weighted decimal sum (dsum_tf — bitwise identical to the
-    # per-instance sum) runs the λ join on each doc's DISTINCT
-    # buckets, not its gram instances
-    dtf = feats.groupBy(id_col, "is_target", "bucket").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
+    # λ is constant per bucket, so the tf-weighted decimal sum
+    # (dsum_tf — bitwise identical to the per-instance sum) runs the
+    # λ join on each doc's DISTINCT buckets, not its gram instances
     return (
         dtf.join(F.broadcast(lam), "bucket")
         .groupBy(id_col, "is_target")

@@ -314,8 +314,11 @@ def knn_graph_refine(
     # base-graph construction (Lloyd chain + assignment + scoring)
     # re-executes once per appearance (measured 9.3 s vs 2-ish at
     # sf0.1). Edges are k-regular: n·k rows, trivially
-    # checkpointable; eager so the base runs exactly once.
-    g = graph.select("src_id", "nbr_id").localCheckpoint(eager=True)
+    # checkpointable; LAZY — the first action (the final consumer)
+    # materializes each round's blocks in sequence, so the base still
+    # runs exactly once but no per-round materialization job is
+    # scheduled (guide §2.4: fewer actions).
+    g = graph.select("src_id", "nbr_id").localCheckpoint(eager=False)
     for _ in range(n_rounds):
         gu = g.unionByName(
             g.select(
@@ -350,7 +353,7 @@ def knn_graph_refine(
             .filter(F.col("rank") <= k)
             # same lineage rule per round: the next round fans this
             # edge set out 5×, and the final return re-reads it once
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         g = ranked.select("src_id", "nbr_id")
     return ranked.select("src_id", "nbr_id", "sim", "rank")

@@ -461,7 +461,9 @@ def admit_linkage_batch_bucketed(
     rewriting with the identical spec when storage warrants."""
     exact_weights = dict(exact_weights or {})
     cols = _match_cols(id_col, block_col, name_col, exact_weights)
-    new = batch.select(*cols).localCheckpoint(eager=True)
+    # lazy — the rail aggregate materializes it (same as the
+    # directory-layout twin above)
+    new = batch.select(*cols).localCheckpoint(eager=False)
     old = spark.table(table)
     labels = read_snapshot(spark, _labels_dir(labels_path))
     next_labels = _resolve_against(

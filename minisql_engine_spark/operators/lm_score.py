@@ -214,6 +214,13 @@ def lm_bigram_perplexity(
     """
     from pyspark.sql.window import Window
 
+    # fan_out MEASURED AND REJECTED here (r15): 2.76 → 4.16 s min of
+    # 3 in a direct identity-vs-fanout A/B. The tokenize map is cheap
+    # on this operator (posexplode only — no per-position hashing),
+    # while the downstream is exchange-dense (lag window, c2, dtf,
+    # three joins): fanning the input to 32 partitions multiplied the
+    # AQE stage bookkeeping on every one of those exchanges for no
+    # map-side win. The single-scan shape stays.
     toks = (
         docs.select(
             F.col(id_col),

@@ -168,7 +168,7 @@ def matryoshka_recall(
         stacked.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= k)
         .select("qid", "nbr", "dims")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     truth = topk.filter(F.col("dims") == full_dims).select(
         "qid", "nbr"

@@ -186,13 +186,17 @@ def _scalar_codebooks(
     train sample filter the EMBEDDINGS first, below the subspace
     explode — no training pass ever builds sub-vectors it won't
     score."""
+    # the training sub-vector table is re-read every Lloyd iteration —
+    # checkpoint it once (lazy: the first iteration's aggregate
+    # materializes the blocks) instead of re-running the explode +
+    # scalar projection per round (guide §5)
     train = _subvectors(
         embeddings.filter(_train_filter(id_col, train_sample_rate)),
         id_col,
         vec_col,
         m_sub,
         sub_dim,
-    )
+    ).localCheckpoint(eager=False)
 
     wseed = Window.partitionBy("m").orderBy(id_col)
     cb = (
@@ -210,7 +214,8 @@ def _scalar_codebooks(
             *[f"s{d} as c{d}" for d in range(1, sub_dim + 1)],
             "nsv as ncv",
         )
-        .localCheckpoint(eager=True)
+        # lazy: iteration 1's aggregate materializes the seed blocks
+        .localCheckpoint(eager=False)
     )
 
     dist = F.expr(_pair_dist_sql(sub_dim))
@@ -223,17 +228,27 @@ def _scalar_codebooks(
         for d in range(1, sub_dim + 1)
     ]
     ncv_sql = " + ".join(f"c{d} * c{d}" for d in range(1, sub_dim + 1))
+    s_cols = _s_cols(sub_dim, "s")
     for _ in range(n_iter):
         scored = train.join(F.broadcast(cb), "m").withColumn("_d", dist)
-        best = scored.groupBy(id_col, "m").agg(
+        # the sub-vector scalars ride as extra GROUP KEYS of the
+        # argmin aggregate (functionally dependent on (id, m) — same
+        # groups, same winner), so the means read them straight off
+        # `best`: the former `train.join(best, [id, m])` re-shuffled
+        # the training table per iteration for columns the aggregate
+        # already held (guide §2.4; identical multiset per (m, code),
+        # so the floor'd decimal means are bit-identical)
+        best = scored.groupBy(id_col, "m", *s_cols).agg(
             F.min_by("code", packed).alias("code")
         )
-        members = train.join(best, [id_col, "m"])
         cb = (
-            members.groupBy("m", "code")
+            best.groupBy("m", "code")
             .agg(*mean_cols)
             .selectExpr("m", "code", *_s_cols(sub_dim, "c"), f"({ncv_sql}) as ncv")
-            .localCheckpoint(eager=True)
+            # lazy: the next iteration's aggregate (or the final
+            # consumer) materializes the blocks — one job per round
+            # saved, plan truncation unchanged
+            .localCheckpoint(eager=False)
         )
     return cb
 
@@ -452,7 +467,7 @@ def pq_topk_gated(
     # twice per consumer tree. k·|queries| rows, trivially small.
     ann = pq_topk(
         embeddings, query_ids, k, id_col, vec_col, **pq_kw
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy: first consumer materializes
     vecs = embeddings.selectExpr(
         id_col, as_double_sql(vec_col) + " as _fv"
     )
@@ -482,7 +497,7 @@ def pq_topk_gated(
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: first consumer materializes
     )
     found = brute.join(
         ann.select("query_id", "neighbor_id"),

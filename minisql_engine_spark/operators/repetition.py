@@ -70,11 +70,18 @@ def repetition_report(
 ) -> DataFrame:
     """(id, n_lines, dup_line_frac, dup_line_char_frac,
     top_ngram_frac, dup_ngram_frac) — see module docstring."""
-    ids = docs.select(F.col(id_col)).distinct()
+    from minisql_engine_spark.fanout import fan_out
+
+    # one shared fanned-out (id, text) slice: the line split and both
+    # n-gram branches are map-heavy and all inherited the single-
+    # row-group scan's one task (guide §2.5; no-op at scale, see
+    # fanout.py). All branches read the SAME exchange (ReusedExchange).
+    base = fan_out(docs.select(F.col(id_col), F.col(text_col)))
+    ids = base.select(F.col(id_col)).distinct()
 
     # --- line-level signals ------------------------------------------------
     lines = (
-        docs.select(
+        base.select(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), r"\n")).alias("_l0"),
         )
@@ -102,7 +109,7 @@ def repetition_report(
 
     # --- n-gram signals ----------------------------------------------------
     def ngram_stats(n: int, top: bool) -> DataFrame:
-        toks = docs.select(
+        toks = base.select(
             F.col(id_col),
             _ws_tokens(_norm_text(F.col(text_col))).alias("_t"),
         ).filter(F.size("_t") >= n)

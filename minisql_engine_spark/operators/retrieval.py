@@ -91,7 +91,13 @@ def bm25_topk(
             list(queries), "query_id string, query_text string"
         )
 
-    toks = docs.select(
+    from minisql_engine_spark.fanout import fan_out
+
+    # tokenize + explode + the tf partial aggregate are the dominant
+    # map stage — fan the (id, text) projection out so they run on
+    # every core instead of the single-row-group scan's one task
+    # (guide §2.5; no-op at scale, see fanout.py)
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(_ws_tokens(_norm_text(F.col(text_col)))).alias("token"),
     )
@@ -373,7 +379,7 @@ def contrastive_triplets(
     ranked = bm25_topk(
         docs, queries, k=depth, k1=k1, b=b, id_col=id_col,
         text_col=text_col,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pos = positives.select(
         F.col("query_id").cast("string").alias("query_id"),
         F.col(id_col).cast("long").alias("pos_id"),

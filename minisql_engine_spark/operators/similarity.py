@@ -902,7 +902,10 @@ def ivf_assignments(
     for n_probe > 1 — the tiny query side.
 
     ``with_sim=True`` adds a ``sim_fx6`` column — round(sim·10⁶) of
-    the ASSIGNED cell. On the hot n_probe=1 path it is decoded from
+    THAT ROW's cell: at n_probe=1 this is the assigned cell's sim;
+    for n_probe>1 each returned (vector, probed-cell) row carries the
+    sim of its own probed cell (rank 1..n_probe), so rank 1 is the
+    assignment's. On the hot n_probe=1 path it is decoded from
     the packed-long max the aggregate already computes (packed =
     s·2³² − cell, so s = (packed + cell) DIV 2³² — exact integer
     arithmetic, no second scoring pass): a caller that needs the

@@ -80,6 +80,8 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     differently across engines (measured: 3 of 60 k rows). The
     integer product is exact and order-independent; /1e6 at the edge
     restores the money scale."""
+    from minisql_engine_spark.fanout import fan_out
+
     li = _t(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
     charge_u = (
@@ -87,8 +89,18 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(100) - cents("l_discount"))
         * (F.lit(100) + cents("l_tax"))
     ).cast("decimal(38,0)")
+    # decimal sums + the 38-digit charge product are the dominant map
+    # cost; fan the pruned projection out so the partial aggregate
+    # runs on every core instead of the single-row-group scan's one
+    # task (guide §2.5; no-op at scale — the filter still pushes to
+    # the scan below the added exchange, sums exact and commutative)
     return (
-        li.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+        fan_out(
+            li.filter(F.col("l_shipdate") <= _ts("2001-09-01")).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),

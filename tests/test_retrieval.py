@@ -88,11 +88,19 @@ def test_lm_perplexity_edges(spark, duck):
         (6, "z z z q"),
     ]
     sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
-    duck.register("_lm", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # distinct name + unregister: the session-scoped duck connection is
+    # shared, and a lingering registered replacement view named `_lm`
+    # shadows test_lm_bigram's CREATE TABLE _lm when tests run in a
+    # non-alphabetical order (pre-existing isolation bug, surfaced by
+    # targeted runs this round)
+    duck.register("_lm_edges", pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = lm_perplexity(sdf)
     assert_matches_oracle(
-        out, duck.execute(lm_perplexity_sql(table="_lm")).df(), "lm-edges"
+        out,
+        duck.execute(lm_perplexity_sql(table="_lm_edges")).df(),
+        "lm-edges",
     )
+    duck.unregister("_lm_edges")
     rows_out = {r.doc_id: r for r in out.collect()}
     assert set(rows_out) == {1, 2, 3, 6}  # empty + NULL dropped
     assert {r.bucket for r in rows_out.values()} <= {

@@ -23,18 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans",
-    "r14",
-)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--out", default="r15", help="plans/<out>/ dir")
     args = ap.parse_args()
+    out_dir = os.path.join(REPO, "plans", args.out)
 
     from minisql_engine_spark import get_spark
 
@@ -42,9 +40,12 @@ def main() -> None:
     spark = get_spark("capture-plans", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(em.queries())
+    qs.update(em.archived_queries())
     names = args.names or list(qs)
-    names = [n for n in names if n in qs or n == "flagship"]
-    os.makedirs(OUT_DIR, exist_ok=True)
+    unknown = [n for n in names if n not in qs and n != "flagship"]
+    if unknown:  # a typo must not silently produce no file (ADVICE r14)
+        raise SystemExit(f"unknown query name(s): {unknown}")
+    os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = em.flagship if name == "flagship" else qs[name]
         try:
@@ -54,7 +55,7 @@ def main() -> None:
             )
         except Exception as exc:  # capture the failure, keep going
             plan = f"<capture failed: {exc}>"
-        path = os.path.join(OUT_DIR, f"{name}_{args.tag}.txt")
+        path = os.path.join(out_dir, f"{name}_{args.tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} bytes)", flush=True)

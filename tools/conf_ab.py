@@ -36,6 +36,9 @@ def main() -> None:
     from minisql_engine_spark import get_spark
     from minisql_engine_spark.sources import load_tables
 
+    bad = [c for c in args.conf if "=" not in c]
+    if bad:  # an opaque ValueError named nothing (ADVICE r14)
+        raise SystemExit(f"--conf must be key=value, got: {bad}")
     extra = dict(c.split("=", 1) for c in args.conf)
     spark = get_spark("conf-ab", shuffle_partitions=CPUS, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
