@@ -41,7 +41,13 @@ def _gram_hashes(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(id, gram) — md5 of each DISTINCT word n-gram per document."""
-    toked = docs.select(
+    from minisql_engine_spark.fanout import fan_out
+
+    # tokenize + one md5 per n-gram position is the dominant map
+    # stage — fan the (id, text) projection out so it runs on every
+    # core instead of the single-row-group scan's one task (guide
+    # §2.5; no-op at scale, see fanout.py)
+    toked = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         _ws_tokens(_norm_text(F.col(text_col))).alias("_t"),
     )
@@ -89,7 +95,10 @@ def cross_split_contamination(
     )
     eval_grams = _gram_hashes(
         docs.filter(F.col(split_col) == eval_split), id_col, text_col, n
-    )
+    # two consumers (the train semi-join + the per-doc totals) — lazy
+    # checkpoint so the eval gram build runs once; the first
+    # consumer's job materializes the blocks (guide §5/§2.4)
+    ).localCheckpoint(eager=False)
     hits = eval_grams.join(train_grams, "gram", "left_semi")
     per_doc = eval_grams.groupBy(id_col).agg(
         F.count("*").alias("n_grams")
