@@ -65,19 +65,17 @@ ALLOWED = {
         "d directly",
     ),
     "operators/similarity.py": (
-        1,
-        "packed rank key over an already-round(6)ed cosine — "
-        "on-grid; Spark-side ordering construct only",
+        2,
+        "packed rank key + the n_probe>1 sim_fx6, both round(sim·1e6) "
+        "over an already-round(6)ed cosine — on-grid (the r14 "
+        "packed-long change moved the keep-farthest sim_fx6 site here "
+        "from semdedup.py; reclassified r15 — the stale 1/1 split was "
+        "an inherited full-suite failure, see OPTIMIZATION_r15.md)",
     ),
-    "operators/semdedup.py": (
-        1,
-        "keep-farthest sim_fx6: round(sim·1e6) where sim is the "
-        "already-round(6)ed centroid cosine — on-grid (the double "
-        "is within 1 ulp of integer k; every rounding convention "
-        "agrees); the DuckDB twin applies the identical "
-        "round(sim·1e6) to the identical sim, parity-tested in "
-        "test_semdedup.py",
-    ),
+    # operators/semdedup.py entry removed r15: the r14 packed-long
+    # change deleted its keep-farthest sim_fx6 round site (decoded
+    # from the assignment aggregate instead); the site's twin now
+    # lives in similarity.py's count above.
     "operators/semdedup_index.py": (
         1,
         "admission sim_fx6: same on-grid round(round(cos,6)·1e6) "
